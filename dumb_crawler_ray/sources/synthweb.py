@@ -1,0 +1,330 @@
+"""Deterministic synthetic web + image/caption input table (FIXTURES.md).
+
+Everything is a pure function of ``(seed, scale)`` — stable across runs,
+machines, chunking and parallelism levels. Per-element randomness comes from
+``np.random.default_rng([seed, idx, purpose])`` so no draw order couples
+elements.
+
+The "web" the crawler fetches:
+- ``images`` table — the authoritative input shape (BASELINE.json
+  ``input_hint``): image_id, bytes, w, h, fmt, caption, phash.
+- ``site_pages`` — one row per crawlable page; fetching a URL renders its
+  HTML deterministically from the row (outlinks incl. one duplicate, one
+  rel=nofollow and one mailto: link to exercise extraction rules —
+  SURVEY.md M6), plus per-domain root index pages and robots.txt rules.
+
+In production this module is replaced by real HTTP fetches; the engine-side
+contract is only `fetch(url) -> FetchResponse`.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import codec
+
+WORDS = (
+    "amber basalt cedar delta ember fjord garnet harbor indigo juniper krill "
+    "lagoon maple nectar onyx prairie quartz raven sierra tundra umber vortex "
+    "willow xenon yonder zephyr anchor breeze canyon drift echo flare grove "
+    "haze isle jade knoll lumen mesa nimbus oasis pine quarry reef summit "
+    "thicket upland vale wharf yarrow zenith arbor bluff crest dune eyrie "
+    "fern glen heath inlet knot loch moor ridge"
+).split()
+assert len(WORDS) == 64
+
+KINDS = ("article", "listing", "resource")
+W_CYCLE = (32, 64, 128)
+H_CYCLE = (32, 48, 96)
+
+
+def _rng(seed: int, idx: int, purpose: int) -> np.random.Generator:
+    return np.random.default_rng([seed, idx, purpose])
+
+
+# ------------------------------------------------------------------ images
+
+def n_images(scale: int) -> int:
+    return 64 * scale
+
+
+def image_dims(idx: int) -> tuple[int, int]:
+    return W_CYCLE[idx % 3], H_CYCLE[idx % 3]
+
+
+def image_fmt(idx: int) -> str:
+    return "png" if idx % 4 else "jpeg"
+
+
+def image_id(idx: int) -> str:
+    return f"img{idx:08d}"
+
+
+def source_pixels(seed: int, idx: int) -> np.ndarray:
+    """The ground-truth pixel array (h, w, 3) uint8 for image idx.
+
+    Smooth gradient base + seeded noise: compresses like a real photo
+    (unlike pure noise) and makes the lossy-PSNR invariant meaningful.
+    """
+    w, h = image_dims(idx)
+    rng = _rng(seed, idx, 3)
+    gy = np.linspace(0, 255, h)[:, None]
+    gx = np.linspace(0, 255, w)[None, :]
+    base = np.stack(
+        [(gy + gx) / 2.0, np.abs(gy - gx), (255 - gy + gx) / 2.0], axis=2
+    )
+    noise = rng.integers(0, 32, size=(h, w, 3))
+    return np.clip(base + noise - 16, 0, 255).astype(np.uint8)
+
+
+def source_caption(seed: int, idx: int) -> str:
+    rng = _rng(seed, idx, 4)
+    picks = rng.integers(0, 64, size=8)
+    return f"caption {idx}: " + " ".join(WORDS[int(p)] for p in picks)
+
+
+def gen_images(seed: int, scale: int) -> pa.Table:
+    n = n_images(scale)
+    ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    for idx in range(n):
+        w, h = image_dims(idx)
+        fmt = image_fmt(idx)
+        arr = source_pixels(seed, idx)
+        data = codec.encode(arr, fmt)
+        ids.append(image_id(idx))
+        blobs.append(data)
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        captions.append(source_caption(seed, idx))
+        # stored phash is of the *decoded* pixels so it matches `bytes`
+        phashes.append(codec.phash64(codec.decode(data)))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------------- pages
+
+def n_pages(scale: int) -> int:
+    return 40 * scale
+
+
+def domains_for(scale: int) -> list[str]:
+    return [f"d{i:02d}.example.test" for i in range(max(4, scale // 4))]
+
+
+HOT_DOMAIN_INDEX = 0  # d00 receives ~50% of pages (FIXTURES.md §2)
+
+
+def page_id(idx: int) -> str:
+    return f"p{idx:08d}"
+
+
+def page_fields(seed: int, idx: int, domains: list[str]) -> tuple[str, str, str]:
+    """(domain, kind, url) for page idx — pure, O(1), no table needed."""
+    r_dom = _rng(seed, idx, 11)
+    if r_dom.random() < 0.5:
+        domain = domains[HOT_DOMAIN_INDEX]
+    else:
+        domain = domains[int(r_dom.integers(0, len(domains)))]
+    u = _rng(seed, idx, 12).random()
+    kind = "article" if u < 0.6 else ("listing" if u < 0.9 else "resource")
+    pid = page_id(idx)
+    if kind == "article":
+        url = f"https://{domain}/article/{pid}-{100000 + idx}"
+    elif kind == "listing":
+        url = f"https://{domain}/listing/{pid}"
+    else:
+        url = f"https://{domain}/resource/{pid}.css"
+    return domain, kind, url
+
+
+def gen_pages(seed: int, scale: int) -> pa.Table:
+    n = n_pages(scale)
+    domains = domains_for(scale)
+    n_img = n_images(scale)
+    rows = {
+        "url": [], "page_id": [], "domain": [], "kind": [], "outlinks": [],
+        "image_refs": [], "valid": [], "status_code": [], "empty_body": [],
+    }
+    for idx in range(n):
+        domain, kind, url = page_fields(seed, idx, domains)
+        r_out = _rng(seed, idx, 13)
+        k_out = int(r_out.integers(3, 13))
+        # power-law-ish target choice: prefer low idx
+        targets = [min(n - 1, int(n * (r_out.random() ** 3))) for _ in range(k_out)]
+        outlinks = [page_fields(seed, t, domains)[2] for t in targets]
+        r_img = _rng(seed, idx, 14)
+        image_refs = (
+            [image_id(int(i)) for i in r_img.integers(0, n_img, size=int(r_img.integers(1, 4)))]
+            if kind == "article"
+            else []
+        )
+        valid = True
+        if kind == "article":
+            valid = _rng(seed, idx, 15).random() >= 0.05
+        s = _rng(seed, idx, 16).random()
+        status = 500 if s < 0.02 else (404 if s < 0.03 else 200)
+        empty = _rng(seed, idx, 17).random() < 0.01
+        rows["url"].append(url)
+        rows["page_id"].append(page_id(idx))
+        rows["domain"].append(domain)
+        rows["kind"].append(kind)
+        rows["outlinks"].append(outlinks)
+        rows["image_refs"].append(image_refs)
+        rows["valid"].append(valid)
+        rows["status_code"].append(status)
+        rows["empty_body"].append(empty)
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "page_id": pa.array(rows["page_id"], pa.string()),
+            "domain": pa.array(rows["domain"], pa.string()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "outlinks": pa.array(rows["outlinks"], pa.list_(pa.string())),
+            "image_refs": pa.array(rows["image_refs"], pa.list_(pa.string())),
+            "valid": pa.array(rows["valid"], pa.bool_()),
+            "status_code": pa.array(rows["status_code"], pa.int32()),
+            "empty_body": pa.array(rows["empty_body"], pa.bool_()),
+        }
+    )
+
+
+# ------------------------------------------------------------ HTML render
+
+def render_page_html(row: dict) -> str:
+    """Pure function row → HTML (FIXTURES.md §2)."""
+    domain = row["domain"]
+    parts = [
+        "<html><head>",
+        f'<link rel="stylesheet" href="https://{domain}/resource/style.css">',
+        "</head><body>",
+    ]
+    if row["kind"] == "article" and row["valid"]:
+        parts.append('<div class="article-body">Article body text.</div>')
+    outlinks = list(row["outlinks"])
+    for i, link in enumerate(outlinks):
+        parts.append(f'<a href="{link}">link {i}</a>')
+    if outlinks:  # one duplicate link (exercises per-page set dedup)
+        parts.append(f'<a href="{outlinks[0]}">dup</a>')
+        # one rel=nofollow link (must be skipped by extraction)
+        parts.append(f'<a rel="nofollow" href="{outlinks[-1]}">nf</a>')
+    # one non-http link (must be dropped)
+    parts.append('<a href="mailto:someone@example.test">mail</a>')
+    for img in row["image_refs"]:
+        parts.append(f'<img src="https://{domain}/img/{img}.png" alt="{img}">')
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def render_root_html(domain: str, domain_page_urls: list[str], domains: list[str]) -> str:
+    parts = ["<html><head></head><body>", '<div class="index">root</div>']
+    for d in domains:
+        parts.append(f'<a href="https://{d}/">site {d}</a>')
+    for u in domain_page_urls[:20]:
+        parts.append(f'<a href="{u}">page</a>')
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def robots_disallow(domain: str) -> list[str]:
+    """Deterministic robots rules: even-numbered domains disallow /listing/."""
+    try:
+        num = int(domain.split(".")[0][1:])
+    except ValueError:
+        return []
+    return ["/listing/"] if num % 2 == 0 else []
+
+
+# ------------------------------------------------------------------ web API
+
+@dataclass
+class FetchResponse:
+    status_code: int
+    html: str
+    image_ids: list
+
+
+class SynthWeb:
+    """Resolves URLs against the generated tables — the sandbox 'network'."""
+
+    def __init__(self, pages: pa.Table, seed: int, scale: int):
+        self.seed = seed
+        self.scale = scale
+        self.domains = domains_for(scale)
+        self._rows = pages.to_pylist()
+        self._by_url = {r["url"]: r for r in self._rows}
+        self._roots = {}
+        for d in self.domains:
+            urls = [r["url"] for r in self._rows if r["domain"] == d]
+            self._roots[f"https://{d}/"] = render_root_html(d, urls, self.domains)
+
+    @classmethod
+    def generate(cls, seed: int, scale: int) -> "SynthWeb":
+        return cls(gen_pages(seed, scale), seed, scale)
+
+    def fetch(self, url: str) -> FetchResponse:
+        if url in self._roots:
+            return FetchResponse(200, self._roots[url], [])
+        row = self._by_url.get(url)
+        if row is None:
+            if url.endswith("/resource/style.css"):
+                return FetchResponse(200, "body { margin: 0 }", [])
+            return FetchResponse(404, "", [])
+        if row["status_code"] != 200:
+            return FetchResponse(row["status_code"], "", [])
+        if row["empty_body"]:
+            return FetchResponse(200, "", [])
+        return FetchResponse(200, render_page_html(row), list(row["image_refs"]))
+
+
+# ------------------------------------------------------------- fixture I/O
+
+DEFAULT_CONFIG = {
+    "seeds": ["https://d00.example.test/", "https://d01.example.test/listing/p00000001"],
+    "idExtractorPattern": ".*-(?<id>[0-9]+)$",
+    "threadCount": 4,
+    "maxAttemptCount": 3,
+    "tagger": {
+        "internal": "matches(host, 'd[0-9]+\\.example\\.test')",
+        "article": "matches(path, '.*-[0-9]+$')",
+        "resource": "isResource(path)",
+    },
+    "linkFilter": {"whitelist": ["internal"], "blacklist": ["resource"]},
+    "priorities": {"seed": 1000, "article": 900, "other": 10},
+    "validationSelectors": {"article": "div.article-body"},
+    "storage": {"includedTags": ["article"]},
+    "politeness": {"delay_ms": 0, "max_per_domain_per_round": 8},
+    "taskKiller": {"timeout": "10m"},
+}
+
+
+def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
+    """Materialize images.parquet + pages.parquet + config.json under
+    ``out_dir`` (idempotent — skips when the meta file already matches)."""
+    out = Path(out_dir)
+    meta = out / "meta.json"
+    want = {"seed": seed, "scale": scale, "version": 3}
+    if meta.exists() and json.loads(meta.read_text()) == want:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    pq.write_table(gen_images(seed, scale), out / "images.parquet")
+    pq.write_table(gen_pages(seed, scale), out / "pages.parquet")
+    (out / "config.json").write_text(json.dumps(DEFAULT_CONFIG, indent=2))
+    meta.write_text(json.dumps(want))
+    return out

@@ -1,0 +1,243 @@
+"""Unit tests for the pure operator library (SURVEY.md §5.1)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dumb_crawler_ray.config import JobConfig, parse_period_ms
+from dumb_crawler_ray.functions.expr import compile_expression
+from dumb_crawler_ray.functions.links import css_select_exists, extract_links
+from dumb_crawler_ray.functions.tagging import LinkFilter, LinkPrioritizer, UrlTagger
+from dumb_crawler_ray.functions.urlhash import UrlHasher, hash64, hash64_batch
+from dumb_crawler_ray.functions.urlparts import split_batch, split_one
+
+
+# ---------------------------------------------------------------- urlparts
+
+def test_split_one_basic():
+    d = split_one("https://example.com/a/b?q=1#frag")
+    assert d["protocol"] == "https"
+    assert d["host"] == "example.com"
+    assert d["path"] == "/a/b"
+    assert d["port"] == 443
+    assert d["query"] == "q=1"
+    assert d["fragment"] == "frag"
+
+
+def test_split_one_defaults_and_invalid():
+    assert split_one("http://example.com")["path"] == "/"  # HttpUrl gives "/"
+    assert split_one("http://example.com:8080/")["port"] == 8080
+    assert split_one("mailto:x@y.z") is None
+    assert split_one("ftp://example.com/") is None
+    assert split_one("not a url") is None
+
+
+def test_split_batch_masks_invalid():
+    out = split_batch(["https://a.com/x", "mailto:b", "http://c.org"])
+    assert out["valid"].to_pylist() == [True, False, True]
+    assert out["host"].to_pylist() == ["a.com", None, "c.org"]
+
+
+# ---------------------------------------------------------------- urlhash
+
+def test_hasher_id_pattern_hit_and_miss():
+    # reference: URLHasher.java:31-42 — full match → named group id, else md5
+    h = UrlHasher(".*-(?<id>[0-9]+)$")
+    assert h.hash_url("https://x.com/article-123") == "123"
+    md5 = hashlib.md5(b"https://x.com/article").hexdigest()
+    assert h.hash_url("https://x.com/article") == md5
+
+
+def test_hasher_requires_id_group():
+    with pytest.raises(ValueError):
+        UrlHasher(".*-([0-9]+)$")
+
+
+def test_hasher_no_pattern_md5():
+    h = UrlHasher(None)
+    url = "https://x.com/a"
+    assert h.hash_url(url) == hashlib.md5(url.encode()).hexdigest()
+    assert h.hash_batch([url]) == [h.hash_url(url)]
+
+
+def test_hash64_stable():
+    a = hash64("abc")
+    assert a == hash64("abc")
+    assert hash64_batch(["abc", "def"]).tolist() == [hash64("abc"), hash64("def")]
+    assert hash64_batch(["abc"]).dtype == np.int64
+
+
+# -------------------------------------------------------------- expression
+
+URLS = [
+    "https://d00.example.test/article/p1-123",
+    "https://other.com/page",
+    "https://d01.example.test/resource/x.css",
+    "mailto:nope",
+]
+
+
+def _ctx():
+    return split_batch(URLS)
+
+
+def test_matches_full_match_semantics():
+    ex = compile_expression("matches(host, 'd[0-9]+\\.example\\.test')")
+    assert ex.evaluate(_ctx()).tolist() == [True, False, True, False]
+    # full match, not substring: bare 'example' must NOT match
+    ex2 = compile_expression("matches(host, 'example')")
+    assert ex2.evaluate(_ctx()).tolist() == [False, False, False, False]
+
+
+def test_isresource():
+    ex = compile_expression("isResource(path)")
+    assert ex.evaluate(_ctx()).tolist() == [False, False, True, False]
+
+
+def test_boolean_ops_and_comparison():
+    ex = compile_expression(
+        "matches(path, '.*-[0-9]+$') and not isResource(path) or port == 8080"
+    )
+    assert ex.evaluate(_ctx()).tolist() == [True, False, False, False]
+    ex2 = compile_expression("protocol == 'https'")
+    assert ex2.evaluate(_ctx()).tolist() == [True, True, True, False]
+
+
+def test_extract_named_group():
+    from dumb_crawler_ray.functions.expr import _CompiledRegex
+
+    rx = _CompiledRegex(".*-(?<value>[0-9]+)$")
+    out = rx.extract_group(pa.array(["https://x/a-42", "https://x/a"]), "value")
+    assert out.to_pylist() == ["42", None]
+
+
+# ----------------------------------------------------------------- tagging
+
+CFG = JobConfig(
+    {
+        "tagger": {
+            "internal": "matches(host, 'd[0-9]+\\.example\\.test')",
+            "article": "matches(path, '.*-[0-9]+$')",
+            "resource": "isResource(path)",
+            "other": "matches(host, 'ignored')",  # reserved → dropped
+        },
+        "linkFilter": {"whitelist": ["internal"], "blacklist": ["resource"]},
+        "priorities": {"seed": 1000, "article": 900, "other": 10},
+    }
+)
+
+
+def test_tagger_vocab_and_matrix():
+    t = UrlTagger(CFG.tagger)
+    assert t.vocab == ["internal", "article", "resource", "other"]
+    tags = t.tag_batch(URLS)
+    assert tags == [
+        ["internal", "article"],
+        ["other"],
+        ["internal", "resource"],
+        ["other"],  # invalid URL → no expression matches → other
+    ]
+
+
+def test_tags_arrow_roundtrip():
+    t = UrlTagger(CFG.tagger)
+    m = t.tag_matrix(URLS)
+    arr = t.tags_arrow(m)
+    assert arr.to_pylist() == t.tags_from_matrix(m)
+
+
+def test_filter_first_hit_wins_and_counters():
+    t = UrlTagger(CFG.tagger)
+    m = t.tag_matrix(URLS)
+    f = LinkFilter(whitelist=["internal"], blacklist=["resource"])
+    is_http = np.array([True, True, True, False])
+    allowed, n_allowed, n_ignored = f.allowed(m, t.vocab, is_http)
+    # row2 is internal+resource: internal (whitelist) comes FIRST in tag
+    # order → accepted. row3 non-http → rejected without counting.
+    assert allowed.tolist() == [True, False, True, False]
+    assert n_allowed == 2 and n_ignored == 1
+
+
+def test_filter_blacklist_first_in_order():
+    t = UrlTagger({"resource": "isResource(path)",
+                   "internal": "matches(host, 'd[0-9]+\\.example\\.test')"})
+    m = t.tag_matrix(URLS)
+    f = LinkFilter(whitelist=["internal"], blacklist=["resource"])
+    is_http = np.ones(len(URLS), dtype=bool)
+    allowed, _, _ = f.allowed(m, t.vocab, is_http)
+    # now `resource` precedes `internal` → the css row is rejected
+    assert allowed.tolist() == [True, False, False, False]
+
+
+def test_filter_allow_by_default():
+    t = UrlTagger(CFG.tagger)
+    m = t.tag_matrix(["https://nowhere.com/x"])
+    f = LinkFilter(whitelist=["internal"], blacklist=[], allow_by_default=True)
+    allowed, n_a, n_i = f.allowed(m, t.vocab, np.array([True]))
+    assert allowed.tolist() == [True] and n_a == 1 and n_i == 0
+
+
+def test_prioritizer_max_over_tags():
+    t = UrlTagger(CFG.tagger)
+    p = LinkPrioritizer(CFG.priorities)
+    m = t.tag_matrix(URLS)
+    pr = p.priorities_from_matrix(m, t.vocab)
+    assert pr.tolist() == [900, 10, 0, 10]
+
+
+# ------------------------------------------------------------------- links
+
+HTML = """
+<html><body>
+<a href="https://a.com/1">one</a>
+<a href="/rel/2">two</a>
+<a rel="nofollow" href="https://a.com/3">three</a>
+<link href="https://a.com/style.css" rel="stylesheet">
+<a href="mailto:x@y.z">mail</a>
+<a href="https://a.com/1">dup</a>
+<A HREF='https://a.com/4'>caps</A>
+</body></html>
+"""
+
+
+def test_extract_links_semantics():
+    out = extract_links(HTML, "https://a.com/base/")
+    assert out == [
+        "https://a.com/1",
+        "https://a.com/rel/2",       # absolutized
+        "https://a.com/style.css",   # <link href> included
+        "https://a.com/4",           # case-insensitive tag/attr
+    ]
+
+
+def test_css_select_exists():
+    html = '<div class="article-body main">x</div><span id="top"></span>'
+    assert css_select_exists(html, "div.article-body")
+    assert css_select_exists(html, ".main")
+    assert css_select_exists(html, "span#top")
+    assert css_select_exists(html, "div")
+    assert not css_select_exists(html, "div.missing")
+    assert not css_select_exists(html, "p")
+
+
+# ------------------------------------------------------------------ config
+
+def test_period_parser():
+    # reference: Misc.java:41-69
+    assert parse_period_ms("10m") == 600_000
+    assert parse_period_ms("5s") == 5_000
+    assert parse_period_ms("2h") == 7_200_000
+    assert parse_period_ms("1d") == 86_400_000
+    assert parse_period_ms("1w") == 604_800_000
+    assert parse_period_ms("nope") is None
+
+
+def test_config_defaults():
+    c = JobConfig({})
+    assert c.thread_count == 3
+    assert c.max_attempt_count == 5
+    assert c.task_killer_timeout_ms == 600_000
+    assert c.scheduler_batch_size == 6
+    assert not c.respect_robots
