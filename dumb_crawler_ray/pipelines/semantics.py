@@ -1,0 +1,155 @@
+"""Shared crawl semantics — ONE implementation used by both the oracle
+simulator and the Ray Data pipeline, so the conformance gate compares two
+schedulers, not two interpretations of the reference.
+
+Pinned decisions for behaviors the reference leaves unspecified (SURVEY.md
+§2, M2/K1/J3):
+
+- tag evaluation order = config insertion order (reference: HashMap)
+- frontier selection total order = (priority DESC, attempt ASC,
+  url_hash ASC) (reference: SQLite plan beyond priority/attempt)
+- duplicate-id merge within a batch = FIRST occurrence wins in
+  (parent_rank, link_index) order (reference: HashSet/toMap encounter order)
+- per-page link order = document order, first occurrence
+
+Faithful reference quirks preserved (with citations):
+
+- seeds carry an extra leading ``seed`` tag but their priority is computed
+  from expression tags only (J/DumbCrawler.java:292-299)
+- scheduled URLs are re-tagged and re-filtered (J/DumbCrawler.java:276-279);
+  rows dropped by the schedule-time filter stay PROCESSING forever, and the
+  filter counters are incremented AGAIN for them
+- failures are terminal in-session; ``attempt`` is bumped on completion and
+  only matters across resumes (J/services/URLStore.java:171-187)
+- MAX_ATTEMPT_COUNT_REACHED increments on completion (either status) when
+  attempt+1 >= maxAttemptCount (URLStore.java:173-179)
+
+Intentional deviation (documented): the reference's ``addUrlsInternal``
+computes the non-http filter but then inserts from the UNfiltered
+collection (URLStore.java:127-143 builds ``toInsert`` from ``tasks``); the
+rebuild implements the evident intent — non-http rows are dropped and
+counted as IGNORED_URLS. Unobservable in practice because extraction and
+the link filter already drop non-http URLs upstream.
+
+North-rule extensions (BASELINE.json, absent in the reference): per-domain
+per-round politeness cap, robots.txt deny (status FAILED / ROBOTS_DENIED at
+insert), and per-stored-row image validation (decoded-pixel PSNR ≥ 40 dB
+lossy / exact lossless + caption equality).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import JobConfig
+from ..functions import codec
+from ..functions.links import css_select_exists, extract_links
+from ..functions.tagging import LinkFilter, LinkPrioritizer, UrlTagger
+from ..functions.urlhash import UrlHasher
+from ..functions.urlparts import split_one
+
+# frontier statuses (reference: URLStore.java:17-22)
+QUEUED, PROCESSING, PROCESSED, FAILED = 0, 1, 2, 3
+
+SEED_TAG = "seed"
+ROBOTS_ERROR = "ROBOTS_DENIED"
+
+
+@dataclass
+class CrawlComponents:
+    """All config-derived operators, compiled once (driver or actor init)."""
+
+    config: JobConfig
+    hasher: UrlHasher = field(init=False)
+    tagger: UrlTagger = field(init=False)
+    link_filter: LinkFilter = field(init=False)
+    prioritizer: LinkPrioritizer = field(init=False)
+
+    def __post_init__(self):
+        cfg = self.config
+        self.hasher = UrlHasher(cfg.id_extractor_pattern)
+        self.tagger = UrlTagger(cfg.tagger)
+        self.link_filter = LinkFilter(cfg.whitelist, cfg.blacklist, cfg.allow_by_default)
+        self.prioritizer = LinkPrioritizer(cfg.priorities)
+        self.validators = dict(cfg.validation_selectors)
+        self.included_tags = set(cfg.included_tags)
+
+    # ---------------------------------------------------------- per batch
+
+    def analyze_urls(self, urls: list[str]):
+        """(tags, priority, url_hash, allowed, n_allowed, n_ignored, domain)
+        for a batch of candidate URLs — the M1/M2/M4/M5 stage, vectorized."""
+        m = self.tagger.tag_matrix(urls)
+        tags = self.tagger.tags_from_matrix(m)
+        prio = self.prioritizer.priorities_from_matrix(m, self.tagger.vocab)
+        is_http = np.fromiter(
+            (u.startswith("http://") or u.startswith("https://") for u in urls),
+            dtype=bool, count=len(urls),
+        )
+        allowed, n_allowed, n_ignored = self.link_filter.allowed(
+            m, self.tagger.vocab, is_http
+        )
+        hashes = self.hasher.hash_batch(urls)
+        return tags, prio, hashes, allowed, n_allowed, n_ignored
+
+    def domain_of(self, url: str) -> str:
+        d = split_one(url)
+        return d["host"] if d else ""
+
+    # ------------------------------------------------------ fetch outcome
+
+    def fetch_outcome(self, resp, url: str, tags: list[str]):
+        """Interpret a FetchResponse exactly like CrawlingTaskCallable:
+        status check → blank check → validate (per tag, in tag order) →
+        extract links. Returns (error_code|None, links, html).
+        Reference: J/services/CrawlingTaskCallable.java:42-63,
+        J/services/renderer/SimpleHttpRenderer.java:38-42."""
+        if resp.status_code != 200:
+            return f"INVALID_STATUS_CODE_{resp.status_code}", [], ""
+        if not resp.html.strip():
+            return "EMPTY_RESPONSE_BODY", [], ""
+        for tag in tags:
+            selector = self.validators.get(tag)
+            if selector is not None and not css_select_exists(resp.html, selector):
+                return f"CONTENT_VALIDATION_ERROR_{tag}", [], resp.html
+        return None, extract_links(resp.html, url), resp.html
+
+    def should_store(self, tags: list[str]) -> bool:
+        """Tag gate (AbstractStorageManager.java:29-41): any-tag-in-order."""
+        return any(t in self.included_tags for t in tags)
+
+
+def selection_sort_key(priority: int, attempt: int, url_hash: str):
+    """Pinned frontier total order (SURVEY.md K1)."""
+    return (-priority, attempt, url_hash)
+
+
+def robots_denied(url: str, disallow_prefixes: list[str]) -> bool:
+    d = split_one(url)
+    if d is None:
+        return False
+    return any(d["path"].startswith(p) for p in disallow_prefixes)
+
+
+def validate_image_row(row: dict, seed: int) -> str | None:
+    """Per-row payload invariant (BASELINE.json input_hint): decoded pixels
+    allclose to the source (PSNR ≥ 40 dB when lossy, exact when lossless)
+    and caption byte-equality. Returns error string or None."""
+    from ..sources.synthweb import source_caption, source_pixels
+
+    idx = int(row["image_id"][3:])
+    try:
+        decoded = codec.decode(row["bytes"])
+    except ValueError as ex:
+        return f"DECODE_ERROR: {ex}"
+    src = source_pixels(seed, idx)
+    if codec.is_lossy(row["bytes"]):
+        if codec.psnr(src, decoded) < 40.0:
+            return "PSNR_BELOW_40DB"
+    elif not np.array_equal(src, decoded):
+        return "LOSSLESS_MISMATCH"
+    if row["caption"] != source_caption(seed, idx):
+        return "CAPTION_MISMATCH"
+    return None

@@ -300,10 +300,12 @@ DEFAULT_CONFIG = {
     "idExtractorPattern": ".*-(?<id>[0-9]+)$",
     "threadCount": 4,
     "maxAttemptCount": 3,
+    # `resource` first: first-hit-wins filtering must see the blacklist tag
+    # before the whitelisted `internal` tag (SURVEY.md M2/M4 order pinning)
     "tagger": {
+        "resource": "isResource(path)",
         "internal": "matches(host, 'd[0-9]+\\.example\\.test')",
         "article": "matches(path, '.*-[0-9]+$')",
-        "resource": "isResource(path)",
     },
     "linkFilter": {"whitelist": ["internal"], "blacklist": ["resource"]},
     "priorities": {"seed": 1000, "article": 900, "other": 10},
@@ -319,7 +321,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
     ``out_dir`` (idempotent — skips when the meta file already matches)."""
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 3}
+    want = {"seed": seed, "scale": scale, "version": 4}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)
