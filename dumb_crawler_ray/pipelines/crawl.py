@@ -1,0 +1,595 @@
+"""The BSP crawl round loop — Ray Data driver (SURVEY.md §3.4/§7).
+
+Per round r:
+  1 REFILL   every frontier shard peeks its top-k in the pinned total order
+             honoring the per-domain politeness cap; the driver merges,
+             re-applies the cap globally (exactness for salted hot domains)
+             and marks the final picks PROCESSING.
+  2 FETCH    ray.data.from_arrow(selection blocks) → map_batches(FetchWorker
+             actor pool, batch_format="pyarrow") — render/validate/extract/
+             tag/filter per page; page html + validated image rows stream to
+             per-round parquet fragments from inside the workers.
+  3 DEDUP    flatten candidates in (rank, link_idx) order → first-occurrence
+             per url_hash → bloom probe (negatives skip the exact lookup) →
+             hash-route to shards → exact insert-if-absent.
+  4 COMMIT   status updates to shards, counter/lineage/order deltas +
+             frontier deltas to the checkpoint, manifest advance (atomic
+             rename) ⇒ exact resume at round granularity.
+
+The driver handles only O(batch) control rows per round — selection, small
+candidate columns, counters. All heavy payloads stay in the workers.
+
+Scale levers (100 TB / 10^10-URL design): shard count P, scheduler batch
+k, fetch actor pool size, per-domain cap; the by-domain partitioning key is
+reused for politeness, robots caching and the seen-set so no stage needs a
+second shuffle. Candidate dedup is driver-side merge here because volume
+per round is O(k·links); at larger k it swaps for
+``ray.data.Dataset.groupby(url_hash)`` with the same pinned first-by-
+(rank, idx) merge — see ``dedup_candidates_dataset`` in stages (same
+semantics, exercised in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import JobConfig
+from ..functions.urlhash import hash64_batch
+from ..sources.synthweb import domains_for
+from ..state.bloom import BloomFilter
+from ..state.frontier import make_frontier_actor, shard_of_batch
+from ..stages.fetch import FetchWorker
+from . import semantics as S
+
+
+def _pkg_runtime_env() -> dict:
+    """Make the package importable in Ray worker processes regardless of the
+    driver's cwd — the driver may have put it on sys.path manually, which
+    workers do not inherit."""
+    import dumb_crawler_ray
+
+    parent = os.path.dirname(os.path.dirname(os.path.abspath(dumb_crawler_ray.__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    path = parent if not existing else f"{parent}{os.pathsep}{existing}"
+    return {"env_vars": {"PYTHONPATH": path}}
+
+
+@dataclass
+class CrawlResult:
+    crawl_order: list
+    seen_set: dict
+    counters: dict
+    stored_pages: list
+    stored_images: list
+    rounds: int
+    ckpt_dir: str | None = None
+
+
+class CrawlPipeline:
+    def __init__(
+        self,
+        fixture_dir: str,
+        config,
+        seed: int = 42,
+        scale: int = 1,
+        n_shards: int = 4,
+        ckpt_dir: str | None = None,
+        fetch_concurrency=2,
+        fetch_batch_size: int | None = None,
+        hot_domains=None,
+        resume: bool = False,
+        fetch_delay_s: float = 0.0,
+        fetch_mode: str = "actors",
+    ):
+        self.fixture_dir = str(fixture_dir)
+        self.cfg = config if isinstance(config, JobConfig) else JobConfig(config)
+        self.seed = seed
+        self.scale = scale
+        self.n_shards = n_shards
+        self.ckpt_dir = str(ckpt_dir) if ckpt_dir else None
+        self.fetch_concurrency = fetch_concurrency
+        self.fetch_batch_size = fetch_batch_size
+        self.fetch_delay_s = fetch_delay_s
+        self.hot_domains = frozenset(
+            hot_domains if hot_domains is not None else [domains_for(scale)[0]]
+        )
+        self.comp = S.CrawlComponents(self.cfg)
+        self.counters: Counter = Counter()
+        self.stats: Counter = Counter()  # engine-internal, not reference counters
+        self.crawl_order: list[str] = []
+        self.stored_pages: list[str] = []
+        self.stored_images: list[str] = []
+        self._stored_hashes: set[str] = set()
+        self._stored_image_ids: set[str] = set()
+        self.round = 0
+        self.resume = resume
+        self.fetch_mode = fetch_mode
+        self.shards = None
+        self._fetch_pool = None
+        self.bloom = BloomFilter(capacity=max(1 << 14, 64 * 40 * scale), fpp=0.01)
+
+    # ------------------------------------------------------------- setup
+
+    def _start_shards(self):
+        Actor = make_frontier_actor().options(runtime_env=_pkg_runtime_env())
+        self.shards = [
+            Actor.remote(i, self.cfg.respect_robots) for i in range(self.n_shards)
+        ]
+
+    def _route(self, domains, hashes) -> np.ndarray:
+        return shard_of_batch(domains, hashes, self.n_shards, self.hot_domains)
+
+    def _insert_candidates(self, cand: dict):
+        """Dedup (first-occurrence, pinned), bloom probe, route, insert."""
+        import ray
+
+        urls, hashes = cand["url"], cand["url_hash"]
+        n = len(urls)
+        non_http = [i for i in range(n) if not urls[i].startswith("http")]
+        self.counters["IGNORED_URLS"] += len(non_http)
+        keep_http = [i for i in range(n) if urls[i].startswith("http")]
+        # first-occurrence-wins per url_hash (input already in pinned order)
+        seen_in_batch: set[str] = set()
+        keep: list[int] = []
+        for i in keep_http:
+            if hashes[i] in seen_in_batch:
+                continue
+            seen_in_batch.add(hashes[i])
+            keep.append(i)
+        if not keep:
+            return
+        rows = {
+            "url": [urls[i] for i in keep],
+            "url_hash": [hashes[i] for i in keep],
+            "domain": [cand["domain"][i] for i in keep],
+            "tags": [cand["tags"][i] for i in keep],
+            "priority": [cand["priority"][i] for i in keep],
+        }
+        h64 = hash64_batch(rows["url_hash"])
+        rows["hash64"] = h64
+        maybe_seen = self.bloom.contains_many(h64)
+        shard_ids = self._route(rows["domain"], rows["url_hash"])
+        refs = []
+        for sid in range(self.n_shards):
+            idx = np.flatnonzero(shard_ids == sid)
+            if len(idx) == 0:
+                continue
+            sub = {k: [rows[k][i] for i in idx] for k in
+                   ("url", "url_hash", "domain", "tags", "priority")}
+            sub["hash64"] = h64[idx]
+            refs.append(
+                self.shards[sid].insert_candidates.remote(sub, maybe_seen[idx])
+            )
+        for delta in ray.get(refs):
+            self.counters["DISCOVERED_URLS"] += delta["discovered"]
+            self.counters["ROBOTS_DENIED_URLS"] += delta["robots_denied"]
+            self.stats["SEEN_EXACT_PROBES"] += delta["exact_probes"]
+        self.bloom.add_many(h64)
+        self._ckpt_frontier_inserts(rows)
+
+    def inject_seeds(self):
+        seeds = self.cfg.seeds
+        if not seeds:
+            return
+        tags_list, prio, hashes, _a, _na, _ni = self.comp.analyze_urls(seeds)
+        self._insert_candidates(
+            {
+                "url": list(seeds),
+                "url_hash": hashes,
+                "domain": [self.comp.domain_of(u) for u in seeds],
+                "tags": [[S.SEED_TAG] + t for t in tags_list],
+                "priority": [int(p) for p in prio],
+            }
+        )
+
+    # ------------------------------------------------------------ rounds
+
+    def _select(self) -> pa.Table | None:
+        import ray
+
+        k = self.cfg.scheduler_batch_size
+        cap = self.cfg.max_per_domain_per_round
+        maxa = self.cfg.max_attempt_count
+        parts = ray.get(
+            [s.select_candidates.remote(k, cap, maxa) for s in self.shards]
+        )
+        merged = []
+        for p in parts:
+            merged.extend(
+                zip(p["url_hash"], p["url"], p["domain"], p["priority"], p["attempt"])
+            )
+        if not merged:
+            return None
+        merged.sort(key=lambda t: S.selection_sort_key(t[3], t[4], t[0]))
+        taken = []
+        per_domain: Counter = Counter()
+        for t in merged:
+            if len(taken) >= k:
+                break
+            if cap and per_domain[t[2]] >= cap:
+                continue
+            per_domain[t[2]] += 1
+            taken.append(t)
+        # mark PROCESSING on owning shards
+        shard_ids = self._route([t[2] for t in taken], [t[0] for t in taken])
+        refs = []
+        for sid in range(self.n_shards):
+            hs = [taken[i][0] for i in np.flatnonzero(shard_ids == sid)]
+            if hs:
+                refs.append(self.shards[sid].mark_selected.remote(hs))
+        ray.get(refs)
+        return pa.table(
+            {
+                "rank": pa.array(range(len(taken)), pa.int64()),
+                "url_hash": pa.array([t[0] for t in taken], pa.string()),
+                "url": pa.array([t[1] for t in taken], pa.string()),
+                "domain": pa.array([t[2] for t in taken], pa.string()),
+                "priority": pa.array([t[3] for t in taken], pa.int64()),
+                "attempt": pa.array([t[4] for t in taken], pa.int64()),
+                "round": pa.array([self.round] * len(taken), pa.int64()),
+            }
+        )
+
+    def _worker_kwargs(self) -> dict:
+        return {
+            "fixture_dir": self.fixture_dir,
+            "config_raw": self.cfg.raw,
+            "seed": self.seed,
+            "scale": self.scale,
+            "ckpt_dir": self.ckpt_dir,
+            "fetch_delay_s": self.fetch_delay_s,
+        }
+
+    def _fetch(self, selection: pa.Table) -> pa.Table:
+        """Two equivalent executions of the same FetchWorker stage:
+
+        - ``actors`` (default): a PERSISTENT actor pool created once at
+          pipeline start — the BSP round loop re-dispatches Arrow slices to
+          it every round, so the per-actor setup (web index, compiled
+          config) is paid once per crawl, not once per round. This is the
+          raw-actor escape hatch the Dataset API can't express (state that
+          must outlive a Dataset execution).
+        - ``ray_data``: ``ray.data.from_arrow → map_batches(FetchWorker,
+          batch_format="pyarrow", concurrency=N)`` — the idiomatic form;
+          right when rounds are large (production: one round streams
+          millions of URLs, actor startup amortizes to nothing).
+
+        Both produce identical results (covered by conformance tests).
+        """
+        if self.fetch_mode == "actors":
+            result = self._fetch_via_pool(selection)
+        else:
+            result = self._fetch_via_ray_data(selection)
+        return result.sort_by("rank")
+
+    def _fetch_via_ray_data(self, selection: pa.Table) -> pa.Table:
+        import ray
+
+        conc = self.fetch_concurrency
+        n_conc = conc if isinstance(conc, int) else conc[1]
+        n_blocks = min(len(selection), max(1, n_conc * 2))
+        step = -(-len(selection) // n_blocks)
+        blocks = [selection.slice(i, step) for i in range(0, len(selection), step)]
+        ds = ray.data.from_arrow(blocks)
+        out = ds.map_batches(
+            FetchWorker,
+            batch_format="pyarrow",
+            batch_size=self.fetch_batch_size or step,
+            concurrency=conc,
+            fn_constructor_kwargs=self._worker_kwargs(),
+            runtime_env=_pkg_runtime_env(),
+        )
+        tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                  for b in out.iter_batches(batch_format="pyarrow", batch_size=None)]
+        return pa.concat_tables(tables)
+
+    def _fetch_via_pool(self, selection: pa.Table) -> pa.Table:
+        import ray
+
+        if self._fetch_pool is None:
+            conc = self.fetch_concurrency
+            n = conc if isinstance(conc, int) else conc[1]
+            Actor = ray.remote(FetchWorker).options(runtime_env=_pkg_runtime_env())
+            self._fetch_pool = [Actor.remote(**self._worker_kwargs()) for _ in range(n)]
+        pool = self._fetch_pool
+        n_chunks = min(len(selection), len(pool) * 2) or 1
+        step = -(-len(selection) // n_chunks)
+        refs = [
+            pool[j % len(pool)].__call__.remote(selection.slice(i, step))
+            for j, i in enumerate(range(0, len(selection), step))
+        ]
+        return pa.concat_tables(ray.get(refs))
+
+    def _harvest(self, result: pa.Table):
+        """Apply fetch outcomes in rank order: counters, storage bookkeeping,
+        status completion, candidate extraction — mirrors the oracle loop."""
+        import ray
+
+        rows = result.to_pylist()
+        maxa = self.cfg.max_attempt_count
+        completes: dict[int, dict] = {
+            sid: {"url_hash": [], "status": [], "error": [], "tags": [], "attempt": []}
+            for sid in range(self.n_shards)
+        }
+        cand = {"url": [], "url_hash": [], "domain": [], "tags": [], "priority": []}
+        order_rows = []
+        for r in rows:
+            if r["schedule_allowed"]:
+                self.counters["ALLOWED_LINKS"] += 1
+            else:
+                self.counters["IGNORED_LINKS"] += 1
+                continue  # stays PROCESSING forever (faithful quirk)
+            self.crawl_order.append(r["url_hash"])
+            order_rows.append((self.round, r["rank"], r["url_hash"]))
+            attempt = r["attempt"] + 1
+            if attempt >= maxa:
+                self.counters["MAX_ATTEMPT_COUNT_REACHED"] += 1
+            if r["error"] is not None:
+                status = S.FAILED
+                self.counters[f"ERROR_{r['error']}"] += 1
+            else:
+                status = S.PROCESSED
+                self.counters["PROCESSED_URLS"] += 1
+                self.counters["ALLOWED_LINKS"] += r["n_links_allowed"]
+                self.counters["IGNORED_LINKS"] += r["n_links_ignored"]
+                cand["url"].extend(r["cand_url"])
+                cand["url_hash"].extend(r["cand_hash"])
+                cand["domain"].extend(r["cand_domain"])
+                cand["tags"].extend(r["cand_tags"])
+                cand["priority"].extend(r["cand_priority"])
+                if r["store_ok"]:
+                    self.counters["SAVED_PAGES"] += 1
+                    if r["url_hash"] not in self._stored_hashes:
+                        self._stored_hashes.add(r["url_hash"])
+                        self.counters["NEW_SAVED_PAGES"] += 1
+                        self.stored_pages.append(r["url_hash"])
+                    else:
+                        self.counters["UPDATED_PAGES"] += 1
+                    for iid in r["image_ids"]:
+                        if iid in self._stored_image_ids:
+                            self.counters["DUP_IMAGE_REFS"] += 1
+                        else:
+                            self._stored_image_ids.add(iid)
+                            self.counters["SAVED_IMAGES"] += 1
+                            self.stored_images.append(iid)
+                    if r["image_errors"]:
+                        self.counters["IMAGE_VALIDATION_ERRORS"] += r["image_errors"]
+                else:
+                    self.counters["UNSAVED_PAGES"] += 1
+            sid = int(
+                self._route([self.comp.domain_of(r["url"])], [r["url_hash"]])[0]
+            )
+            c = completes[sid]
+            c["url_hash"].append(r["url_hash"])
+            c["status"].append(status)
+            c["error"].append(r["error"])
+            c["tags"].append(r["tags"])
+            c["attempt"].append(attempt)
+        refs = [
+            self.shards[sid].complete.remote(c)
+            for sid, c in completes.items()
+            if c["url_hash"]
+        ]
+        ray.get(refs)
+        self._ckpt_updates(completes, order_rows)
+        if cand["url"]:
+            self._insert_candidates(cand)
+
+    # -------------------------------------------------------- checkpoint
+
+    def _ckpt_path(self, *parts) -> str:
+        return os.path.join(self.ckpt_dir, *parts)
+
+    def _ckpt_frontier_inserts(self, rows: dict):
+        if not self.ckpt_dir:
+            return
+        d = self._ckpt_path("frontier_inserts")
+        os.makedirs(d, exist_ok=True)
+        t = pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "url_hash": pa.array(rows["url_hash"], pa.string()),
+                "domain": pa.array(rows["domain"], pa.string()),
+                "tags": pa.array(rows["tags"], pa.list_(pa.string())),
+                "priority": pa.array([int(p) for p in rows["priority"]], pa.int64()),
+            }
+        )
+        path = os.path.join(d, f"round={self.round:06d}.parquet")
+        if os.path.exists(path):  # seeds + round candidates share round 0
+            t = pa.concat_tables([pq.read_table(path), t])
+        pq.write_table(t, path)
+
+    def _ckpt_updates(self, completes: dict, order_rows: list):
+        if not self.ckpt_dir:
+            return
+        d = self._ckpt_path("frontier_updates")
+        os.makedirs(d, exist_ok=True)
+        flat = {"url_hash": [], "status": [], "error": [], "tags": [], "attempt": []}
+        for c in completes.values():
+            for k in flat:
+                flat[k].extend(c[k])
+        t = pa.table(
+            {
+                "url_hash": pa.array(flat["url_hash"], pa.string()),
+                "status": pa.array(flat["status"], pa.int64()),
+                "error": pa.array(flat["error"], pa.string()),
+                "tags": pa.array(flat["tags"], pa.list_(pa.string())),
+                "attempt": pa.array(flat["attempt"], pa.int64()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, f"round={self.round:06d}.parquet"))
+        do = self._ckpt_path("order")
+        os.makedirs(do, exist_ok=True)
+        ot = pa.table(
+            {
+                "round": pa.array([r for r, _, _ in order_rows], pa.int64()),
+                "rank": pa.array([r for _, r, _ in order_rows], pa.int64()),
+                "url_hash": pa.array([h for _, _, h in order_rows], pa.string()),
+            }
+        )
+        pq.write_table(ot, os.path.join(do, f"round={self.round:06d}.parquet"))
+
+    def _ckpt_commit(self):
+        if not self.ckpt_dir:
+            return
+        manifest = {
+            "round": self.round,
+            "seed": self.seed,
+            "scale": self.scale,
+            "counters": dict(self.counters),
+            "stored_pages": self.stored_pages,
+            "stored_images": self.stored_images,
+            "n_shards": self.n_shards,
+        }
+        tmp = self._ckpt_path("manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._ckpt_path("manifest.json"))
+
+    def _ckpt_clean_uncommitted(self, committed_round: int):
+        """Drop fragments from rounds after the last committed manifest."""
+        for sub in ("pages", "images"):
+            base = self._ckpt_path(sub)
+            if not os.path.isdir(base):
+                continue
+            for name in os.listdir(base):
+                if name.startswith("round=") and int(name.split("=")[1]) > committed_round:
+                    shutil.rmtree(os.path.join(base, name))
+        for sub in ("frontier_inserts", "frontier_updates", "order"):
+            base = self._ckpt_path(sub)
+            if not os.path.isdir(base):
+                continue
+            for name in os.listdir(base):
+                rnd = int(name.split("=")[1].split(".")[0])
+                if rnd > committed_round:
+                    os.remove(os.path.join(base, name))
+
+    def _ckpt_restore(self) -> bool:
+        """Rebuild driver + shard state from the last committed manifest."""
+        import ray
+
+        mpath = self._ckpt_path("manifest.json")
+        if not os.path.exists(mpath):
+            return False
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        committed = manifest["round"]
+        self._ckpt_clean_uncommitted(committed)
+        self.counters = Counter(manifest["counters"])
+        self.stored_pages = list(manifest["stored_pages"])
+        self.stored_images = list(manifest["stored_images"])
+        self._stored_hashes = set(self.stored_pages)
+        self._stored_image_ids = set(self.stored_images)
+        self.round = committed + 1
+        # replay frontier deltas in round order
+        records: dict[str, list] = {}
+        idir = self._ckpt_path("frontier_inserts")
+        udir = self._ckpt_path("frontier_updates")
+        rounds = sorted(
+            int(n.split("=")[1].split(".")[0])
+            for n in (os.listdir(idir) if os.path.isdir(idir) else [])
+        )
+        for rnd in rounds:
+            t = pq.read_table(os.path.join(idir, f"round={rnd:06d}.parquet")).to_pylist()
+            for r in t:
+                if r["url_hash"] not in records:
+                    records[r["url_hash"]] = [
+                        r["url"], r["domain"], list(r["tags"]), int(r["priority"]),
+                        S.QUEUED, 0, None, len(records),
+                    ]
+        urounds = sorted(
+            int(n.split("=")[1].split(".")[0])
+            for n in (os.listdir(udir) if os.path.isdir(udir) else [])
+        )
+        for rnd in urounds:
+            t = pq.read_table(os.path.join(udir, f"round={rnd:06d}.parquet")).to_pylist()
+            for r in t:
+                rec = records[r["url_hash"]]
+                rec[4] = int(r["status"])
+                rec[6] = r["error"]
+                rec[2] = list(r["tags"])
+                rec[5] = int(r["attempt"])
+        # re-apply robots denial (insert-time in live path)
+        if self.cfg.respect_robots:
+            from ..sources.synthweb import robots_disallow
+
+            for rec in records.values():
+                if rec[4] == S.QUEUED and S.robots_denied(rec[0], robots_disallow(rec[1])):
+                    rec[4] = S.FAILED
+                    rec[6] = S.ROBOTS_ERROR
+        # crawl order replay
+        odir = self._ckpt_path("order")
+        self.crawl_order = []
+        for rnd in sorted(
+            int(n.split("=")[1].split(".")[0])
+            for n in (os.listdir(odir) if os.path.isdir(odir) else [])
+        ):
+            t = pq.read_table(os.path.join(odir, f"round={rnd:06d}.parquet"))
+            self.crawl_order.extend(t.column("url_hash").to_pylist())
+        # distribute to shards (PROCESSING rows requeue on restore)
+        hashes = list(records.keys())
+        shard_ids = self._route([records[h][1] for h in hashes], hashes)
+        refs = []
+        for sid in range(self.n_shards):
+            hs = [hashes[i] for i in np.flatnonzero(shard_ids == sid)]
+            rows = {
+                "url_hash": hs,
+                "url": [records[h][0] for h in hs],
+                "domain": [records[h][1] for h in hs],
+                "tags": [records[h][2] for h in hs],
+                "priority": [records[h][3] for h in hs],
+                "status": [records[h][4] for h in hs],
+                "attempt": [records[h][5] for h in hs],
+                "error": [records[h][6] for h in hs],
+                "seq": [records[h][7] for h in hs],
+            }
+            refs.append(self.shards[sid].restore.remote(rows))
+        ray.get(refs)
+        if hashes:
+            self.bloom.add_many(hash64_batch(hashes))
+        return True
+
+    # --------------------------------------------------------------- run
+
+    def run(self, max_rounds: int | None = None) -> CrawlResult:
+        import ray
+
+        self._start_shards()
+        restored = False
+        if self.resume and self.ckpt_dir:
+            restored = self._ckpt_restore()
+        if not restored:
+            if self.ckpt_dir:
+                os.makedirs(self.ckpt_dir, exist_ok=True)
+            self.inject_seeds()
+            self._ckpt_commit()
+        rounds_done = 0
+        while max_rounds is None or rounds_done < max_rounds:
+            selection = self._select()
+            if selection is None:
+                break
+            result = self._fetch(selection)
+            self._harvest(result)
+            self._ckpt_commit()
+            self.round += 1
+            rounds_done += 1
+        seen: dict[str, tuple] = {}
+        for part in ray.get([s.seen_entries.remote() for s in self.shards]):
+            seen.update(part)
+        return CrawlResult(
+            crawl_order=self.crawl_order,
+            seen_set={h: tuple(v) for h, v in seen.items()},
+            counters={k: int(v) for k, v in self.counters.items() if v},
+            stored_pages=self.stored_pages,
+            stored_images=self.stored_images,
+            rounds=self.round,
+            ckpt_dir=self.ckpt_dir,
+        )

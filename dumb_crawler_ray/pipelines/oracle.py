@@ -190,7 +190,7 @@ class OracleSimulator:
         return OracleResult(
             crawl_order=self.crawl_order,
             seen_set=seen,
-            counters=dict(self.counters),
+            counters={k: int(v) for k, v in self.counters.items() if v},
             stored_pages=self.stored_pages,
             stored_images=self.stored_images,
             rounds=rounds,

@@ -1,0 +1,225 @@
+"""Fetch + parse + tag + validate — the actor-pool `map_batches` stage.
+
+One FetchWorker instance per actor; construction loads the synthetic web
+(the sandbox "network", SURVEY.md S3) and compiles every config-derived
+operator ONCE (`__init__`), then `__call__` processes Arrow batches:
+
+  input  rows: rank, url_hash, url, attempt, priority
+  output rows: rank, url_hash, url, attempt, schedule_allowed, error,
+               store_ok, tags (list), image_ids (list),
+               n_links_allowed, n_links_ignored,
+               cand_* (flattened per-page allowed candidate links)
+
+Heavy payloads (page html, image bytes) are written to the checkpoint
+directory *from inside the stage* as per-round parquet fragments — they
+never flow back to the driver; only the small scheduling/lineage columns
+do. That is the 100 TB-scale contract: the driver handles O(batch) control
+rows per round, workers stream the data plane straight to storage
+(resumable, partitioned by round).
+
+Reference parity: the whole CrawlingTaskCallable chain (schedule-time
+re-tag + re-filter J/DumbCrawler.java:276-279, render S3, blank check,
+validate M7, extract M6) plus the north-rule image validation
+(decoded-pixel PSNR/caption equality per stored row).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import JobConfig
+from ..functions import codec
+from ..pipelines import semantics as S
+from ..sources.synthweb import SynthWeb
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url_hash", pa.string()),
+        ("url", pa.string()),
+        ("tags", pa.list_(pa.string())),
+        ("html", pa.large_string()),
+        ("round", pa.int64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.large_binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("page_url_hash", pa.string()),
+        ("round", pa.int64()),
+        ("rank", pa.int64()),
+        ("validation_error", pa.string()),
+    ]
+)
+
+
+class FetchWorker:
+    def __init__(self, fixture_dir: str, config_raw: dict, seed: int, scale: int,
+                 ckpt_dir: str | None = None, fetch_delay_s: float = 0.0):
+        self.cfg = JobConfig(config_raw)
+        self.comp = S.CrawlComponents(self.cfg)
+        self.seed = seed
+        pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+        self.web = SynthWeb(pages, seed, scale)
+        images = pq.read_table(os.path.join(fixture_dir, "images.parquet"))
+        self._image_index = {
+            iid: i for i, iid in enumerate(images.column("image_id").to_pylist())
+        }
+        self._images = images
+        self.ckpt_dir = ckpt_dir
+        self.fetch_delay_s = fetch_delay_s
+        # politeness pacing (north rule): min wall-clock delay between
+        # fetches of the same domain. Domains are shard-local and rank-
+        # contiguous in a slice, so per-actor clocks pace the strict
+        # per-round budget (the cap) without affecting crawl ORDER.
+        self.politeness_delay_s = self.cfg.politeness_delay_ms / 1000.0
+        self._domain_last_fetch: dict[str, float] = {}
+        self.round = -1  # set via batch column
+
+    def _image_row(self, iid: str) -> dict | None:
+        i = self._image_index.get(iid)
+        if i is None:
+            return None
+        return {c: self._images.column(c)[i].as_py() for c in self._images.column_names}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ranks = batch.column("rank").to_pylist()
+        hashes = batch.column("url_hash").to_pylist()
+        attempts = batch.column("attempt").to_pylist()
+        rnd = int(batch.column("round")[0].as_py()) if len(batch) else 0
+        n = len(urls)
+
+        # schedule-time re-tag + re-filter (vectorized, one call per batch)
+        tags_list, _prio, _h, sched_allowed, _na, _ni = self.comp.analyze_urls(urls)
+
+        out = {
+            "rank": ranks, "url_hash": hashes, "url": urls, "attempt": attempts,
+            "schedule_allowed": [bool(a) for a in sched_allowed],
+            "error": [None] * n, "store_ok": [False] * n,
+            "tags": [list(t) for t in tags_list],
+            "image_ids": [[] for _ in range(n)],
+            "n_links_allowed": [0] * n, "n_links_ignored": [0] * n,
+            "cand_url": [[] for _ in range(n)],
+            "cand_hash": [[] for _ in range(n)],
+            "cand_domain": [[] for _ in range(n)],
+            "cand_tags": [[] for _ in range(n)],
+            "cand_priority": [[] for _ in range(n)],
+        }
+        page_rows = []
+        image_rows = []
+        if self.fetch_delay_s:
+            import time
+
+            time.sleep(self.fetch_delay_s * n)
+        for i in range(n):
+            if not sched_allowed[i]:
+                continue
+            url, tags = urls[i], tags_list[i]
+            if self.politeness_delay_s:
+                self._pace(self.comp.domain_of(url))
+            resp = self.web.fetch(url)
+            error, links, html = self.comp.fetch_outcome(resp, url, tags)
+            if error is not None:
+                out["error"][i] = error
+                continue
+            # link analysis — vectorized per page
+            ltags, lprio, lhash, lallow, n_a, n_i = self.comp.analyze_urls(links)
+            out["n_links_allowed"][i] = n_a
+            out["n_links_ignored"][i] = n_i
+            keep = np.flatnonzero(lallow)
+            out["cand_url"][i] = [links[j] for j in keep]
+            out["cand_hash"][i] = [lhash[j] for j in keep]
+            out["cand_domain"][i] = [self.comp.domain_of(links[j]) for j in keep]
+            out["cand_tags"][i] = [ltags[j] for j in keep]
+            out["cand_priority"][i] = [int(lprio[j]) for j in keep]
+            if self.comp.should_store(tags):
+                out["store_ok"][i] = True
+                out["image_ids"][i] = list(resp.image_ids)
+                page_rows.append(
+                    {"url_hash": hashes[i], "url": url, "tags": list(tags),
+                     "html": html, "round": rnd, "rank": ranks[i]}
+                )
+                for iid in resp.image_ids:
+                    row = self._image_row(iid)
+                    if row is None:
+                        continue
+                    verr = S.validate_image_row(row, self.seed)
+                    image_rows.append(
+                        {**row, "bytes": row["bytes"], "page_url_hash": hashes[i],
+                         "round": rnd, "rank": ranks[i], "validation_error": verr}
+                    )
+        self._write_fragments(rnd, page_rows, image_rows)
+        out["image_errors"] = [
+            sum(1 for r in image_rows if r["rank"] == ranks[i] and r["validation_error"])
+            for i in range(n)
+        ]
+        return _to_arrow(out)
+
+    def _pace(self, domain: str) -> None:
+        import time
+
+        now = time.monotonic()
+        last = self._domain_last_fetch.get(domain)
+        if last is not None:
+            wait = self.politeness_delay_s - (now - last)
+            if wait > 0:
+                time.sleep(wait)
+                now = time.monotonic()
+        self._domain_last_fetch[domain] = now
+
+    def _write_fragments(self, rnd: int, page_rows, image_rows) -> None:
+        if self.ckpt_dir is None:
+            return
+        part = uuid.uuid4().hex[:12]
+        if page_rows:
+            d = os.path.join(self.ckpt_dir, "pages", f"round={rnd}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(page_rows, schema=PAGES_SCHEMA),
+                os.path.join(d, f"part-{part}.parquet"),
+            )
+        if image_rows:
+            d = os.path.join(self.ckpt_dir, "images", f"round={rnd}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(image_rows, schema=IMAGES_SCHEMA),
+                os.path.join(d, f"part-{part}.parquet"),
+            )
+
+
+def _to_arrow(out: dict) -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"], pa.int64()),
+            "url_hash": pa.array(out["url_hash"], pa.string()),
+            "url": pa.array(out["url"], pa.string()),
+            "attempt": pa.array(out["attempt"], pa.int64()),
+            "schedule_allowed": pa.array(out["schedule_allowed"], pa.bool_()),
+            "error": pa.array(out["error"], pa.string()),
+            "store_ok": pa.array(out["store_ok"], pa.bool_()),
+            "tags": pa.array(out["tags"], pa.list_(pa.string())),
+            "image_ids": pa.array(out["image_ids"], pa.list_(pa.string())),
+            "image_errors": pa.array(out["image_errors"], pa.int64()),
+            "n_links_allowed": pa.array(out["n_links_allowed"], pa.int64()),
+            "n_links_ignored": pa.array(out["n_links_ignored"], pa.int64()),
+            "cand_url": pa.array(out["cand_url"], pa.list_(pa.string())),
+            "cand_hash": pa.array(out["cand_hash"], pa.list_(pa.string())),
+            "cand_domain": pa.array(out["cand_domain"], pa.list_(pa.string())),
+            "cand_tags": pa.array(out["cand_tags"], pa.list_(pa.list_(pa.string()))),
+            "cand_priority": pa.array(out["cand_priority"], pa.list_(pa.int64())),
+        }
+    )

@@ -1,0 +1,123 @@
+"""Conformance: the Ray Data pipeline must reproduce the oracle EXACTLY —
+crawl order, final seen set, counters, stored pages/images — at any
+parallelism level and in both fetch execution modes (SURVEY.md §5.2,
+BASELINE.json north_rule)."""
+
+import logging
+
+import pytest
+
+from dumb_crawler_ray.pipelines import oracle
+from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG, SynthWeb, write_fixture
+
+logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def assert_match(res, orc):
+    assert res.crawl_order == orc.crawl_order
+    assert res.seen_set == orc.seen_set
+    assert res.counters == orc.counters
+    assert res.stored_pages == orc.stored_pages
+    assert res.stored_images == orc.stored_images
+
+
+@pytest.fixture(scope="module")
+def web8():
+    return SynthWeb.generate(42, 8)
+
+
+@pytest.fixture(scope="module")
+def fix4(tmp_path_factory):
+    return str(write_fixture(tmp_path_factory.mktemp("fx") / "sf4", seed=42, scale=4))
+
+
+def test_conformance_scale8_actor_pool(ray_session, fixture_dir, web8):
+    res = CrawlPipeline(
+        fixture_dir, DEFAULT_CONFIG, seed=42, scale=8, n_shards=4, fetch_concurrency=4
+    ).run()
+    orc = oracle.simulate(DEFAULT_CONFIG, web8)
+    assert_match(res, orc)
+    assert len(res.crawl_order) > 200
+
+
+def test_conformance_ray_data_mode(ray_session, fix4):
+    web = SynthWeb.generate(42, 4)
+    res = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=3,
+        fetch_concurrency=2, fetch_mode="ray_data",
+    ).run(max_rounds=4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web, max_rounds=4)
+    assert_match(res, orc)
+
+
+def test_determinism_across_parallelism(ray_session, fix4):
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    for conc, shards in ((1, 1), (4, 5)):
+        res = CrawlPipeline(
+            fix4, DEFAULT_CONFIG, seed=42, scale=4,
+            n_shards=shards, fetch_concurrency=conc,
+        ).run()
+        assert_match(res, orc)
+
+
+def test_politeness_budget_conformance(ray_session, fix4):
+    cfg = dict(DEFAULT_CONFIG)
+    cfg["politeness"] = {"delay_ms": 0, "max_per_domain_per_round": 2}
+    web = SynthWeb.generate(42, 4)
+    res = CrawlPipeline(fix4, cfg, seed=42, scale=4, n_shards=4,
+                        fetch_concurrency=3).run()
+    orc = oracle.simulate(cfg, web)
+    assert_match(res, orc)
+
+
+def test_robots_conformance(ray_session, fix4):
+    cfg = dict(DEFAULT_CONFIG)
+    cfg["politeness"] = {"delay_ms": 0, "max_per_domain_per_round": 8,
+                         "respect_robots": True}
+    web = SynthWeb.generate(42, 4)
+    res = CrawlPipeline(fix4, cfg, seed=42, scale=4, n_shards=4,
+                        fetch_concurrency=3).run()
+    orc = oracle.simulate(cfg, web)
+    assert_match(res, orc)
+    assert res.counters.get("ROBOTS_DENIED_URLS", 0) > 0
+
+
+def test_hot_domain_salting_preserves_semantics(ray_session, fix4):
+    """Salting the hot domain across shards must not change results —
+    the driver merge re-applies the politeness cap globally."""
+    cfg = dict(DEFAULT_CONFIG)
+    cfg["politeness"] = {"delay_ms": 0, "max_per_domain_per_round": 3}
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(cfg, web)
+    res_salted = CrawlPipeline(
+        fix4, cfg, seed=42, scale=4, n_shards=4, fetch_concurrency=2,
+        hot_domains=["d00.example.test"],
+    ).run()
+    res_unsalted = CrawlPipeline(
+        fix4, cfg, seed=42, scale=4, n_shards=4, fetch_concurrency=2,
+        hot_domains=[],
+    ).run()
+    assert_match(res_salted, orc)
+    assert_match(res_unsalted, orc)
+
+
+def test_dataset_dedup_matches_local(ray_session):
+    from dumb_crawler_ray.stages.dedup import (
+        dedup_candidates_dataset,
+        dedup_candidates_local,
+    )
+
+    cand = {
+        "url": [f"https://d/{i % 7}" for i in range(50)],
+        "url_hash": [f"h{i % 7}" for i in range(50)],
+        "domain": ["d"] * 50,
+        "tags": [["t"]] * 50,
+        "priority": list(range(50)),
+        "seq": list(range(50)),
+    }
+    a = dedup_candidates_local(cand)
+    b = dedup_candidates_dataset(cand)
+    assert a == b
+    assert a["url_hash"] == [f"h{i}" for i in range(7)]
