@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` — flagship smoke: a TPC-H-style pricing summary over the
+sf0.001 test tables AND a scale-1 crawl of the synthetic web (the engine's
+namesake pipeline), returning the pricing summary Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+`queries()` / `oracle_sql()` — one entry per implemented operator/pipeline
+(SURVEY.md §2 + the training-data extensions); names and columns match the
+DuckDB oracle SQL exactly. Non-SQL-expressible ops omit the oracle entry
+(driver records rows-only).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +18,35 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from dumb_crawler_ray.ops.registry import build_registry
+    from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+    from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG, write_fixture
+
+    # flagship crawl (scale 1, fast) — exercises the whole engine
+    fix = write_fixture("/tmp/dcr_fixtures/sf1", seed=42, scale=1)
+    crawl = CrawlPipeline(
+        fix, DEFAULT_CONFIG, seed=42, scale=1, n_shards=2, fetch_concurrency=2
+    ).run()
+    assert len(crawl.crawl_order) > 0 and crawl.counters["SAVED_PAGES"] > 0
+
+    # testdata pipeline with a stable schema for the smoke check
+    reg = build_registry()
+    return reg["lineitem_pricing_summary"][0](SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dumb_crawler_ray.ops.registry import build_registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in build_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dumb_crawler_ray.ops.registry import build_registry
+
+    return {
+        name: sql for name, (_fn, sql) in build_registry().items() if sql is not None
+    }

@@ -1,0 +1,177 @@
+"""Approximate-nearest-neighbor search over the `embeddings` table.
+
+- `ann_bruteforce`: exact cosine top-k — numpy matmul per batch against a
+  broadcast query matrix (`ray.put` once, zero-copy read per task). The
+  correctness baseline; SQL-checkable via DuckDB `list_cosine_similarity`.
+- `ann_ivf`: IVF-style scale path — deterministic k-means (fixed seed +
+  fixed iterations) coarse quantizer, per-batch assignment, probe the
+  `n_probe` nearest centroids only. Approximate → rows-only oracle; recall
+  vs the brute-force baseline is asserted in tests.
+
+Scale shape: queries are the SMALL side (broadcast), the embedding table
+streams through map_batches in Arrow batches; per-batch partial top-k then
+a tiny driver-side merge — no all-to-all shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..rayutil import remote_kwargs
+
+SIM_DECIMALS = 4  # round similarities so float noise can't flip value hashes
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    order = np.argsort(ids)
+    take = order[: n_queries]
+    q = np.asarray(
+        [t.column("embedding")[int(i)].as_py() for i in take], dtype=np.float64
+    )
+    return ids[take], q
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Exact cosine top-k for the first `n_queries` vec_ids (self excluded).
+    Per-batch partial top-k in workers → driver merges tiny candidate sets.
+    Ties broken by ascending neighbor id (pinned, matches the oracle SQL).
+    """
+    import ray
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qn = _normalize(qmat)
+    q_ref = ray.put((qids, qn))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids_q, qn = ray.get(q_ref)
+        vids = np.asarray(t.column("vec_id").to_pylist())
+        mat = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
+        sims = qn @ mat.T  # (n_queries, batch)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(ids_q)):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                out_q.append(int(ids_q[qi]))
+                out_n.append(int(vids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(partial_topk, batch_format="pyarrow", **remote_kwargs())
+    cand = pa.concat_tables(
+        tb for tb in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _merge_topk(cand, qids, k)
+
+
+def _merge_topk(cand: pa.Table, qids: np.ndarray, k: int) -> pa.Table:
+    q = np.asarray(cand.column("query_id").to_pylist())
+    n = np.asarray(cand.column("neighbor_id").to_pylist())
+    s = np.asarray(cand.column("sim").to_pylist())
+    out_q, out_n, out_s, out_r = [], [], [], []
+    for qid in qids:
+        m = (q == qid) & (n != qid)  # exclude self
+        order = np.lexsort((n[m], -s[m]))[:k]
+        nn, ss = n[m][order], s[m][order]
+        for r, (ni, si) in enumerate(zip(nn, ss), start=1):
+            out_q.append(int(qid))
+            out_n.append(int(ni))
+            out_s.append(round(float(si), SIM_DECIMALS))
+            out_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def _kmeans(mat: np.ndarray, n_centroids: int, seed: int = 7, iters: int = 10):
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    cent = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
+            n_centroids: int = 16, n_probe: int = 6):
+    """IVF top-k: only embeddings whose coarse cell is among the query's
+    `n_probe` nearest centroids are scored. Same output schema as
+    `ann_bruteforce`."""
+    import ray
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qn = _normalize(qmat)
+    # train the coarse quantizer on a bounded sample (scale path: sample,
+    # not the full table)
+    sample_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).limit(4096)
+    sample = np.asarray(
+        [r["embedding"] for r in sample_ds.take_all()], dtype=np.float64
+    )
+    cent = _kmeans(_normalize(sample), n_centroids)
+    probe_cells = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    ctx_ref = ray.put((qids, qn, cent, probe_cells))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids_q, qn, cent, probe = ray.get(ctx_ref)
+        vids = np.asarray(t.column("vec_id").to_pylist())
+        mat = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
+        cells = np.argmax(mat @ cent.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            mask = np.isin(cells, probe[qi])
+            if not mask.any():
+                continue
+            sims = qn[qi] @ mat[mask].T
+            sub_ids = vids[mask]
+            kk = min(k + 1, len(sub_ids))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                out_q.append(int(ids_q[qi]))
+                out_n.append(int(sub_ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+    cand = pa.concat_tables(
+        tb for tb in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _merge_topk(cand, qids, k)

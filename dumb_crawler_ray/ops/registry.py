@@ -1,0 +1,295 @@
+"""Query registry — single source for __ray_entry__.queries()/oracle_sql().
+
+Each entry: name → (ray callable over sf_dir, oracle SQL or None).
+Column names in the Ray result and the SQL are IDENTICAL by construction;
+float aggregate columns are rounded to fixed decimals on BOTH sides so the
+driver's value-hash cannot be flipped by summation-order noise.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..rayutil import remote_kwargs
+import pyarrow.compute as pc
+
+from . import ann, dedup, multimodal, relational, text
+
+_FIXTURE_SCALE = 4
+_FIXTURE_SEED = 42
+
+
+def _round_cols(ds, spec: dict[str, int]):
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if name in spec:
+                col = pc.round(pc.cast(col, pa.float64()), ndigits=spec[name])
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+
+
+def _fixture_dir() -> str:
+    from ..sources.synthweb import write_fixture
+
+    return str(
+        write_fixture(f"/tmp/dcr_fixtures/sf{_FIXTURE_SCALE}",
+                      seed=_FIXTURE_SEED, scale=_FIXTURE_SCALE)
+    )
+
+
+def _crawl_result():
+    """Run (and memoize) the flagship crawl at the fixture scale."""
+    global _CRAWL_CACHE
+    try:
+        return _CRAWL_CACHE
+    except NameError:
+        pass
+    from ..pipelines.crawl import CrawlPipeline
+    from ..sources.synthweb import DEFAULT_CONFIG
+
+    _CRAWL_CACHE = CrawlPipeline(
+        _fixture_dir(), DEFAULT_CONFIG, seed=_FIXTURE_SEED, scale=_FIXTURE_SCALE,
+        n_shards=4, fetch_concurrency=2,
+    ).run()
+    return _CRAWL_CACHE
+
+
+# ------------------------------------------------------------ crawl views
+
+def crawl_order(sf_dir: str):
+    r = _crawl_result()
+    return pa.table(
+        {
+            "seq": pa.array(range(len(r.crawl_order)), pa.int64()),
+            "url_hash": pa.array(r.crawl_order, pa.string()),
+        }
+    )
+
+
+def crawl_seen_set(sf_dir: str):
+    r = _crawl_result()
+    items = sorted(r.seen_set.items())
+    return pa.table(
+        {
+            "url_hash": pa.array([k for k, _ in items], pa.string()),
+            "status": pa.array([v[0] for _, v in items], pa.int64()),
+            "attempt": pa.array([v[1] for _, v in items], pa.int64()),
+            "error": pa.array([v[2] for _, v in items], pa.string()),
+            "tags": pa.array([v[3] for _, v in items], pa.string()),
+            "priority": pa.array([v[4] for _, v in items], pa.int64()),
+        }
+    )
+
+
+def crawl_counters(sf_dir: str):
+    r = _crawl_result()
+    items = sorted(r.counters.items())
+    return pa.table(
+        {
+            "counter": pa.array([k for k, _ in items], pa.string()),
+            "value": pa.array([int(v) for _, v in items], pa.int64()),
+        }
+    )
+
+
+def image_decode_stats(sf_dir: str):
+    return multimodal.decode_stats(f"{_fixture_dir()}/images.parquet")
+
+
+def image_phash_near_dups(sf_dir: str):
+    return multimodal.phash_near_dup_pairs(f"{_fixture_dir()}/images.parquet")
+
+
+def image_resize_meta(sf_dir: str):
+    ds = multimodal.resize(f"{_fixture_dir()}/images.parquet")
+
+    def meta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "w": t.column("w"),
+                "h": t.column("h"),
+                "n_bytes": pc.cast(pc.binary_length(t.column("bytes")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow", **remote_kwargs())
+
+
+# --------------------------------------------------------------- registry
+
+def build_registry() -> dict[str, tuple]:
+    reg: dict[str, tuple] = {}
+
+    reg["lineitem_pricing_summary"] = (
+        relational.lineitem_agg,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
+               count(*)                                               AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    )
+
+    reg["orders_by_segment"] = (
+        relational.orders_by_segment,
+        """
+        SELECT c.c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+    )
+
+    reg["urgent_orders_by_nation"] = (
+        relational.urgent_orders_by_nation,
+        """
+        SELECT n.n_name, count(*) AS n_urgent
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderpriority LIKE '1-%'
+        GROUP BY n.n_name ORDER BY n.n_name
+        """,
+    )
+
+    reg["events_by_type"] = (
+        relational.events_by_type,
+        """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+               min(CAST(round(value * 100) AS BIGINT)) AS min_value_cents,
+               max(CAST(round(value * 100) AS BIGINT)) AS max_value_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    )
+
+    reg["top_users_by_value"] = (
+        relational.top_users,
+        """
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY total_value_cents DESC, user_id LIMIT 10
+        """,
+    )
+
+    reg["events_hourly_window"] = (
+        relational.events_hourly_window,
+        """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
+    reg["props_k_stats"] = (
+        relational.props_k_stats,
+        """
+        SELECT (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) // 10) * 10
+                   AS k_bucket,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    reg["part_brand_stats"] = (
+        relational.part_brand_stats,
+        """
+        SELECT p_brand, count(*) AS n_parts,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
+        FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+    )
+
+    reg["doc_token_counts"] = (
+        text.token_counts,
+        """
+        SELECT doc_id, length(text) AS n_chars,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+        FROM documents ORDER BY doc_id
+        """,
+    )
+
+    reg["doc_quality_scores"] = (
+        text.text_quality,
+        """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_token_chars,
+               length(text) < 100 AS is_short
+        FROM documents ORDER BY doc_id
+        """,
+    )
+
+    reg["doc_fingerprints"] = (
+        text.doc_fingerprint,
+        """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id
+        """,
+    )
+
+    reg["dedup_exact"] = (
+        dedup.dedup_exact,
+        """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY keep_id
+        """,
+    )
+
+    reg["ann_bruteforce_topk"] = (
+        ann.ann_bruteforce,
+        """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS raw_sim
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, raw_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY raw_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, round(raw_sim, 4) AS sim
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+    )
+
+    # --- not SQL-expressible (driver records rows-only checks) ---
+    reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
+    reg["simhash_signatures"] = (dedup.simhash_signatures, None)
+    reg["embedding_near_dup_pairs"] = (dedup.embedding_near_dup_pairs, None)
+    reg["ann_ivf_topk"] = (ann.ann_ivf, None)
+    reg["lang_id"] = (text.lang_id, None)
+    reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)
+    reg["image_decode_stats"] = (image_decode_stats, None)
+    reg["image_phash_near_dups"] = (image_phash_near_dups, None)
+    reg["image_resize_meta"] = (image_resize_meta, None)
+    reg["crawl_order"] = (crawl_order, None)
+    reg["crawl_seen_set"] = (crawl_seen_set, None)
+    reg["crawl_counters"] = (crawl_counters, None)
+    return reg

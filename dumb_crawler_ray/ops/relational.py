@@ -1,0 +1,273 @@
+"""Relational pipelines over the TPC-H-ish test tables — Ray Data native.
+
+Patterns exercised (the wide-step repertoire the crawl engine also uses,
+SURVEY.md §2.5/§4):
+- column-pruned `read_parquet` (only needed columns leave storage)
+- derived columns via vectorized `map_batches(batch_format="pyarrow", **remote_kwargs())`
+- partial-aggregate-friendly `groupby().aggregate(...)`
+- broadcast hash joins: the SMALL side is `ray.put` once and read inside
+  `map_batches` — no all-to-all shuffle for dimension joins
+- pinned-order sort + limit for top-k
+
+Money columns are converted to INTEGER cents before aggregation so sums
+are exact and bit-identical to the DuckDB oracle regardless of summation
+order (float sums are not associative; integer sums are). Every function
+takes `sf_dir` and returns a `ray.data.Dataset` whose column names match
+the oracle SQL in `ops/registry.py` exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..rayutil import remote_kwargs
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(col) -> pa.Array:
+    """Exact 2-decimal double → integer cents."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary. disc_price is accumulated in units
+    of 1e-4 dollars (cents × (100 − discount_pct)) — exact integers."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_pct = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))), pa.int64()
+        )
+        disc_price_c4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "price_cents": price_c,
+                "disc_price_c4": disc_price_c4,
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_price_c4", alias_name="sum_disc_price_c4"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+def orders_by_segment(sf_dir: str):
+    """orders ⨝ customer (broadcast) → per-market-segment order stats."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    seg_map = {}
+    for ref in _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_mktsegment"]).to_arrow_refs():
+        t = ray.get(ref)
+        seg_map.update(zip(t.column("c_custkey").to_pylist(),
+                           t.column("c_mktsegment").to_pylist()))
+    seg_ref = ray.put(seg_map)  # broadcast once, read per task
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        segs = [m.get(k) for k in t.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "total_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow", **remote_kwargs())
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("total_cents", alias_name="sum_total_cents"),
+        )
+        .sort("c_mktsegment")
+    )
+
+
+def urgent_orders_by_nation(sf_dir: str):
+    """orders ⨝ customer ⨝ nation (two broadcast lookups) with the row
+    filter pushed before the join; urgent orders per nation."""
+    import ray
+    from ray.data.aggregate import Count
+
+    c_map, n_map = {}, {}
+    for ref in _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"]).to_arrow_refs():
+        t = ray.get(ref)
+        c_map.update(zip(t.column("c_custkey").to_pylist(),
+                         t.column("c_nationkey").to_pylist()))
+    for ref in _read(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_arrow_refs():
+        t = ray.get(ref)
+        n_map.update(zip(t.column("n_nationkey").to_pylist(),
+                         t.column("n_name").to_pylist()))
+    lookup_ref = ray.put((c_map, n_map))
+
+    def attach(t: pa.Table) -> pa.Table:
+        mask = pc.starts_with(t.column("o_orderpriority"), "1-")
+        t = t.filter(mask)
+        c_m, n_m = ray.get(lookup_ref)
+        names = [n_m.get(c_m.get(k)) for k in t.column("o_custkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string())})
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(attach, batch_format="pyarrow", **remote_kwargs())
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_urgent"))
+        .sort("n_name")
+    )
+
+
+def _events_cents(sf_dir: str, extra_cols=()):
+    def derive(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in extra_cols}
+        cols["value_cents"] = _cents(t.column("value"))
+        return pa.table(cols)
+
+    return (
+        _read(sf_dir, "events", columns=list(extra_cols) + ["value"])
+        .map_batches(derive, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+def events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        _events_cents(sf_dir, ("event_type",))
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+            Min("value_cents", alias_name="min_value_cents"),
+            Max("value_cents", alias_name="max_value_cents"),
+        )
+        .sort("event_type")
+    )
+
+
+def top_users(sf_dir: str, k: int = 10):
+    """Top-k users by total event value; integer sums make the ordering
+    exact, ties pinned by ascending user_id."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _events_cents(sf_dir, ("user_id",))
+        .groupby("user_id")
+        .aggregate(Sum("value_cents", alias_name="total_value_cents"),
+                   Count(alias_name="n_events"))
+        .sort(["total_value_cents", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event type — the streaming-
+    style operator the reference lacks, expressed as map_batches (window
+    assignment is embarrassingly parallel) + groupby (SURVEY.md §2.9)."""
+    from ray.data.aggregate import Count, Sum
+
+    def window(t: pa.Table) -> pa.Table:
+        floored = pc.floor_temporal(t.column("ts"), unit="hour")
+        # ISO string → no timestamp-unit ambiguity across engines
+        # (pyarrow %S appends fractional seconds → slice to 19 chars)
+        iso = pc.utf8_slice_codeunits(
+            pc.strftime(floored, format="%Y-%m-%d %H:%M:%S"), 0, 19
+        )
+        return pa.table(
+            {
+                "window_start": iso,
+                "event_type": t.column("event_type"),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+        .map_batches(window, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"),
+                   Sum("value_cents", alias_name="sum_value_cents"))
+        .sort(["window_start", "event_type"])
+    )
+
+
+def props_k_stats(sf_dir: str):
+    """Scalar-function pipeline: regex-extract the JSON `k` field from the
+    props string (the expression-DSL EXTRACT pattern, SURVEY.md M3) and
+    aggregate by decade bucket."""
+    from ray.data.aggregate import Count, Sum
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(t.column("props"), pattern=r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        bucket = pc.multiply(
+            pc.divide(k, pa.scalar(10, pa.int64())), pa.scalar(10, pa.int64())
+        )
+        return pa.table(
+            {"k_bucket": bucket, "value_cents": _cents(t.column("value"))}
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["props", "value"])
+        .map_batches(extract, batch_format="pyarrow", **remote_kwargs())
+        .groupby("k_bucket")
+        .aggregate(Count(alias_name="n"),
+                   Sum("value_cents", alias_name="sum_value_cents"))
+        .sort("k_bucket")
+    )
+
+
+def part_brand_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "price_cents": _cents(t.column("p_retailprice")),
+                "p_size": pc.cast(t.column("p_size"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+        .map_batches(derive, batch_format="pyarrow", **remote_kwargs())
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("p_size", alias_name="sum_size"),
+        )
+        .sort("p_brand")
+    )

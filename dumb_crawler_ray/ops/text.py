@@ -1,0 +1,202 @@
+"""Text-analysis operators over the `documents` table (training-data
+pipeline components: token counting, quality scoring, language ID,
+fingerprinting). All vectorized `map_batches(batch_format="pyarrow", **remote_kwargs())`
+stages using `pyarrow.compute` regex kernels — no per-row Python in the
+hot path except where a kernel genuinely doesn't exist."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..rayutil import remote_kwargs
+import pyarrow.compute as pc
+
+TOKEN_REGEX = r"[A-Za-z0-9]+"
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "por"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "que"},
+}
+
+
+def _docs(sf_dir: str, columns):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def normalize_expr(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """lower + collapse whitespace + trim — shared with the SQL oracle."""
+    lowered = pc.utf8_lower(text_col)
+    collapsed = pc.replace_substring_regex(lowered, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(collapsed)
+
+
+def token_counts(sf_dir: str):
+    """doc_id, n_chars, n_tokens (regex word split) — SQL-checkable."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(text, pattern=TOKEN_REGEX), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+
+
+def text_quality(sf_dir: str):
+    """Quality-scoring features: length, token count, punctuation count,
+    mean token length, short-doc flag. Column-for-column SQL parity."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, pattern=TOKEN_REGEX), pa.int64()
+        )
+        stripped = pc.replace_substring_regex(
+            text, pattern=r"[A-Za-z0-9\s]", replacement=""
+        )
+        n_punct = pc.cast(pc.utf8_length(stripped), pa.int64())
+        # integer numerator instead of a mean: exact across engines (a
+        # rounded ratio can land on a .xxxx5 boundary where round modes
+        # disagree — e.g. 137/32)
+        n_token_chars = pc.cast(
+            pc.utf8_length(
+                pc.replace_substring_regex(text, pattern=r"[^A-Za-z0-9]", replacement="")
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "n_token_chars": n_token_chars,
+                "is_short": pc.less(n_chars, 100),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+
+
+def doc_fingerprint(sf_dir: str):
+    """Document fingerprint = md5 of the normalized text (exact-dedup key);
+    oracle parity via DuckDB's md5()."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_expr(t.column("text")).to_pylist()
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+
+
+class LangIdWorker:
+    """Stateful language-ID stage: stopword profiles compiled once per actor
+    (`__init__`), batches scored in `__call__` — the actor-pool pattern for
+    model-ish stages. Heuristic: stopword hits per language + a CJK
+    codepoint test for zh. Not SQL-expressible → rows-only oracle."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in STOPWORDS.items()}
+        self.token_re = re.compile(TOKEN_REGEX)
+        self.cjk_re = re.compile(r"[一-鿿]")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for s in t.column("text").to_pylist():
+            if self.cjk_re.search(s):
+                preds.append("zh")
+                scores.append(1.0)
+                continue
+            toks = [w.lower() for w in self.token_re.findall(s)]
+            best_lang, best = "en", -1.0
+            for lang, stops in sorted(self.profiles.items()):
+                hits = sum(1 for w in toks if w in stops)
+                score = hits / max(1, len(toks))
+                if score > best:
+                    best, best_lang = score, lang
+            preds.append(best_lang)
+            scores.append(round(best, 4))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "lang_pred": pa.array(preds, pa.string()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str, concurrency: int = 2):
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangIdWorker, batch_format="pyarrow", concurrency=concurrency,
+        **remote_kwargs(),
+    )
+
+
+def rolling_fingerprints(text: str, window: int = 32, base: int = 257,
+                         mod: int = (1 << 61) - 1) -> list[int]:
+    """Rabin-Karp rolling hashes over character windows — the winnowing
+    primitive for content-defined chunk fingerprints."""
+    if len(text) < window:
+        return [polynomial_hash(text, base, mod)] if text else []
+    out = []
+    h = 0
+    power = pow(base, window - 1, mod)
+    data = text.encode("utf-8", errors="replace")
+    for i, c in enumerate(data):
+        h = (h * base + c) % mod
+        if i >= window - 1:
+            out.append(h)
+            h = (h - data[i - window + 1] * power) % mod
+    return out
+
+
+def polynomial_hash(text: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    h = 0
+    for c in text.encode("utf-8", errors="replace"):
+        h = (h * base + c) % mod
+    return h
+
+
+def winnowed_fingerprints(sf_dir: str, window: int = 32, keep_every: int = 8):
+    """doc_id → winnowed set of rolling-hash fingerprints (min per stride) —
+    content-defined dedup signatures. Rows-only oracle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, s in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            hs = rolling_fingerprints(s, window)
+            picked = sorted(
+                {min(hs[i:i + keep_every]) for i in range(0, len(hs), keep_every)}
+            ) if hs else []
+            ids.append(doc_id)
+            fps.append([int(h % (1 << 62)) for h in picked])
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "fingerprints": pa.array(fps, pa.list_(pa.int64()))}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())

@@ -44,22 +44,11 @@ import pyarrow.parquet as pq
 from ..config import JobConfig
 from ..functions.urlhash import hash64_batch
 from ..sources.synthweb import domains_for
+from ..rayutil import remote_kwargs
 from ..state.bloom import BloomFilter
 from ..state.frontier import make_frontier_actor, shard_of_batch
 from ..stages.fetch import FetchWorker
 from . import semantics as S
-
-
-def _pkg_runtime_env() -> dict:
-    """Make the package importable in Ray worker processes regardless of the
-    driver's cwd — the driver may have put it on sys.path manually, which
-    workers do not inherit."""
-    import dumb_crawler_ray
-
-    parent = os.path.dirname(os.path.dirname(os.path.abspath(dumb_crawler_ray.__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    path = parent if not existing else f"{parent}{os.pathsep}{existing}"
-    return {"env_vars": {"PYTHONPATH": path}}
 
 
 @dataclass
@@ -119,7 +108,7 @@ class CrawlPipeline:
     # ------------------------------------------------------------- setup
 
     def _start_shards(self):
-        Actor = make_frontier_actor().options(runtime_env=_pkg_runtime_env())
+        Actor = make_frontier_actor().options(**remote_kwargs())
         self.shards = [
             Actor.remote(i, self.cfg.respect_robots) for i in range(self.n_shards)
         ]
@@ -285,7 +274,7 @@ class CrawlPipeline:
             batch_size=self.fetch_batch_size or step,
             concurrency=conc,
             fn_constructor_kwargs=self._worker_kwargs(),
-            runtime_env=_pkg_runtime_env(),
+            **remote_kwargs(),
         )
         tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
                   for b in out.iter_batches(batch_format="pyarrow", batch_size=None)]
@@ -297,7 +286,7 @@ class CrawlPipeline:
         if self._fetch_pool is None:
             conc = self.fetch_concurrency
             n = conc if isinstance(conc, int) else conc[1]
-            Actor = ray.remote(FetchWorker).options(runtime_env=_pkg_runtime_env())
+            Actor = ray.remote(FetchWorker).options(**remote_kwargs())
             self._fetch_pool = [Actor.remote(**self._worker_kwargs()) for _ in range(n)]
         pool = self._fetch_pool
         n_chunks = min(len(selection), len(pool) * 2) or 1

@@ -1,0 +1,36 @@
+"""Ray worker-environment helpers shared by all pipeline stages."""
+
+from __future__ import annotations
+
+import os
+
+
+def pkg_parent_dir() -> str:
+    import dumb_crawler_ray
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(dumb_crawler_ray.__file__)))
+
+
+def _workers_can_import() -> bool:
+    """True when Ray workers will already find the package: its parent dir
+    is the current working directory (workers inherit cwd in local mode) or
+    is on the inherited PYTHONPATH."""
+    parent = pkg_parent_dir()
+    if os.path.abspath(os.getcwd()) == parent:
+        return True
+    return parent in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+def remote_kwargs() -> dict:
+    """kwargs to splice into map_batches(...)/ray.remote(...).options(...)
+    so workers can import this package even when the driver put it on
+    sys.path manually (driver-local sys.path does NOT propagate to
+    workers). Empty when workers can already import it — a runtime_env
+    forces dedicated worker processes, which is per-stage startup cost we
+    skip when unnecessary."""
+    if _workers_can_import():
+        return {}
+    parent = pkg_parent_dir()
+    existing = os.environ.get("PYTHONPATH", "")
+    path = parent if not existing else f"{parent}{os.pathsep}{existing}"
+    return {"runtime_env": {"env_vars": {"PYTHONPATH": path}}}

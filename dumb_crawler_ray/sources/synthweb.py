@@ -69,18 +69,35 @@ def image_id(idx: int) -> str:
 def source_pixels(seed: int, idx: int) -> np.ndarray:
     """The ground-truth pixel array (h, w, 3) uint8 for image idx.
 
-    Smooth gradient base + seeded noise: compresses like a real photo
-    (unlike pure noise) and makes the lossy-PSNR invariant meaningful.
+    Smooth per-image sinusoidal pattern + seeded noise: compresses like a
+    real photo (unlike pure noise), keeps the lossy-PSNR invariant
+    meaningful, and gives every image a DISTINCT perceptual hash (a shared
+    base gradient would make every phash collide). Every 16th image is a
+    lightly-noised copy of its predecessor — planted near-duplicates so
+    phash/near-dup operators have true positives to find.
     """
     w, h = image_dims(idx)
+    if idx % 16 == 15:  # planted near-dup of idx-1 (same dims: idx%3 differs!)
+        base = source_pixels(seed, idx - 1)
+        rng = _rng(seed, idx, 3)
+        noisy = base.astype(np.int16) + rng.integers(-6, 7, size=base.shape)
+        # resize to this idx's own dims via nearest-neighbor index mapping
+        ys = (np.arange(h) * base.shape[0]) // h
+        xs = (np.arange(w) * base.shape[1]) // w
+        return np.clip(noisy[np.ix_(ys, xs)], 0, 255).astype(np.uint8)
     rng = _rng(seed, idx, 3)
-    gy = np.linspace(0, 255, h)[:, None]
-    gx = np.linspace(0, 255, w)[None, :]
-    base = np.stack(
-        [(gy + gx) / 2.0, np.abs(gy - gx), (255 - gy + gx) / 2.0], axis=2
-    )
-    noise = rng.integers(0, 32, size=(h, w, 3))
-    return np.clip(base + noise - 16, 0, 255).astype(np.uint8)
+    fx = rng.uniform(0.5, 4.0, size=3)
+    fy = rng.uniform(0.5, 4.0, size=3)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    yy = np.arange(h)[:, None] / h
+    xx = np.arange(w)[None, :] / w
+    chans = [
+        127.5 + 90.0 * np.sin(2 * np.pi * (fx[c] * xx + fy[c] * yy) + phase[c])
+        for c in range(3)
+    ]
+    base = np.stack(chans, axis=2)
+    noise = rng.integers(-12, 13, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
 def source_caption(seed: int, idx: int) -> str:
@@ -321,7 +338,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
     ``out_dir`` (idempotent — skips when the meta file already matches)."""
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 4}
+    want = {"seed": seed, "scale": scale, "version": 5}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..rayutil import remote_kwargs
+
 
 def flatten_candidates(result_rows: list[dict]) -> dict:
     """Explode per-page cand_* lists into flat columns with a global
@@ -76,7 +78,7 @@ def dedup_candidates_dataset(cand: dict) -> dict:
     ds = ray.data.from_arrow(t)
     out = (
         ds.groupby("url_hash")
-        .map_groups(first_by_seq, batch_format="pyarrow")
+        .map_groups(first_by_seq, batch_format="pyarrow", **remote_kwargs())
         .sort("seq")
     )
     merged = pa.concat_tables(

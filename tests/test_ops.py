@@ -1,0 +1,212 @@
+"""Ops suite: every SQL-checkable query must match its DuckDB oracle at
+sf0.001 (the driver runs the same comparison at sf0.01); non-SQL ops get
+semantic checks (recall, determinism, invariants)."""
+
+import logging
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == np.float32:
+            df[c] = df[c].astype(np.float64)
+        if str(df[c].dtype) in ("int32", "uint32", "int16", "uint64"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(name, ray_result, sql, sf_dir=SF):
+    got = normalize(to_df(ray_result))
+    want = normalize(run_oracle(sql, sf_dir))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    from dumb_crawler_ray.ops.registry import build_registry
+
+    return build_registry()
+
+
+SQL_CHECKED = [
+    "lineitem_pricing_summary", "orders_by_segment", "urgent_orders_by_nation",
+    "events_by_type", "top_users_by_value", "events_hourly_window",
+    "props_k_stats", "part_brand_stats", "doc_token_counts",
+    "doc_quality_scores", "doc_fingerprints", "dedup_exact",
+    "ann_bruteforce_topk",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_parity(registry, name):
+    fn, sql = registry[name]
+    assert sql is not None
+    compare(name, fn(SF), sql)
+
+
+def test_simhash_locality(registry, ray_session):
+    from dumb_crawler_ray.ops.dedup import simhash64
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a + " extra"
+    far = "completely different words everywhere nothing shared at all here"
+    h = lambda x, y: bin((simhash64(x) ^ simhash64(y)) & (2**64 - 1)).count("1")
+    assert h(a, b) < h(a, far)
+    fn, _ = registry["simhash_signatures"]
+    df = to_df(fn(SF))
+    assert len(df) == 500 and df["simhash"].dtype == np.int64
+
+
+def test_minhash_finds_near_dups_and_is_exactly_verified(ray_session):
+    """Plant a near-duplicate and check the minhash+LSH pipeline finds it
+    with an exact jaccard attached."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.dedup import minhash_near_dup_pairs, ngram_jaccard
+
+    base = pq.read_table(f"{SF}/documents.parquet")
+    texts = base.column("text").to_pylist()
+    ids = base.column("doc_id").to_pylist()
+    near = texts[0].replace(" ", " ", 1) + " tail token"
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(ids + [99999], pa.int64()),
+            "text": pa.array(texts + [near], pa.string()),
+        }
+    )
+    pq.write_table(t2, os.path.join(d, "documents.parquet"))
+    pairs = minhash_near_dup_pairs(d, threshold=0.5).to_pylist()
+    planted = [p for p in pairs if p["a"] == ids[0] and p["b"] == 99999]
+    assert planted, f"planted near-dup not found in {len(pairs)} pairs"
+    assert planted[0]["jaccard"] == round(ngram_jaccard(texts[0], near), 4)
+
+
+def test_ann_ivf_recall_vs_bruteforce(registry, ray_session):
+    bf = to_df(registry["ann_bruteforce_topk"][0](SF))
+    ivf = to_df(registry["ann_ivf_topk"][0](SF))
+    recall_num = recall_den = 0
+    for qid in bf["query_id"].unique():
+        truth = set(bf[bf.query_id == qid]["neighbor_id"])
+        got = set(ivf[ivf.query_id == qid]["neighbor_id"])
+        recall_num += len(truth & got)
+        recall_den += len(truth)
+    recall = recall_num / recall_den
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_embedding_near_dups_deterministic(registry, ray_session):
+    fn, _ = registry["embedding_near_dup_pairs"]
+    a = to_df(fn(SF))
+    b = to_df(fn(SF))
+    pd.testing.assert_frame_equal(a, b)
+    # all reported cosines respect the threshold
+    assert (a["cosine"] >= 0.95).all() if len(a) else True
+
+
+def test_lang_id_heuristic_on_real_language(ray_session):
+    """The sf `lang` column is a label over English-vocab word salad (no
+    actual language signal), so accuracy is validated on constructed
+    multilingual samples instead; the sf run just checks plumbing."""
+    import pyarrow as pa
+
+    from dumb_crawler_ray.ops.text import LangIdWorker
+
+    w = LangIdWorker()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "lang": pa.array(["es", "de", "fr", "zh", "en"], pa.string()),
+            "text": pa.array(
+                [
+                    "el perro corre por la calle y los gatos se van de la casa",
+                    "der hund läuft und die katze ist mit dem mann in das haus",
+                    "le chien du village et les chats de la maison en hiver",
+                    "这是一个中文句子 with some latin",
+                    "the cat sat on the mat and it is that for a reason",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = w(t).to_pylist()
+    assert [r["lang_pred"] for r in out] == ["es", "de", "fr", "zh", "en"]
+
+
+def test_lang_id_runs_on_sf(registry, ray_session):
+    df = to_df(registry["lang_id"][0](SF))
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "lang", "lang_pred", "score"}
+
+
+def test_image_ops(registry, ray_session):
+    stats = to_df(registry["image_decode_stats"][0](SF))
+    assert len(stats) == 64 * 4
+    assert stats["mean_pixel"].between(0, 255).all()
+    meta = to_df(registry["image_resize_meta"][0](SF))
+    assert (meta["w"] == 16).all() and (meta["h"] == 16).all()
+    dups = to_df(registry["image_phash_near_dups"][0](SF))
+    assert (dups["hamming"] <= 8).all() if len(dups) else True
+
+
+def test_crawl_views(registry, ray_session):
+    order = to_df(registry["crawl_order"][0](SF))
+    seen = to_df(registry["crawl_seen_set"][0](SF))
+    counters = to_df(registry["crawl_counters"][0](SF))
+    assert len(order) > 50
+    assert len(seen) >= len(order)
+    assert set(counters.columns) == {"counter", "value"}
+    # memoized: second call returns identical data
+    order2 = to_df(registry["crawl_order"][0](SF))
+    pd.testing.assert_frame_equal(order, order2)
+
+
+def test_winnowed_fingerprints(registry, ray_session):
+    df = to_df(registry["winnowed_fingerprints"][0](SF))
+    assert len(df) == 500
+    assert df["fingerprints"].map(len).min() >= 1
