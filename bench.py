@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metrics.
+
+Headline: crawl throughput (URLs fetched+deduped/sec) over the synthetic
+web (BASELINE.json metric), with the per-row image PSNR/caption validation
+enabled. Fetch latency is modeled with a fixed simulated RTT per URL
+(DCR_BENCH_RTT_MS, default 15 ms) because a crawler's wall-clock is
+network-latency-bound; all parsing/tagging/dedup/validation compute is
+real. Plus per-query timings for the Ray Data operator suite over
+$GRAFT_SF_DIR.
+
+--scaling: runs the SAME crawl job in fresh processes at num_cpus=8 and
+num_cpus=32 (the sandbox stand-in for N vs 4N nodes) and reports both
+throughputs and the scaling efficiency tp_4N / (4 × tp_N). Also runs a
+compute-bound Ray Data scaling probe (image decode+stats over the image
+table) at both sizes. Results land in BENCH/BASELINE.md.
+
+Usage:
+  python bench.py                # headline JSON line
+  python bench.py --scaling     # N vs 4N runs + efficiency report
+  python bench.py --crawl-only  # crawl metric only (used by --scaling)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+RTT_MS = float(os.environ.get("DCR_BENCH_RTT_MS", "15"))
+BENCH_SCALE = int(os.environ.get("DCR_BENCH_SCALE", "256"))
+SCALING_SCALE = int(os.environ.get("DCR_SCALING_SCALE", "1024"))
+BENCH_K = int(os.environ.get("DCR_BENCH_K", "2048"))
+FIXTURE_DIR = f"/tmp/dcr_fixtures/bench_sf{BENCH_SCALE}"
+
+BENCH_CONFIG_OVERRIDES = {
+    # throughput shape: few large BSP rounds, politeness cap off
+    "scheduler": {"batchSize": BENCH_K},
+    "politeness": {"delay_ms": 0, "max_per_domain_per_round": 0},
+}
+
+
+def _ray_init(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_crawl(num_cpus: int) -> dict:
+    from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+    from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG, write_fixture
+
+    fix = write_fixture(FIXTURE_DIR, seed=42, scale=BENCH_SCALE)
+    cfg = json.loads(json.dumps(DEFAULT_CONFIG))
+    cfg.update(BENCH_CONFIG_OVERRIDES)
+    # actor pool strictly proportional to cluster size so N vs 4N compares
+    # like-for-like (4× the fetch slots at 4× the CPUs)
+    conc = max(2, (num_cpus * 3) // 4)
+    t0 = time.time()
+    res = CrawlPipeline(
+        fix, cfg, seed=42, scale=BENCH_SCALE, n_shards=8,
+        fetch_concurrency=conc, fetch_delay_s=RTT_MS / 1000.0,
+    ).run()
+    wall = time.time() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "urls_fetched": len(res.crawl_order),
+        "urls_discovered": res.counters.get("DISCOVERED_URLS", 0),
+        "pages_saved": res.counters.get("SAVED_PAGES", 0),
+        "images_validated": res.counters.get("SAVED_IMAGES", 0),
+        "rounds": res.rounds,
+        "urls_per_sec": round(len(res.crawl_order) / wall, 1),
+        "fetch_concurrency": conc,
+        "rtt_ms": RTT_MS,
+    }
+
+
+def run_compute_probe(num_cpus: int) -> dict:
+    """Compute-bound Ray Data scaling probe: decode + stats + resize over
+    every image in the bench fixture (pure CPU, no sleeps)."""
+    from dumb_crawler_ray.ops.multimodal import decode_stats
+    from dumb_crawler_ray.sources.synthweb import write_fixture
+
+    fix = write_fixture(FIXTURE_DIR, seed=42, scale=BENCH_SCALE)
+    conc = max(2, num_cpus - 2)
+    t0 = time.time()
+    ds = decode_stats(f"{fix}/images.parquet", concurrency=conc, batch_size=32)
+    n = sum(len(b) for b in ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    wall = time.time() - t0
+    return {"wall_s": round(wall, 3), "images": int(n),
+            "images_per_sec": round(n / wall, 1), "concurrency": conc}
+
+
+def run_queries() -> dict:
+    """Per-query wall times for the operator suite over $GRAFT_SF_DIR."""
+    from dumb_crawler_ray.ops import ann, dedup, multimodal, relational, text
+    from dumb_crawler_ray.sources.synthweb import write_fixture
+
+    fix = write_fixture(FIXTURE_DIR, seed=42, scale=BENCH_SCALE)
+
+    def consume(result):
+        if hasattr(result, "iter_batches"):
+            return sum(len(b) for b in result.iter_batches(
+                batch_format="pyarrow", batch_size=None))
+        return result.num_rows
+
+    timings = {}
+    suite = {
+        "lineitem_pricing_summary": lambda: relational.lineitem_agg(SF_DIR),
+        "events_hourly_window": lambda: relational.events_hourly_window(SF_DIR),
+        "top_users_by_value": lambda: relational.top_users(SF_DIR),
+        "orders_by_segment": lambda: relational.orders_by_segment(SF_DIR),
+        "doc_fingerprints": lambda: text.doc_fingerprint(SF_DIR),
+        "dedup_exact": lambda: dedup.dedup_exact(SF_DIR),
+        "minhash_near_dup_pairs": lambda: dedup.minhash_near_dup_pairs(SF_DIR),
+        "simhash_signatures": lambda: dedup.simhash_signatures(SF_DIR),
+        "ann_bruteforce_topk": lambda: ann.ann_bruteforce(SF_DIR),
+        "embedding_near_dup_pairs": lambda: dedup.embedding_near_dup_pairs(SF_DIR),
+        "image_decode_stats": lambda: multimodal.decode_stats(
+            f"{fix}/images.parquet", concurrency=max(2, NUM_CPUS - 2)),
+    }
+    for name, fn in suite.items():
+        t0 = time.time()
+        consume(fn())
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main_headline() -> dict:
+    _ray_init(NUM_CPUS)
+    crawl = run_crawl(NUM_CPUS)
+    queries = run_queries()
+    queries["crawl"] = crawl["wall_s"]
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "crawl throughput (URLs fetched+deduped/sec) + operator suite wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": crawl["urls_per_sec"],
+        "crawl_detail": crawl,
+    }
+
+
+def main_scaling() -> dict:
+    # scaling runs use a larger web + batch so steady-state fetch work
+    # dominates the constant startup/ramp costs; warm the fixture cache
+    # once so neither subprocess pays generation
+    from dumb_crawler_ray.sources.synthweb import write_fixture
+
+    scaling_fixture = f"/tmp/dcr_fixtures/bench_sf{SCALING_SCALE}"
+    write_fixture(scaling_fixture, seed=42, scale=SCALING_SCALE)
+    out = {}
+    for label, cpus in (("N", 8), ("4N", 32)):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   DCR_BENCH_SCALE=str(SCALING_SCALE), DCR_BENCH_K="4096")
+        proc = subprocess.run(
+            [sys.executable, __file__, "--crawl-only"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),
+            timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out[label] = json.loads(line)
+        out[label]["num_cpus"] = cpus
+        # compute-bound probe in its own fresh process too
+        proc2 = subprocess.run(
+            [sys.executable, __file__, "--compute-probe"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),
+            timeout=1800,
+        )
+        out[label]["compute_probe"] = json.loads(proc2.stdout.strip().splitlines()[-1])
+    tp_n, tp_4n = out["N"]["urls_per_sec"], out["4N"]["urls_per_sec"]
+    eff = tp_4n / (4 * tp_n) if tp_n else 0.0
+    cp_n = out["N"]["compute_probe"]["images_per_sec"]
+    cp_4n = out["4N"]["compute_probe"]["images_per_sec"]
+    cp_eff = cp_4n / (4 * cp_n) if cp_n else 0.0
+    report = {
+        "metric": "crawl scaling efficiency (4N vs N CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_N": tp_n,
+        "throughput_4N": tp_4n,
+        "compute_probe_eff": round(cp_eff, 3),
+        "compute_probe_N": cp_n,
+        "compute_probe_4N": cp_4n,
+        "detail": out,
+    }
+    _write_bench_md(report)
+    return report
+
+
+def _write_bench_md(report: dict) -> None:
+    os.makedirs(os.path.join(os.path.dirname(__file__) or ".", "BENCH"),
+                exist_ok=True)
+    path = os.path.join(os.path.dirname(__file__) or ".", "BENCH", "BASELINE.md")
+    n, f4 = report["detail"]["N"], report["detail"]["4N"]
+    with open(path, "w") as fh:
+        fh.write(f"""# BENCH — measured scaling (sandbox N vs 4N CPUs)
+
+Same crawl job (synthetic web scale={SCALING_SCALE}, simulated fetch RTT
+{RTT_MS} ms, full per-row image PSNR/caption validation) run in fresh
+processes via `python bench.py --scaling`:
+
+| cluster size | num_cpus | fetch actors | URLs fetched | wall (s) | URLs/s |
+|---|---|---|---|---|---|
+| N  | {n['num_cpus']} | {n['fetch_concurrency']} | {n['urls_fetched']} | {n['wall_s']} | {n['urls_per_sec']} |
+| 4N | {f4['num_cpus']} | {f4['fetch_concurrency']} | {f4['urls_fetched']} | {f4['wall_s']} | {f4['urls_per_sec']} |
+
+**Crawl scaling efficiency (tp_4N / 4·tp_N): {report['value']}**
+
+Compute-bound Ray Data probe (image decode+stats actor pool, no sleeps):
+N = {report['compute_probe_N']} images/s, 4N = {report['compute_probe_4N']}
+images/s → efficiency {report['compute_probe_eff']}.
+
+Reference baseline: the original publishes no numbers; its design ceiling
+is `threadCount / fetch_latency` ≈ single-digit URLs/s at default
+threadCount=3 (BASELINE.md). Identical crawl order and URL-seen set vs the
+oracle are enforced by the conformance suite at any parallelism.
+""")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "--crawl-only":
+        _ray_init(NUM_CPUS)
+        print(json.dumps(run_crawl(NUM_CPUS)))
+    elif mode == "--compute-probe":
+        _ray_init(NUM_CPUS)
+        print(json.dumps(run_compute_probe(NUM_CPUS)))
+    elif mode == "--scaling":
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_headline()))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

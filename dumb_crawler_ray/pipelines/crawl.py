@@ -280,14 +280,19 @@ class CrawlPipeline:
                   for b in out.iter_batches(batch_format="pyarrow", batch_size=None)]
         return pa.concat_tables(tables)
 
-    def _fetch_via_pool(self, selection: pa.Table) -> pa.Table:
+    def _ensure_fetch_pool(self):
         import ray
 
-        if self._fetch_pool is None:
+        if self._fetch_pool is None and self.fetch_mode == "actors":
             conc = self.fetch_concurrency
             n = conc if isinstance(conc, int) else conc[1]
             Actor = ray.remote(FetchWorker).options(**remote_kwargs())
             self._fetch_pool = [Actor.remote(**self._worker_kwargs()) for _ in range(n)]
+
+    def _fetch_via_pool(self, selection: pa.Table) -> pa.Table:
+        import ray
+
+        self._ensure_fetch_pool()
         pool = self._fetch_pool
         n_chunks = min(len(selection), len(pool) * 2) or 1
         step = -(-len(selection) // n_chunks)
@@ -310,7 +315,13 @@ class CrawlPipeline:
         }
         cand = {"url": [], "url_hash": [], "domain": [], "tags": [], "priority": []}
         order_rows = []
-        for r in rows:
+        # shard routing computed ONCE for the whole batch (per-row md5
+        # hashing in the loop was the driver hot spot at large K)
+        all_sids = self._route(
+            [self.comp.domain_of(u) for u in result.column("url").to_pylist()],
+            result.column("url_hash").to_pylist(),
+        )
+        for r, sid_pre in zip(rows, all_sids):
             if r["schedule_allowed"]:
                 self.counters["ALLOWED_LINKS"] += 1
             else:
@@ -353,10 +364,7 @@ class CrawlPipeline:
                         self.counters["IMAGE_VALIDATION_ERRORS"] += r["image_errors"]
                 else:
                     self.counters["UNSAVED_PAGES"] += 1
-            sid = int(
-                self._route([self.comp.domain_of(r["url"])], [r["url_hash"]])[0]
-            )
-            c = completes[sid]
+            c = completes[int(sid_pre)]
             c["url_hash"].append(r["url_hash"])
             c["status"].append(status)
             c["error"].append(r["error"])
@@ -552,6 +560,7 @@ class CrawlPipeline:
         import ray
 
         self._start_shards()
+        self._ensure_fetch_pool()  # overlap actor startup with the ramp rounds
         restored = False
         if self.resume and self.ckpt_dir:
             restored = self._ckpt_restore()

