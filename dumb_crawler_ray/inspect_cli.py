@@ -1,0 +1,97 @@
+"""Checkpoint/table inspector — `python -m dumb_crawler_ray.inspect_cli`.
+
+The rebuild of the reference's WarcViewer (J/WarcViewer.java:20-223): list
+what a crawl checkpoint stored, list URLs, dump one stored page's HTML.
+Columnar tables replace loose WARC files, so "list files" becomes "list
+round fragments" and the url_index lookup becomes a parquet filter.
+
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir>                # summary
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> urls [round]   # stored URLs
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> page <url_hash> [out.html]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pyarrow.dataset as pads
+
+
+def _tbl(ckpt_dir: str, name: str):
+    path = os.path.join(ckpt_dir, name)
+    if not os.path.isdir(path):
+        return None
+    return pads.dataset(path, format="parquet")
+
+
+def summary(ckpt_dir: str) -> None:
+    mpath = os.path.join(ckpt_dir, "manifest.json")
+    if os.path.exists(mpath):
+        m = json.load(open(mpath))
+        print(f"committed round : {m['round']}")
+        print(f"seed/scale      : {m['seed']}/{m['scale']}  shards: {m['n_shards']}")
+        for k in sorted(m["counters"]):
+            print(f"  {k:<28} {m['counters'][k]}")
+    for name in ("pages", "images", "frontier_inserts", "frontier_updates", "order"):
+        ds = _tbl(ckpt_dir, name)
+        if ds is not None:
+            print(f"{name:<17} {ds.count_rows()} rows, {len(ds.files)} fragments")
+
+
+def list_urls(ckpt_dir: str, rnd: int | None) -> None:
+    ds = _tbl(ckpt_dir, "pages")
+    if ds is None:
+        print("no pages table")
+        return
+    flt = (pads.field("round") == rnd) if rnd is not None else None
+    t = ds.to_table(columns=["round", "rank", "url_hash", "url"], filter=flt)
+    t = t.sort_by([("round", "ascending"), ("rank", "ascending")])
+    for r in t.to_pylist():
+        print(f"r{r['round']:>4} #{r['rank']:<5} {r['url_hash']}  {r['url']}")
+
+
+def dump_page(ckpt_dir: str, url_hash: str, out: str | None) -> int:
+    ds = _tbl(ckpt_dir, "pages")
+    if ds is None:
+        print("no pages table")
+        return 1
+    t = ds.to_table(filter=pads.field("url_hash") == url_hash)
+    if len(t) == 0:
+        print(f"{url_hash}: not stored")
+        return 1
+    t = t.sort_by([("round", "descending")])  # latest version wins
+    html = t.column("html")[0].as_py()
+    if out:
+        with open(out, "w") as fh:
+            fh.write(html)
+        print(f"wrote {len(html)} chars to {out}")
+    else:
+        print(html)
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    if not argv:
+        print(__doc__)
+        return 2
+    ckpt = argv[0]
+    cmd = argv[1] if len(argv) > 1 else "summary"
+    if cmd == "summary":
+        summary(ckpt)
+    elif cmd == "urls":
+        list_urls(ckpt, int(argv[2]) if len(argv) > 2 else None)
+    elif cmd == "page":
+        return dump_page(ckpt, argv[2], argv[3] if len(argv) > 3 else None)
+    else:
+        print(__doc__)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main(sys.argv[1:]))
+    except BrokenPipeError:  # piped into head etc.
+        raise SystemExit(0)

@@ -20,15 +20,16 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..rayutil import remote_kwargs
 
 from .text import TOKEN_REGEX, normalize_expr
 
+SIM_DECIMALS = 4  # matches ops.ann — rounding kills float value-hash noise
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
@@ -90,22 +91,26 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 
 
 class _MinHasher:
-    """64 universal-hash permutations h_i(x) = (a_i·x + b_i) mod p."""
+    """64 universal-hash permutations h_i(x) = (a_i·x + b_i) mod p.
+
+    Fully vectorized in uint64: a,b,x < 2^32 so a·x + b < 2^64 never
+    wraps and the mod is exact — one (n_perm, n_shingles) broadcast +
+    min per doc instead of a Python loop over permutations."""
 
     def __init__(self, seed: int = 1234):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(object)
+        self.a = rng.integers(1, 1 << 32, size=N_PERM, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 32, size=N_PERM, dtype=np.uint64)
 
     def signature(self, shingle_set: set[str]) -> np.ndarray:
         if not shingle_set:
             return np.full(N_PERM, _MERSENNE, dtype=np.int64)
-        xs = np.array([_stable64(s) % _MERSENNE for s in shingle_set], dtype=object)
-        # (n_perm, n_shingles) via object ints to avoid overflow, then min
-        sig = np.empty(N_PERM, dtype=np.int64)
-        for i in range(N_PERM):
-            sig[i] = int(((self.a[i] * xs + self.b[i]) % _MERSENNE).min())
-        return sig
+        xs = np.fromiter(
+            (_stable64(s) & 0xFFFFFFFF for s in shingle_set),
+            dtype=np.uint64, count=len(shingle_set),
+        )
+        hashed = (self.a[:, None] * xs[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return hashed.min(axis=1).astype(np.int64)
 
 
 class MinHashWorker:
@@ -178,29 +183,29 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
             {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
         )
 
+    from ray.data.aggregate import Count
+
+    # candidate dedup stays distributed: groupby(a, b) collapses a pair
+    # found in several bands to one row (no driver-side set())
     cand = (
         sigs.map_batches(explode, batch_format="pyarrow", **remote_kwargs())
         .groupby("band_key")
         .map_groups(pairs_in_bucket, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
     )
-    cand_tbl = pa.concat_tables(
-        tb for tb in cand.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    pair_set = sorted(
-        set(zip(cand_tbl.column("a").to_pylist(), cand_tbl.column("b").to_pylist()))
-    )
-    if not pair_set:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
 
-    # exact verification — distribute pairs, broadcast the (small) text map
+    # exact verification: candidate pairs stream through map_batches; the
+    # doc→text map is broadcast ONCE via ray.put (small-side pattern). At
+    # 100 TB the broadcast side outgrows memory — the shuffle-join exact
+    # path for that regime is `ngram_jaccard_pairs` (inverted index, no
+    # broadcast); LSH+broadcast-verify is the fast path while texts fit.
     docs_tbl = pa.concat_tables(
         tb for tb in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
             batch_format="pyarrow", batch_size=None)
     )
-    text_map = dict(zip(docs_tbl.column("doc_id").to_pylist(),
-                        docs_tbl.column("text").to_pylist()))
-    text_ref = ray.put(text_map)
+    text_ref = ray.put(dict(zip(docs_tbl.column("doc_id").to_pylist(),
+                                docs_tbl.column("text").to_pylist())))
 
     def verify(t: pa.Table) -> pa.Table:
         tm = ray.get(text_ref)
@@ -220,17 +225,16 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
              "jaccard": pa.array(jac, pa.float64())}
         )
 
-    pair_tbl = pa.table(
-        {"a": pa.array([p[0] for p in pair_set], pa.int64()),
-         "b": pa.array([p[1] for p in pair_set], pa.int64())}
-    )
-    verified = ray.data.from_arrow(pair_tbl).map_batches(
-        verify, batch_format="pyarrow", **remote_kwargs()
-    )
+    verified = cand.map_batches(verify, batch_format="pyarrow", **remote_kwargs())
     out = pa.concat_tables(
         tb for tb in verified.iter_batches(batch_format="pyarrow", batch_size=None)
     )
-    return out.sort_by([("a", "ascending"), ("b", "ascending")])
+    if len(out) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return out.select(["a", "b", "jaccard"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -242,17 +246,19 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # ---------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (stable md5 token hashes)."""
+    """64-bit SimHash over word tokens (stable md5 token hashes).
+    Vectorized: one (n_tokens, 64) bit matrix per doc, not a per-token
+    numpy call."""
     import re
 
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in re.findall(TOKEN_REGEX, text.lower()):
-        h = _stable64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    val = 0
-    for i in range(63, -1, -1):
-        val = (val << 1) | (1 if acc[i] > 0 else 0)
+    toks = re.findall(TOKEN_REGEX, text.lower())
+    if not toks:
+        return 0
+    hs = np.fromiter((_stable64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint64)
+    val = int((out_bits << np.arange(64, dtype=np.uint64)).sum())
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
@@ -274,47 +280,171 @@ def simhash_signatures(sf_dir: str):
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
                              n_planes: int = 12, seed: int = 99):
-    """Random-hyperplane LSH buckets → in-bucket exact cosine. Pairs with
-    cosine ≥ threshold, plus multi-probe via 1-bit flips so near-boundary
-    pairs aren't lost. Deterministic; rows-only oracle."""
+    """Random-hyperplane LSH → in-bucket exact cosine, fully distributed:
+
+      map_batches  normalize + sign-code each vector, EXPLODE to its own
+                   bucket plus all 1-bit-flip probe buckets (catches pairs
+                   within code-hamming ≤ 2 — near-boundary pairs survive)
+      groupby(bucket).map_groups   pairwise cosine INSIDE a bucket only
+      groupby(a,b).aggregate(max)  dedupe pairs found in several buckets
+      sort(a,b)                    pinned output order
+
+    The explode ships each vector n_planes+1 times — the standard LSH
+    shuffle trade (bounded: (n_planes+1)·|table|); nothing ever
+    materializes on the driver. Deterministic; rows-only oracle."""
     import ray
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    tbl = pa.concat_tables(
-        tb for tb in emb.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    ids = np.asarray(tbl.column("vec_id").to_pylist())
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column(0)[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((mat.shape[1], n_planes))
-    codes = (mat @ planes > 0).astype(np.uint64)
-    keys = np.zeros(len(ids), dtype=np.uint64)
-    for j in range(n_planes):
-        keys = (keys << np.uint64(1)) | codes[:, j]
-    buckets: dict[int, list[int]] = defaultdict(list)
-    for i, k in enumerate(keys):
-        buckets[int(k)].append(i)
-        for f in range(n_planes):  # multi-probe: 1-bit neighborhoods
-            buckets[int(k) ^ (1 << f)].append(i)
-    pairs = set()
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        arr = np.asarray(sorted(set(members)))
-        sub = mat[arr] @ mat[arr].T
-        ii, jj = np.where(np.triu(sub, 1) >= threshold)
-        for x, y in zip(arr[ii], arr[jj]):
-            a, b = int(ids[x]), int(ids[y])
-            pairs.add((min(a, b), max(a, b), round(float(mat[x] @ mat[y]), 4)))
-    out = sorted(pairs)
-    return pa.table(
-        {
-            "a": pa.array([p[0] for p in out], pa.int64()),
-            "b": pa.array([p[1] for p in out], pa.int64()),
-            "cosine": pa.array([p[2] for p in out], pa.float64()),
-        }
+    planes_ref = ray.put(rng.standard_normal((dim, n_planes)))
+
+    def code_explode(t: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        ids = t.column("vec_id").to_numpy()
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = mat @ planes > 0
+        keys = np.zeros(len(ids), dtype=np.int64)
+        for j in range(n_planes):
+            keys = (keys << 1) | codes[:, j].astype(np.int64)
+        # bucket list per row: own key + every 1-bit flip
+        flips = keys[:, None] ^ (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+        all_keys = np.concatenate([keys[:, None], flips], axis=1).ravel()
+        rep = n_planes + 1
+        rep_ids = np.repeat(ids, rep)
+        rep_vecs = pa.array(
+            np.repeat(mat, rep, axis=0).tolist(), pa.list_(pa.float64())
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(all_keys, pa.int64()),
+                "vec_id": pa.array(rep_ids.astype(np.int64), pa.int64()),
+                "vec": rep_vecs,
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        mat = np.asarray(g.column("vec").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        sub = mat @ mat.T
+        ii, jj = np.where(np.triu(sub >= threshold, 1))
+        return pa.table(
+            {
+                "a": pa.array(ids[ii], pa.int64()),
+                "b": pa.array(ids[jj], pa.int64()),
+                "cosine": pa.array(
+                    np.round(sub[ii, jj], SIM_DECIMALS), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(code_explode, batch_format="pyarrow", **remote_kwargs())
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["a", "b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+        .sort(["a", "b"])
+    )
+
+
+# --------------------------------------------- exact n-gram Jaccard pairs
+
+def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
+                        threshold_den: int = 20, max_df: int = 0):
+    """EXACT n-gram (3-shingle) Jaccard similar-pairs via a distributed
+    inverted index — no signatures, no driver materialization:
+
+      map_batches   doc → distinct shingle hashes, exploded to
+                    (shingle, doc_id, n_doc) rows; n_doc rides along so
+                    union sizes need no later join
+      groupby(shingle).map_groups   docs sharing a shingle → candidate
+                    pair rows (a, b, n_a, n_b), one per shared shingle
+      groupby(a,b).aggregate        count = |A∩B| exactly
+      filter        den·inter ≥ num·union in INTEGER arithmetic (no float
+                    rounding boundary can disagree with the SQL oracle)
+
+    `max_df > 0` drops stop-shingles (document frequency > max_df) — the
+    scale knob that bounds the per-group pair blowup; 0 = exact (default,
+    what the SQL oracle computes). Output (a, b, inter, union_n) ints.
+    """
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh_col, id_col, n_col = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            hs = {_stable64(s) & ((1 << 63) - 1) for s in _shingles(text)}
+            for h in hs:
+                sh_col.append(h)
+                id_col.append(doc_id)
+                n_col.append(len(hs))
+        return pa.table(
+            {
+                "shingle": pa.array(sh_col, pa.int64()),
+                "doc_id": pa.array(id_col, pa.int64()),
+                "n_doc": pa.array(n_col, pa.int64()),
+            }
+        )
+
+    def pairs_for_shingle(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64())})
+        m = len(g)
+        if m < 2 or (max_df and m > max_df):
+            return empty
+        ids = np.asarray(g.column("doc_id").to_pylist(), dtype=np.int64)
+        ns = np.asarray(g.column("n_doc").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids, ns = ids[order], ns[order]
+        ii, jj = np.triu_indices(m, 1)
+        return pa.table(
+            {
+                "a": pa.array(ids[ii], pa.int64()),
+                "b": pa.array(ids[jj], pa.int64()),
+                "n_a": pa.array(ns[ii], pa.int64()),
+                "n_b": pa.array(ns[jj], pa.int64()),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        inter = t.column("inter")
+        union = pc.subtract(pc.add(t.column("n_a"), t.column("n_b")), inter)
+        keep = pc.greater_equal(
+            pc.multiply(inter, pa.scalar(threshold_den, pa.int64())),
+            pc.multiply(union, pa.scalar(threshold_num, pa.int64())),
+        )
+        out = pa.table(
+            {"a": t.column("a"), "b": t.column("b"),
+             "inter": inter, "union_n": union}
+        )
+        return out.filter(keep)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+        .groupby("shingle")
+        .map_groups(pairs_for_shingle, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"),
+                   Max("n_a", alias_name="n_a"), Max("n_b", alias_name="n_b"))
+        .map_batches(finalize, batch_format="pyarrow", **remote_kwargs())
+        .sort(["a", "b"])
     )

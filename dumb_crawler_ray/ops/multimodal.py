@@ -16,8 +16,6 @@ Stages:
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pyarrow as pa
 
@@ -76,14 +74,22 @@ def decode_stats(images_parquet: str, concurrency: int = 2,
 
 
 def block_mean_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Block-mean downscale, fully vectorized via np.add.reduceat (same
+    truncation semantics as per-block .mean() → uint8 assignment)."""
     h, w = arr.shape[:2]
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
-    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
-    for i in range(out_h):
-        for j in range(out_w):
-            out[i, j] = arr[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
-    return out
+    if h < out_h or w < out_w:  # degenerate upscale: per-block loop
+        out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+        for i in range(out_h):
+            for j in range(out_w):
+                out[i, j] = arr[ys[i]:ys[i + 1] or None,
+                                xs[j]:xs[j + 1] or None].mean(axis=(0, 1))
+        return out
+    row = np.add.reduceat(arr.astype(np.int64), ys[:-1], axis=0)
+    blk = np.add.reduceat(row, xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs))
+    return (blk / counts[..., None]).astype(np.uint8)
 
 
 class ResizeWorker:
@@ -124,36 +130,180 @@ def resize(images_parquet: str, out_w: int = 16, out_h: int = 16,
     )
 
 
-def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8):
-    """Near-duplicate image pairs by perceptual hash: block on 16-bit bands
-    of the phash (a pair within hamming ≤ 8 over 64 bits must agree exactly
-    on at least one of 4 bands when ≤ 3 bands are hit — with 8 flipped bits
-    spread across 4 bands, at least one band is often clean; multi-band
-    blocking keeps this a grouping problem, not all-pairs)."""
-    import pyarrow.parquet as pq
+class ImageFeaturesWorker:
+    """Full feature-extraction stage: decode → pixel stats → perceptual
+    hash → thumbnail resize, one decode per image feeding every feature.
+    This is the compute-dense shape of a real multimodal training-data
+    pipeline stage (model-ish CPU per byte), and the scaling probe in
+    bench.py."""
 
-    t = pq.read_table(images_parquet, columns=["image_id", "phash"])
-    ids = t.column("image_id").to_pylist()
-    hashes = np.asarray(t.column("phash").to_pylist(), dtype=np.int64).view(np.uint64)
-    buckets: dict[tuple, list[int]] = defaultdict(list)
-    for i, h in enumerate(hashes):
+    def __init__(self, thumb: int = 16):
+        self.thumb = thumb
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, means, stds, phs, thumbs = [], [], [], [], [], [], []
+        for iid, data in zip(t.column("image_id").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            arr = codec.decode(data)
+            ids.append(iid)
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            means.append(round(float(arr.mean()), 4))
+            stds.append(round(float(arr.std()), 4))
+            phs.append(codec.phash64(arr))
+            small = block_mean_resize(arr, self.thumb, self.thumb)
+            thumbs.append(small.tobytes())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "mean_pixel": pa.array(means, pa.float64()),
+                "std_pixel": pa.array(stds, pa.float64()),
+                "phash": pa.array(phs, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            }
+        )
+
+
+def image_features(images_parquet: str, concurrency: int = 2,
+                   batch_size: int = 256, thumb: int = 16):
+    """Actor-pool feature extraction. Size `concurrency` BELOW the CPU
+    count — the parquet read tasks need CPUs too; a pool that claims every
+    CPU starves its own input (measured 2.5× slower at concurrency=30/32
+    than 14/32)."""
+    import ray
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes"]
+    ).map_batches(
+        ImageFeaturesWorker,
+        batch_format="pyarrow",
+        **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"thumb": thumb},
+    )
+
+
+class ImageEmbedWorker:
+    """Batched image → embedding via a fixed linear projection — the
+    actor-pool shape of vision-model inference: weights load ONCE per
+    actor (`__init__`), every batch is one matmul (`__call__`). Swap the
+    random projection for a real model when a vision library is available;
+    the Ray-side plumbing (broadcast-free per-actor weights, batched
+    compute, small dense output) is exactly what that deployment needs.
+    Arithmetic-dense by design, so it also serves as the compute scaling
+    probe (memory-bandwidth-light, unlike pure decode)."""
+
+    def __init__(self, dim: int = 512, side: int = 32, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.side = side
+        n_in = side * side * 3
+        self.w = (rng.standard_normal((n_in, dim)) / np.sqrt(n_in)).astype(
+            np.float32
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        flat = np.empty((len(ids), self.w.shape[0]), dtype=np.float32)
+        for i, data in enumerate(t.column("bytes").to_pylist()):
+            arr = codec.decode(data)
+            small = block_mean_resize(arr, self.side, self.side)
+            flat[i] = small.reshape(-1).astype(np.float32) / 255.0
+        emb = flat @ self.w  # one BLAS call per batch
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "embedding": pa.array(
+                    [e.tolist() for e in np.round(emb, 6)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+
+def image_embeddings(images_parquet: str, concurrency: int = 2,
+                     batch_size: int = 256, dim: int = 512):
+    import ray
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes"]
+    ).map_batches(
+        ImageEmbedWorker,
+        batch_format="pyarrow",
+        **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"dim": dim},
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (unpackbits on the byte view)."""
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8):
+    """Near-duplicate image pairs by perceptual hash, fully distributed:
+    map_batches explodes each phash into its four 16-bit band buckets
+    (multi-band blocking: candidate pairs must agree exactly on ≥1 band —
+    a grouping problem, never all-pairs), groupby(band).map_groups does the
+    in-bucket vectorized hamming, and groupby(a, b) dedupes pairs found in
+    several bands. Nothing materializes on the driver."""
+    import ray
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        hashes = np.asarray(t.column("phash").to_pylist(), dtype=np.int64)
+        u = hashes.view(np.uint64)
+        keys, oids, oph = [], [], []
         for band in range(4):
-            key = (band, int((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)))
-            buckets[key].append(i)
-    pairs = set()
-    for members in buckets.values():
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                i, j = members[x], members[y]
-                d = int(bin(int(hashes[i] ^ hashes[j])).count("1"))
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    pairs.add((a, b, d))
-    out = sorted(pairs)
-    return pa.table(
-        {
-            "a": pa.array([p[0] for p in out], pa.string()),
-            "b": pa.array([p[1] for p in out], pa.string()),
-            "hamming": pa.array([p[2] for p in out], pa.int64()),
-        }
+            band_vals = ((u >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            keys.extend((band_vals + (band << 16)).tolist())
+            oids.extend(ids)
+            oph.extend(hashes.tolist())
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "image_id": pa.array(oids, pa.string()),
+                "phash": pa.array(oph, pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "hamming": pa.array([], pa.int64())})
+        if len(g) < 2:
+            return empty
+        ids = np.asarray(g.column("image_id").to_pylist())
+        order = np.argsort(ids)
+        ids = ids[order]
+        u = np.asarray(g.column("phash").to_pylist(), dtype=np.int64)[order].view(
+            np.uint64
+        )
+        ii, jj = np.triu_indices(len(ids), 1)
+        d = _popcount64(u[ii] ^ u[jj])
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[ii[keep]], pa.string()),
+                "b": pa.array(ids[jj[keep]], pa.string()),
+                "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(images_parquet, columns=["image_id", "phash"])
+        .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+        .groupby("band_key")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["a", "b"])
     )

@@ -13,7 +13,7 @@ import pyarrow as pa
 from ..rayutil import remote_kwargs
 import pyarrow.compute as pc
 
-from . import ann, dedup, multimodal, relational, text
+from . import ann, dedup, media, multimodal, relational, text
 
 _FIXTURE_SCALE = 4
 _FIXTURE_SEED = 42
@@ -102,6 +102,57 @@ def image_decode_stats(sf_dir: str):
 
 def image_phash_near_dups(sf_dir: str):
     return multimodal.phash_near_dup_pairs(f"{_fixture_dir()}/images.parquet")
+
+
+def image_features_q(sf_dir: str):
+    ds = multimodal.image_features(f"{_fixture_dir()}/images.parquet",
+                                   concurrency=2)
+
+    def meta(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["thumb"]).append_column(
+            "thumb_bytes", pc.cast(pc.binary_length(t.column("thumb")), pa.int64())
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow", **remote_kwargs())
+
+
+def image_embeddings_q(sf_dir: str):
+    ds = multimodal.image_embeddings(f"{_fixture_dir()}/images.parquet",
+                                     concurrency=2)
+
+    def meta(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        emb = t.column("embedding")
+        flat = np.abs(np.asarray(pc.list_flatten(emb).to_numpy(
+            zero_copy_only=False), dtype=np.float64))
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        norm1 = np.add.reduceat(flat, offsets[:-1]) if len(flat) else np.array([])
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "dim": pa.array(lens.astype(np.int64), pa.int64()),
+                "norm1": pa.array(np.round(norm1, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow", **remote_kwargs())
+
+
+def _media_dir() -> str:
+    from ..sources.media import write_media_fixture
+
+    return str(write_media_fixture("/tmp/dcr_fixtures/media",
+                                   seed=_FIXTURE_SEED))
+
+
+def audio_features_q(sf_dir: str):
+    return media.audio_features(f"{_media_dir()}/audio.parquet")
+
+
+def video_frame_sample_q(sf_dir: str):
+    return media.video_frame_sample(f"{_media_dir()}/video.parquet")
 
 
 def image_resize_meta(sf_dir: str):
@@ -279,6 +330,86 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["order_priority_revenue"] = (
+        relational.order_priority_revenue,
+        """
+        SELECT o.o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS sum_disc_price_c4
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+    )
+
+    reg["top_parts_per_brand"] = (
+        relational.top_parts_per_brand,
+        """
+        WITH ranked AS (
+            SELECT p_brand, p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                   row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY round(p_retailprice * 100) DESC, p_partkey
+                   ) AS rank
+            FROM part
+        )
+        SELECT p_brand, rank, p_partkey, price_cents
+        FROM ranked WHERE rank <= 3 ORDER BY p_brand, rank
+        """,
+    )
+
+    reg["user_sessions"] = (
+        relational.user_sessions,
+        """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(new_s) AS BIGINT) AS n_sessions
+        FROM d GROUP BY user_id ORDER BY user_id
+        """,
+    )
+
+    reg["ngram_jaccard_pairs"] = (
+        dedup.ngram_jaccard_pairs,
+        """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ), sh3 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+            FROM toks WHERE len(tk) >= 3
+        ), sh_small AS (
+            SELECT doc_id, array_to_string(tk, ' ') AS shingle
+            FROM toks WHERE len(tk) < 3 AND len(tk) > 0
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh_small)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.a, p.b, p.inter,
+               sa.n + sb.n - p.inter AS union_n
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.a
+        JOIN sizes sb ON sb.doc_id = p.b
+        WHERE 20 * p.inter >= (sa.n + sb.n - p.inter)
+        ORDER BY p.a, p.b
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
     reg["simhash_signatures"] = (dedup.simhash_signatures, None)
@@ -289,6 +420,10 @@ def build_registry() -> dict[str, tuple]:
     reg["image_decode_stats"] = (image_decode_stats, None)
     reg["image_phash_near_dups"] = (image_phash_near_dups, None)
     reg["image_resize_meta"] = (image_resize_meta, None)
+    reg["image_features"] = (image_features_q, None)
+    reg["image_embeddings"] = (image_embeddings_q, None)
+    reg["audio_features"] = (audio_features_q, None)
+    reg["video_frame_sample"] = (video_frame_sample_q, None)
     reg["crawl_order"] = (crawl_order, None)
     reg["crawl_seen_set"] = (crawl_seen_set, None)
     reg["crawl_counters"] = (crawl_counters, None)

@@ -248,6 +248,99 @@ def props_k_stats(sf_dir: str):
     )
 
 
+def order_priority_revenue(sf_dir: str, num_partitions: int = 8):
+    """lineitem ⨝ orders — BOTH sides large, so this is a genuine hash
+    shuffle join (Ray Data native `Dataset.join`), not a broadcast; then
+    revenue per order priority. The join key (orderkey) is the one
+    partitioning key both tables share (SURVEY.md §4: pick ONE key and
+    reuse it)."""
+    from ray.data.aggregate import Count, Sum
+
+    def derive(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_pct = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "disc_price_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    return (
+        li.join(orders, join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("disc_price_c4", alias_name="sum_disc_price_c4"))
+        .sort("o_orderpriority")
+    )
+
+
+def top_parts_per_brand(sf_dir: str, k: int = 3):
+    """Top-k per group (rank within partition): groupby(brand).map_groups
+    with a pinned total order (price DESC, partkey ASC) — the distributed
+    form of a row_number() window."""
+    import numpy as np
+
+    def topk(g: pa.Table) -> pa.Table:
+        price = _cents(g.column("p_retailprice")).to_numpy()
+        keys = g.column("p_partkey").to_numpy()
+        order = np.lexsort((keys, -price))[:k]
+        return pa.table(
+            {
+                "p_brand": pa.array(
+                    [g.column("p_brand")[0].as_py()] * len(order), pa.string()
+                ),
+                "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+                "p_partkey": pa.array(keys[order], pa.int64()),
+                "price_cents": pa.array(price[order], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
+        .groupby("p_brand")
+        .map_groups(topk, batch_format="pyarrow", **remote_kwargs())
+        .sort(["p_brand", "rank"])
+    )
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization — the stateful streaming operator expressed as a
+    per-key ordered scan: groupby(user).map_groups sorts the user's events
+    by time and counts gap>30min session breaks. Keyed windows never cross
+    partitions, so this shape holds at any scale."""
+    import numpy as np
+
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
+
+    def sess(g: pa.Table) -> pa.Table:
+        ts = np.sort(g.column("ts").to_numpy().astype("datetime64[ns]").view(np.int64))
+        n_sessions = 1 + int((np.diff(ts) > gap_ns).sum()) if len(ts) else 0
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(0, 1),
+                "n_events": pa.array([len(ts)], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sess, batch_format="pyarrow", **remote_kwargs())
+        .sort("user_id")
+    )
+
+
 def part_brand_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 

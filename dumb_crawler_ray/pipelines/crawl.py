@@ -116,53 +116,67 @@ class CrawlPipeline:
     def _route(self, domains, hashes) -> np.ndarray:
         return shard_of_batch(domains, hashes, self.n_shards, self.hot_domains)
 
-    def _insert_candidates(self, cand: dict):
-        """Dedup (first-occurrence, pinned), bloom probe, route, insert."""
+    def _insert_candidates(self, cand):
+        """Dedup (first-occurrence, pinned), bloom probe, route, insert.
+
+        ``cand``: pa.Table (url, url_hash, domain, tags, priority) in the
+        pinned candidate order, or a plain dict of lists (seed path). All
+        driver work here is vectorized (Arrow kernels / pandas dedup /
+        numpy routing) — this is on the per-round critical path and must
+        not grow with cluster size."""
+        import pandas as pd
+        import pyarrow.compute as pc
         import ray
 
-        urls, hashes = cand["url"], cand["url_hash"]
-        n = len(urls)
-        non_http = [i for i in range(n) if not urls[i].startswith("http")]
-        self.counters["IGNORED_URLS"] += len(non_http)
-        keep_http = [i for i in range(n) if urls[i].startswith("http")]
-        # first-occurrence-wins per url_hash (input already in pinned order)
-        seen_in_batch: set[str] = set()
-        keep: list[int] = []
-        for i in keep_http:
-            if hashes[i] in seen_in_batch:
-                continue
-            seen_in_batch.add(hashes[i])
-            keep.append(i)
-        if not keep:
+        if isinstance(cand, dict):
+            cand = pa.table(
+                {
+                    "url": pa.array(cand["url"], pa.string()),
+                    "url_hash": pa.array(cand["url_hash"], pa.string()),
+                    "domain": pa.array(cand["domain"], pa.string()),
+                    "tags": pa.array(cand["tags"], pa.list_(pa.string())),
+                    "priority": pa.array(
+                        [int(p) for p in cand["priority"]], pa.int64()
+                    ),
+                }
+            )
+        n = len(cand)
+        if n == 0:
             return
-        rows = {
-            "url": [urls[i] for i in keep],
-            "url_hash": [hashes[i] for i in keep],
-            "domain": [cand["domain"][i] for i in keep],
-            "tags": [cand["tags"][i] for i in keep],
-            "priority": [cand["priority"][i] for i in keep],
-        }
-        h64 = hash64_batch(rows["url_hash"])
-        rows["hash64"] = h64
+        http_mask = pc.starts_with(cand.column("url"), pattern="http")
+        n_http = int(pc.sum(http_mask).as_py() or 0)
+        self.counters["IGNORED_URLS"] += n - n_http
+        if n_http == 0:
+            return
+        if n_http < n:
+            cand = cand.filter(http_mask)
+        # first-occurrence-wins per url_hash (input already in pinned order)
+        hashes_np = np.asarray(cand.column("url_hash").to_pylist(), dtype=object)
+        dup = pd.Series(hashes_np).duplicated().to_numpy()
+        if dup.any():
+            keep = ~dup
+            cand = cand.filter(pa.array(keep))
+            hashes_np = hashes_np[keep]
+        h64 = hash64_batch(hashes_np)
+        cand = cand.append_column("hash64", pa.array(h64, pa.int64()))
         maybe_seen = self.bloom.contains_many(h64)
-        shard_ids = self._route(rows["domain"], rows["url_hash"])
+        shard_ids = self._route(cand.column("domain").to_pylist(), hashes_np)
         refs = []
         for sid in range(self.n_shards):
             idx = np.flatnonzero(shard_ids == sid)
             if len(idx) == 0:
                 continue
-            sub = {k: [rows[k][i] for i in idx] for k in
-                   ("url", "url_hash", "domain", "tags", "priority")}
-            sub["hash64"] = h64[idx]
             refs.append(
-                self.shards[sid].insert_candidates.remote(sub, maybe_seen[idx])
+                self.shards[sid].insert_candidates.remote(
+                    cand.take(pa.array(idx)), maybe_seen[idx]
+                )
             )
         for delta in ray.get(refs):
             self.counters["DISCOVERED_URLS"] += delta["discovered"]
             self.counters["ROBOTS_DENIED_URLS"] += delta["robots_denied"]
             self.stats["SEEN_EXACT_PROBES"] += delta["exact_probes"]
         self.bloom.add_many(h64)
-        self._ckpt_frontier_inserts(rows)
+        self._ckpt_frontier_inserts(cand)
 
     def inject_seeds(self):
         seeds = self.cfg.seeds
@@ -190,42 +204,67 @@ class CrawlPipeline:
         parts = ray.get(
             [s.select_candidates.remote(k, cap, maxa) for s in self.shards]
         )
-        merged = []
-        for p in parts:
-            merged.extend(
-                zip(p["url_hash"], p["url"], p["domain"], p["priority"], p["attempt"])
-            )
-        if not merged:
+        url_hash = np.asarray(
+            [h for p in parts for h in p["url_hash"]], dtype=object
+        )
+        if len(url_hash) == 0:
             return None
-        merged.sort(key=lambda t: S.selection_sort_key(t[3], t[4], t[0]))
-        taken = []
-        per_domain: Counter = Counter()
-        for t in merged:
-            if len(taken) >= k:
-                break
-            if cap and per_domain[t[2]] >= cap:
-                continue
-            per_domain[t[2]] += 1
-            taken.append(t)
+        url = [u for p in parts for u in p["url"]]
+        domain = [d for p in parts for d in p["domain"]]
+        priority = np.asarray(
+            [x for p in parts for x in p["priority"]], dtype=np.int64
+        )
+        attempt = np.asarray(
+            [x for p in parts for x in p["attempt"]], dtype=np.int64
+        )
+        # pinned total order (priority DESC, attempt ASC, url_hash ASC) —
+        # vectorized lexsort; matches S.selection_sort_key
+        order = np.lexsort((url_hash, attempt, -priority))
+        if cap:
+            taken_idx: list[int] = []
+            per_domain: Counter = Counter()
+            for i in order:
+                if len(taken_idx) >= k:
+                    break
+                if per_domain[domain[i]] >= cap:
+                    continue
+                per_domain[domain[i]] += 1
+                taken_idx.append(int(i))
+            sel = np.asarray(taken_idx, dtype=np.int64)
+        else:
+            sel = order[:k]
+        sel_hashes = url_hash[sel]
+        sel_domains = [domain[i] for i in sel]
         # mark PROCESSING on owning shards
-        shard_ids = self._route([t[2] for t in taken], [t[0] for t in taken])
+        shard_ids = self._route(sel_domains, sel_hashes)
         refs = []
         for sid in range(self.n_shards):
-            hs = [taken[i][0] for i in np.flatnonzero(shard_ids == sid)]
+            hs = [sel_hashes[i] for i in np.flatnonzero(shard_ids == sid)]
             if hs:
                 refs.append(self.shards[sid].mark_selected.remote(hs))
         ray.get(refs)
         return pa.table(
             {
-                "rank": pa.array(range(len(taken)), pa.int64()),
-                "url_hash": pa.array([t[0] for t in taken], pa.string()),
-                "url": pa.array([t[1] for t in taken], pa.string()),
-                "domain": pa.array([t[2] for t in taken], pa.string()),
-                "priority": pa.array([t[3] for t in taken], pa.int64()),
-                "attempt": pa.array([t[4] for t in taken], pa.int64()),
-                "round": pa.array([self.round] * len(taken), pa.int64()),
+                "rank": pa.array(range(len(sel)), pa.int64()),
+                "url_hash": pa.array(sel_hashes, pa.string()),
+                "url": pa.array([url[i] for i in sel], pa.string()),
+                "domain": pa.array(sel_domains, pa.string()),
+                "priority": pa.array(priority[sel], pa.int64()),
+                "attempt": pa.array(attempt[sel], pa.int64()),
+                "round": pa.array([self.round] * len(sel), pa.int64()),
             }
         )
+
+    def _images_broadcast(self):
+        """`ray.put` the image table once — every fetch actor reads the
+        same plasma copy zero-copy instead of re-reading parquet row
+        groups per batch (SURVEY.md §4: broadcast the small side)."""
+        import ray
+
+        if getattr(self, "_images_ref", None) is None:
+            tbl = pq.read_table(os.path.join(self.fixture_dir, "images.parquet"))
+            self._images_ref = ray.put(tbl)
+        return self._images_ref
 
     def _worker_kwargs(self) -> dict:
         return {
@@ -235,6 +274,7 @@ class CrawlPipeline:
             "scale": self.scale,
             "ckpt_dir": self.ckpt_dir,
             "fetch_delay_s": self.fetch_delay_s,
+            "images_ref": self._images_broadcast(),
         }
 
     def _fetch(self, selection: pa.Table) -> pa.Table:
@@ -304,80 +344,107 @@ class CrawlPipeline:
 
     def _harvest(self, result: pa.Table):
         """Apply fetch outcomes in rank order: counters, storage bookkeeping,
-        status completion, candidate extraction — mirrors the oracle loop."""
+        status completion, candidate extraction — mirrors the oracle loop.
+
+        Vectorized throughout (Arrow filters/flatten + numpy masks): the
+        only remaining Python loop is over STORED pages (store bookkeeping
+        needs ordered membership against the cross-round seen sets). The
+        per-page candidate lists are never expanded into Python row dicts —
+        `pc.list_flatten` concatenates them in (rank, link-idx) order,
+        which is exactly the pinned candidate order."""
+        import pyarrow.compute as pc
         import ray
 
-        rows = result.to_pylist()
+        n = len(result)
         maxa = self.cfg.max_attempt_count
-        completes: dict[int, dict] = {
-            sid: {"url_hash": [], "status": [], "error": [], "tags": [], "attempt": []}
-            for sid in range(self.n_shards)
-        }
-        cand = {"url": [], "url_hash": [], "domain": [], "tags": [], "priority": []}
-        order_rows = []
-        # shard routing computed ONCE for the whole batch (per-row md5
-        # hashing in the loop was the driver hot spot at large K)
-        all_sids = self._route(
-            [self.comp.domain_of(u) for u in result.column("url").to_pylist()],
-            result.column("url_hash").to_pylist(),
-        )
-        for r, sid_pre in zip(rows, all_sids):
-            if r["schedule_allowed"]:
-                self.counters["ALLOWED_LINKS"] += 1
-            else:
-                self.counters["IGNORED_LINKS"] += 1
-                continue  # stays PROCESSING forever (faithful quirk)
-            self.crawl_order.append(r["url_hash"])
-            order_rows.append((self.round, r["rank"], r["url_hash"]))
-            attempt = r["attempt"] + 1
-            if attempt >= maxa:
-                self.counters["MAX_ATTEMPT_COUNT_REACHED"] += 1
-            if r["error"] is not None:
-                status = S.FAILED
-                self.counters[f"ERROR_{r['error']}"] += 1
-            else:
-                status = S.PROCESSED
-                self.counters["PROCESSED_URLS"] += 1
-                self.counters["ALLOWED_LINKS"] += r["n_links_allowed"]
-                self.counters["IGNORED_LINKS"] += r["n_links_ignored"]
-                cand["url"].extend(r["cand_url"])
-                cand["url_hash"].extend(r["cand_hash"])
-                cand["domain"].extend(r["cand_domain"])
-                cand["tags"].extend(r["cand_tags"])
-                cand["priority"].extend(r["cand_priority"])
-                if r["store_ok"]:
-                    self.counters["SAVED_PAGES"] += 1
-                    if r["url_hash"] not in self._stored_hashes:
-                        self._stored_hashes.add(r["url_hash"])
+        allowed = result.column("schedule_allowed").to_numpy(zero_copy_only=False)
+        n_allowed = int(allowed.sum())
+        self.counters["IGNORED_LINKS"] += n - n_allowed
+        self.counters["ALLOWED_LINKS"] += n_allowed
+        completes: dict[int, dict] = {}
+        order_rows: list = []
+        if n_allowed:
+            fr = result.filter(pa.array(allowed))  # rank order preserved
+            hashes = fr.column("url_hash").to_pylist()
+            errors = fr.column("error").to_pylist()
+            attempts = fr.column("attempt").to_numpy() + 1
+            ranks = fr.column("rank").to_pylist()
+            self.crawl_order.extend(hashes)
+            order_rows = [(self.round, r, h) for r, h in zip(ranks, hashes)]
+            self.counters["MAX_ATTEMPT_COUNT_REACHED"] += int(
+                (attempts >= maxa).sum()
+            )
+            err_mask = np.asarray([e is not None for e in errors], dtype=bool)
+            if err_mask.any():
+                for i in np.flatnonzero(err_mask):
+                    self.counters[f"ERROR_{errors[i]}"] += 1
+            n_ok = int((~err_mask).sum())
+            self.counters["PROCESSED_URLS"] += n_ok
+            # link-analysis columns are zero except on success rows
+            self.counters["ALLOWED_LINKS"] += int(
+                pc.sum(fr.column("n_links_allowed")).as_py() or 0
+            )
+            self.counters["IGNORED_LINKS"] += int(
+                pc.sum(fr.column("n_links_ignored")).as_py() or 0
+            )
+            store_mask = fr.column("store_ok").to_numpy(zero_copy_only=False)
+            st_idx = np.flatnonzero(store_mask)
+            self.counters["SAVED_PAGES"] += len(st_idx)
+            self.counters["UNSAVED_PAGES"] += n_ok - len(st_idx)
+            if len(st_idx):
+                img_lists = fr.column("image_ids").take(pa.array(st_idx)).to_pylist()
+                for j, i in enumerate(st_idx):
+                    h = hashes[i]
+                    if h not in self._stored_hashes:
+                        self._stored_hashes.add(h)
                         self.counters["NEW_SAVED_PAGES"] += 1
-                        self.stored_pages.append(r["url_hash"])
+                        self.stored_pages.append(h)
                     else:
                         self.counters["UPDATED_PAGES"] += 1
-                    for iid in r["image_ids"]:
+                    for iid in img_lists[j]:
                         if iid in self._stored_image_ids:
                             self.counters["DUP_IMAGE_REFS"] += 1
                         else:
                             self._stored_image_ids.add(iid)
                             self.counters["SAVED_IMAGES"] += 1
                             self.stored_images.append(iid)
-                    if r["image_errors"]:
-                        self.counters["IMAGE_VALIDATION_ERRORS"] += r["image_errors"]
-                else:
-                    self.counters["UNSAVED_PAGES"] += 1
-            c = completes[int(sid_pre)]
-            c["url_hash"].append(r["url_hash"])
-            c["status"].append(status)
-            c["error"].append(r["error"])
-            c["tags"].append(r["tags"])
-            c["attempt"].append(attempt)
-        refs = [
-            self.shards[sid].complete.remote(c)
-            for sid, c in completes.items()
-            if c["url_hash"]
-        ]
-        ray.get(refs)
+                n_img_err = int(
+                    pc.sum(fr.column("image_errors").take(pa.array(st_idx))).as_py()
+                    or 0
+                )
+                if n_img_err:
+                    self.counters["IMAGE_VALIDATION_ERRORS"] += n_img_err
+            # status completion, routed to owning shards in rank order
+            status = np.where(err_mask, S.FAILED, S.PROCESSED)
+            tags = fr.column("tags").to_pylist()
+            sids = self._route(fr.column("domain").to_pylist(), hashes)
+            refs = []
+            for sid in range(self.n_shards):
+                idx = np.flatnonzero(sids == sid)
+                if len(idx) == 0:
+                    continue
+                completes[sid] = {
+                    "url_hash": [hashes[i] for i in idx],
+                    "status": status[idx].tolist(),
+                    "error": [errors[i] for i in idx],
+                    "tags": [tags[i] for i in idx],
+                    "attempt": attempts[idx].tolist(),
+                }
+                refs.append(self.shards[sid].complete.remote(completes[sid]))
+            ray.get(refs)
         self._ckpt_updates(completes, order_rows)
-        if cand["url"]:
+        # candidates: empty lists on skipped/failed rows make flatten-all
+        # exactly the success candidates in pinned order
+        cand = pa.table(
+            {
+                "url": pc.list_flatten(result.column("cand_url")),
+                "url_hash": pc.list_flatten(result.column("cand_hash")),
+                "domain": pc.list_flatten(result.column("cand_domain")),
+                "tags": pc.list_flatten(result.column("cand_tags")),
+                "priority": pc.list_flatten(result.column("cand_priority")),
+            }
+        )
+        if len(cand):
             self._insert_candidates(cand)
 
     # -------------------------------------------------------- checkpoint
@@ -385,20 +452,12 @@ class CrawlPipeline:
     def _ckpt_path(self, *parts) -> str:
         return os.path.join(self.ckpt_dir, *parts)
 
-    def _ckpt_frontier_inserts(self, rows: dict):
+    def _ckpt_frontier_inserts(self, cand: pa.Table):
         if not self.ckpt_dir:
             return
         d = self._ckpt_path("frontier_inserts")
         os.makedirs(d, exist_ok=True)
-        t = pa.table(
-            {
-                "url": pa.array(rows["url"], pa.string()),
-                "url_hash": pa.array(rows["url_hash"], pa.string()),
-                "domain": pa.array(rows["domain"], pa.string()),
-                "tags": pa.array(rows["tags"], pa.list_(pa.string())),
-                "priority": pa.array([int(p) for p in rows["priority"]], pa.int64()),
-            }
-        )
+        t = cand.select(["url", "url_hash", "domain", "tags", "priority"])
         path = os.path.join(d, f"round={self.round:06d}.parquet")
         if os.path.exists(path):  # seeds + round candidates share round 0
             t = pa.concat_tables([pq.read_table(path), t])

@@ -360,16 +360,32 @@ DEFAULT_CONFIG = {
 def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
     """Materialize images.parquet + pages.parquet + config.json under
     ``out_dir`` (idempotent — skips when the meta file already matches)."""
+    import shutil
+
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 5}
+    want = {"seed": seed, "scale": scale, "version": 6}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)
-    # small row groups → fetch actors can load image payloads lazily by
-    # row group instead of materializing the whole (large-binary) table
-    pq.write_table(gen_images(seed, scale), out / "images.parquet",
-                   row_group_size=256)
+    # images.parquet is a DIRECTORY of part files: a single parquet file is
+    # read by ONE Ray Data task (the whole downstream pipeline serializes
+    # behind it — measured 2× wall on the decode bench); sharded parts give
+    # the read genuine parallelism and model the partitioned layout a
+    # 100 TB ingest would use. Small row groups keep lazy per-row-group
+    # loads cheap for fetch actors without the broadcast table.
+    imgs = gen_images(seed, scale)
+    img_dir = out / "images.parquet"
+    if img_dir.exists() and img_dir.is_file():
+        img_dir.unlink()
+    elif img_dir.exists():
+        shutil.rmtree(img_dir)
+    img_dir.mkdir()
+    n_files = max(1, min(64, len(imgs) // 2048))
+    step = -(-len(imgs) // n_files)
+    for i, off in enumerate(range(0, len(imgs), step)):
+        pq.write_table(imgs.slice(off, step), img_dir / f"part-{i:04d}.parquet",
+                       row_group_size=256)
     pq.write_table(gen_pages(seed, scale), out / "pages.parquet")
     (out / "config.json").write_text(json.dumps(DEFAULT_CONFIG, indent=2))
     meta.write_text(json.dumps(want))

@@ -68,26 +68,53 @@ IMAGES_SCHEMA = pa.schema(
 
 class FetchWorker:
     def __init__(self, fixture_dir: str, config_raw: dict, seed: int, scale: int,
-                 ckpt_dir: str | None = None, fetch_delay_s: float = 0.0):
+                 ckpt_dir: str | None = None, fetch_delay_s: float = 0.0,
+                 images_ref=None):
         self.cfg = JobConfig(config_raw)
         self.comp = S.CrawlComponents(self.cfg)
         self.seed = seed
         pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
         self.web = SynthWeb(pages, seed, scale)
-        # lazy image store: only the image_id column is read eagerly; the
-        # wide binary payloads are fetched by ROW GROUP on demand with a
-        # small LRU — an actor never holds the whole image table (at bench
-        # scale that table is hundreds of MB × pool size)
-        self._images_pf = pq.ParquetFile(os.path.join(fixture_dir, "images.parquet"))
-        self._image_index: dict[str, tuple[int, int]] = {}
-        pos = 0
-        for rg in range(self._images_pf.num_row_groups):
-            ids = self._images_pf.read_row_group(rg, columns=["image_id"])
-            for j, iid in enumerate(ids.column("image_id").to_pylist()):
-                self._image_index[iid] = (rg, j)
-            pos += len(ids)
-        self._rg_cache: dict[int, pa.Table] = {}
-        self._rg_cache_max = 32
+        self._images_shared: pa.Table | None = None
+        self._shared_index: dict[str, int] = {}
+        if images_ref is not None:
+            # broadcast image store: the driver `ray.put` the whole Arrow
+            # table ONCE; every actor on a node maps the SAME plasma copy
+            # zero-copy (the 100 TB contract: small-side lookup broadcast,
+            # not re-read per actor — at real scale this becomes one put
+            # per image shard, keyed like the frontier)
+            import ray
+
+            self._images_shared = (
+                ray.get(images_ref) if isinstance(images_ref, ray.ObjectRef)
+                else images_ref
+            )
+            ids = self._images_shared.column("image_id").to_pylist()
+            self._shared_index = {iid: i for i, iid in enumerate(ids)}
+        else:
+            # lazy image store fallback (no broadcast available): only the
+            # image_id column is read eagerly; binary payloads are fetched
+            # by ROW GROUP on demand with a small LRU. images.parquet may
+            # be one file or a sharded directory of part files.
+            root = os.path.join(fixture_dir, "images.parquet")
+            paths = (
+                sorted(
+                    os.path.join(root, n)
+                    for n in os.listdir(root)
+                    if n.endswith(".parquet")
+                )
+                if os.path.isdir(root)
+                else [root]
+            )
+            self._images_pfs = [pq.ParquetFile(p) for p in paths]
+            self._image_index: dict[str, tuple[int, int, int]] = {}
+            for fi, pf in enumerate(self._images_pfs):
+                for rg in range(pf.num_row_groups):
+                    ids = pf.read_row_group(rg, columns=["image_id"])
+                    for j, iid in enumerate(ids.column("image_id").to_pylist()):
+                        self._image_index[iid] = (fi, rg, j)
+            self._rg_cache: dict[tuple[int, int], pa.Table] = {}
+            self._rg_cache_max = 32
         self.ckpt_dir = ckpt_dir
         self.fetch_delay_s = fetch_delay_s
         # politeness pacing (north rule): min wall-clock delay between
@@ -99,23 +126,32 @@ class FetchWorker:
         self.round = -1  # set via batch column
 
     def _image_rows_bulk(self, ids: list[str]) -> dict[str, dict]:
-        """Load many image rows with ONE row-group read per touched group
-        (a per-id read decompresses the whole group each time — measured
-        7× slower). The small LRU then serves repeat groups across
-        batches."""
-        by_rg: dict[int, list[tuple[str, int]]] = {}
+        """Load many image rows. Broadcast path: direct zero-copy index
+        into the shared plasma table. Lazy path: ONE row-group read per
+        touched group (a per-id read decompresses the whole group each
+        time — measured 7× slower) with a small LRU."""
+        if self._images_shared is not None:
+            t = self._images_shared
+            cols = {c: t.column(c) for c in t.column_names}
+            out: dict[str, dict] = {}
+            for iid in set(ids):
+                i = self._shared_index.get(iid)
+                if i is not None:
+                    out[iid] = {c: col[i].as_py() for c, col in cols.items()}
+            return out
+        by_rg: dict[tuple[int, int], list[tuple[str, int]]] = {}
         for iid in set(ids):
             loc = self._image_index.get(iid)
             if loc is not None:
-                by_rg.setdefault(loc[0], []).append((iid, loc[1]))
+                by_rg.setdefault((loc[0], loc[1]), []).append((iid, loc[2]))
         out: dict[str, dict] = {}
-        for rg, members in by_rg.items():
-            tbl = self._rg_cache.get(rg)
+        for (fi, rg), members in by_rg.items():
+            tbl = self._rg_cache.get((fi, rg))
             if tbl is None:
-                tbl = self._images_pf.read_row_group(rg)
+                tbl = self._images_pfs[fi].read_row_group(rg)
                 if len(self._rg_cache) >= self._rg_cache_max:
                     self._rg_cache.pop(next(iter(self._rg_cache)))
-                self._rg_cache[rg] = tbl
+                self._rg_cache[(fi, rg)] = tbl
             cols = {c: tbl.column(c) for c in tbl.column_names}
             for iid, j in members:
                 out[iid] = {c: col[j].as_py() for c, col in cols.items()}
@@ -134,6 +170,7 @@ class FetchWorker:
 
         out = {
             "rank": ranks, "url_hash": hashes, "url": urls, "attempt": attempts,
+            "domain": batch.column("domain").to_pylist(),
             "schedule_allowed": [bool(a) for a in sched_allowed],
             "error": [None] * n, "store_ok": [False] * n,
             "tags": [list(t) for t in tags_list],
@@ -175,6 +212,14 @@ class FetchWorker:
         if flat_links:
             ltags, lprio, lhash, lallow, _na, _ni = self.comp.analyze_urls(flat_links)
             pos = 0
+            # batch-local first-occurrence dedup (pinned order): the driver
+            # re-applies the same rule globally over chunks in rank order,
+            # so dropping later duplicates HERE cannot change which
+            # occurrence wins — it only shrinks the result transfer and
+            # the frontier-shard insert volume (most links repeat within a
+            # chunk). Link counters stay pre-dedup (reference counts every
+            # allowed/ignored link, dedup happens at insert).
+            batch_seen: set = set()
             for i, links in page_links:
                 m = len(links)
                 sl = slice(pos, pos + m)
@@ -182,7 +227,13 @@ class FetchWorker:
                 allow = lallow[sl]
                 out["n_links_allowed"][i] = int(allow.sum())
                 out["n_links_ignored"][i] = int(m - allow.sum())
-                keep = np.flatnonzero(allow) + sl.start
+                keep = []
+                for j in np.flatnonzero(allow) + sl.start:
+                    h = lhash[j]
+                    if h in batch_seen:
+                        continue
+                    batch_seen.add(h)
+                    keep.append(j)
                 out["cand_url"][i] = [flat_links[j] for j in keep]
                 out["cand_hash"][i] = [lhash[j] for j in keep]
                 out["cand_domain"][i] = [
@@ -252,6 +303,7 @@ def _to_arrow(out: dict) -> pa.Table:
             "rank": pa.array(out["rank"], pa.int64()),
             "url_hash": pa.array(out["url_hash"], pa.string()),
             "url": pa.array(out["url"], pa.string()),
+            "domain": pa.array(out["domain"], pa.string()),
             "attempt": pa.array(out["attempt"], pa.int64()),
             "schedule_allowed": pa.array(out["schedule_allowed"], pa.bool_()),
             "error": pa.array(out["error"], pa.string()),

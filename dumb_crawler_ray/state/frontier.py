@@ -80,12 +80,23 @@ class FrontierShardState:
     def insert_candidates(self, rows: dict, maybe_seen=None) -> dict:
         """Insert-if-absent for a routed candidate batch.
 
-        ``rows``: columnar dict with url, url_hash, domain, tags (list of
-        list), priority, hash64 (np.int64). ``maybe_seen``: bloom verdicts —
-        False is authoritative "new", so the exact probe is skipped for
-        those rows (the 10^10-scale fast path).
+        ``rows``: a pa.Table (url, url_hash, domain, tags, priority,
+        hash64) — zero-copy from the driver's object-store put — or a
+        columnar dict of lists with the same keys. ``maybe_seen``: bloom
+        verdicts — False is authoritative "new", so the exact probe is
+        skipped for those rows (the 10^10-scale fast path).
         Returns counter deltas {discovered, robots_denied, exact_probes}.
         """
+        if not isinstance(rows, dict):
+            t = rows
+            rows = {
+                "url": t.column("url").to_pylist(),
+                "url_hash": t.column("url_hash").to_pylist(),
+                "domain": t.column("domain").to_pylist(),
+                "tags": t.column("tags").to_pylist(),
+                "priority": t.column("priority").to_pylist(),
+                "hash64": t.column("hash64").to_numpy(),
+            }
         hashes = rows["url_hash"]
         n = len(hashes)
         if n == 0:

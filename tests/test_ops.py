@@ -75,7 +75,8 @@ SQL_CHECKED = [
     "events_by_type", "top_users_by_value", "events_hourly_window",
     "props_k_stats", "part_brand_stats", "doc_token_counts",
     "doc_quality_scores", "doc_fingerprints", "dedup_exact",
-    "ann_bruteforce_topk",
+    "ann_bruteforce_topk", "ngram_jaccard_pairs", "order_priority_revenue",
+    "top_parts_per_brand", "user_sessions",
 ]
 
 
@@ -192,6 +193,18 @@ def test_image_ops(registry, ray_session):
     assert (meta["w"] == 16).all() and (meta["h"] == 16).all()
     dups = to_df(registry["image_phash_near_dups"][0](SF))
     assert (dups["hamming"] <= 8).all() if len(dups) else True
+
+
+def test_image_features_and_embeddings(registry, ray_session):
+    feats = to_df(registry["image_features"][0](SF))
+    assert len(feats) == 64 * 4
+    assert (feats["thumb_bytes"] == 16 * 16 * 3).all()
+    assert feats["mean_pixel"].between(0, 255).all()
+    embs = to_df(registry["image_embeddings"][0](SF))
+    assert len(embs) == 64 * 4
+    assert (embs["dim"] == 512).all()
+    # embeddings are L2-normalized → L1 norm in [1, sqrt(512)]
+    assert embs["norm1"].between(0.99, 512 ** 0.5 + 0.01).all()
 
 
 def test_crawl_views(registry, ray_session):
