@@ -98,15 +98,16 @@ def run_compute_probe(num_cpus: int) -> dict:
 
     fix = write_fixture(FIXTURE_DIR, seed=42, scale=BENCH_SCALE)
     conc = max(2, (num_cpus * 3) // 4)
-
-    def rd():
-        return ray.data.read_parquet(
-            f"{fix}/images.parquet", columns=["image_id", "bytes"]
-        )
-
-    ds = rd().union(rd(), rd(), rd()).map_batches(
-        ImageEmbedWorker, batch_format="pyarrow", batch_size=256,
+    n_rows = int(os.environ.get("DCR_PROBE_ROWS", "24576"))
+    ds = ray.data.read_parquet(
+        f"{fix}/images.parquet", columns=["image_id", "bytes"]
+    ).limit(n_rows).map_batches(
+        ImageEmbedWorker, batch_format="pyarrow", batch_size=128,
         concurrency=conc,
+        # dim/side chosen so BLAS arithmetic (~7 MFLOP/image) dominates
+        # memory traffic — the shape of real model inference; lighter
+        # probes measure this shared box's DRAM bandwidth, not Ray
+        fn_constructor_kwargs={"dim": 1024, "side": 48},
     )
     t0 = time.time()
     n = sum(len(b) for b in ds.iter_batches(batch_format="pyarrow", batch_size=None))
