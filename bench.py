@@ -162,20 +162,31 @@ def run_queries() -> dict:
                 batch_format="pyarrow", batch_size=None))
         return result.num_rows
 
+    # actor pools sized BELOW the CPU count so read tasks are never starved
+    pool = max(2, (NUM_CPUS * 7) // 16)
     timings = {}
     suite = {
         "lineitem_pricing_summary": lambda: relational.lineitem_agg(SF_DIR),
+        "order_priority_revenue": lambda: relational.order_priority_revenue(SF_DIR),
         "events_hourly_window": lambda: relational.events_hourly_window(SF_DIR),
+        "user_sessions": lambda: relational.user_sessions(SF_DIR),
         "top_users_by_value": lambda: relational.top_users(SF_DIR),
         "orders_by_segment": lambda: relational.orders_by_segment(SF_DIR),
         "doc_fingerprints": lambda: text.doc_fingerprint(SF_DIR),
         "dedup_exact": lambda: dedup.dedup_exact(SF_DIR),
-        "minhash_near_dup_pairs": lambda: dedup.minhash_near_dup_pairs(SF_DIR),
+        "minhash_near_dup_pairs": lambda: dedup.minhash_near_dup_pairs(
+            SF_DIR, concurrency=pool),
+        # df-capped mode: the exact all-pairs form is quadratic in shingle
+        # document-frequency — max_df is the documented scale knob
+        "ngram_jaccard_pairs_df64": lambda: dedup.ngram_jaccard_pairs(
+            SF_DIR, max_df=64),
         "simhash_signatures": lambda: dedup.simhash_signatures(SF_DIR),
         "ann_bruteforce_topk": lambda: ann.ann_bruteforce(SF_DIR),
         "embedding_near_dup_pairs": lambda: dedup.embedding_near_dup_pairs(SF_DIR),
         "image_decode_stats": lambda: multimodal.decode_stats(
-            f"{fix}/images.parquet", concurrency=max(2, NUM_CPUS - 2)),
+            f"{fix}/images.parquet", concurrency=pool, batch_size=256),
+        "image_features": lambda: multimodal.image_features(
+            f"{fix}/images.parquet", concurrency=pool),
     }
     for name, fn in suite.items():
         t0 = time.time()

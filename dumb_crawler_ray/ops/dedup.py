@@ -365,16 +365,17 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
 # --------------------------------------------- exact n-gram Jaccard pairs
 
 def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
-                        threshold_den: int = 20, max_df: int = 0):
+                        threshold_den: int = 20, max_df: int = 0,
+                        n_partitions: int | None = None):
     """EXACT n-gram (3-shingle) Jaccard similar-pairs via a distributed
     inverted index — no signatures, no driver materialization:
 
       map_batches   doc → distinct shingle hashes, exploded to
                     (shingle, doc_id, n_doc) rows; n_doc rides along so
                     union sizes need no later join
-      groupby(shingle).map_groups   docs sharing a shingle → candidate
-                    pair rows (a, b, n_a, n_b), one per shared shingle
-      groupby(a,b).aggregate        count = |A∩B| exactly
+      repartition(keys=[shingle])   hash co-locates each shingle's rows;
+                    block-local segment scan emits packed candidate pairs
+      repartition(keys=[pair]) + per-block np.unique   |A∩B| exactly
       filter        den·inter ≥ num·union in INTEGER arithmetic (no float
                     rounding boundary can disagree with the SQL oracle)
 
@@ -382,10 +383,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
     scale knob that bounds the per-group pair blowup; 0 = exact (default,
     what the SQL oracle computes). Output (a, b, inter, union_n) ints.
     """
-    import ray
-    from ray.data.aggregate import Count, Max
-
     def explode(t: pa.Table) -> pa.Table:
+        ids_np = t.column("doc_id").to_numpy()
+        if len(ids_np) and (ids_np.max() >= (1 << 31) or ids_np.min() < 0):
+            raise ValueError("ngram_jaccard_pairs packs doc ids into 31 bits; "
+                             "remap ids below 2^31 first")
         sh_col, id_col, n_col = [], [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
@@ -402,49 +404,87 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
             }
         )
 
-    def pairs_for_shingle(g: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64()),
-                          "n_a": pa.array([], pa.int64()),
-                          "n_b": pa.array([], pa.int64())})
-        m = len(g)
-        if m < 2 or (max_df and m > max_df):
+    def pairs_in_block(b: pa.Table) -> pa.Table:
+        """One keyed-repartition block holds EVERY row of its shingles, so
+        pair generation is a block-local segment scan (lexsort + triu per
+        segment) — no per-group UDF dispatch. (a,b) and (n_a,n_b) are each
+        PACKED into one int64 (31-bit guard in `explode`), halving the
+        pair-count shuffle volume."""
+        empty = pa.table({"pair": pa.array([], pa.int64()),
+                          "sizes": pa.array([], pa.int64())})
+        if len(b) < 2:
             return empty
-        ids = np.asarray(g.column("doc_id").to_pylist(), dtype=np.int64)
-        ns = np.asarray(g.column("n_doc").to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids, ns = ids[order], ns[order]
-        ii, jj = np.triu_indices(m, 1)
+        sh = b.column("shingle").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        ns = b.column("n_doc").to_numpy()
+        o = np.lexsort((ids, sh))
+        sh, ids, ns = sh[o], ids[o], ns[o]
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        ends = np.concatenate([starts[1:], [len(sh)]])
+        pair_parts, size_parts = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or (max_df and m > max_df):
+                continue
+            ii, jj = np.triu_indices(m, 1)
+            pair_parts.append((ids[s + ii] << 32) | ids[s + jj])
+            size_parts.append((ns[s + ii] << 32) | ns[s + jj])
+        if not pair_parts:
+            return empty
         return pa.table(
             {
-                "a": pa.array(ids[ii], pa.int64()),
-                "b": pa.array(ids[jj], pa.int64()),
-                "n_a": pa.array(ns[ii], pa.int64()),
-                "n_b": pa.array(ns[jj], pa.int64()),
+                "pair": pa.array(np.concatenate(pair_parts), pa.int64()),
+                "sizes": pa.array(np.concatenate(size_parts), pa.int64()),
             }
         )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        inter = t.column("inter")
-        union = pc.subtract(pc.add(t.column("n_a"), t.column("n_b")), inter)
-        keep = pc.greater_equal(
-            pc.multiply(inter, pa.scalar(threshold_den, pa.int64())),
-            pc.multiply(union, pa.scalar(threshold_num, pa.int64())),
+    def combine(b: pa.Table) -> pa.Table:
+        """Pair counts within one pair-keyed block = global counts (the
+        repartition co-located every instance of a pair)."""
+        p = b.column("pair").to_numpy()
+        s = b.column("sizes").to_numpy()
+        u, idx, cnt = np.unique(p, return_index=True, return_counts=True)
+        inter = cnt.astype(np.int64)
+        sizes = s[idx]
+        n_a, n_b = sizes >> 32, sizes & 0x7FFFFFFF
+        union = n_a + n_b - inter
+        keep = inter * threshold_den >= union * threshold_num
+        return pa.table(
+            {
+                "a": pa.array((u >> 32)[keep], pa.int64()),
+                "b": pa.array((u & 0x7FFFFFFF)[keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "union_n": pa.array(union[keep], pa.int64()),
+            }
         )
-        out = pa.table(
-            {"a": t.column("a"), "b": t.column("b"),
-             "inter": inter, "union_n": union}
-        )
-        return out.filter(keep)
 
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
-        .groupby("shingle")
-        .map_groups(pairs_for_shingle, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"),
-                   Max("n_a", alias_name="n_a"), Max("n_b", alias_name="n_b"))
-        .map_batches(finalize, batch_format="pyarrow", **remote_kwargs())
-        .sort(["a", "b"])
-    )
+    import ray
+
+    # keyed hash repartition needs the HASH_SHUFFLE strategy; Ray's
+    # sort-based aggregate collapses at ~10^6 distinct keys (measured 10 s
+    # for 1.3M pairs vs 2.5 s for repartition + per-block np.unique), so
+    # this op materializes eagerly under a scoped context override. The
+    # result is tiny (qualifying pairs only).
+    if n_partitions is None:
+        # each hash-shuffle partition is backed by an aggregator actor:
+        # more partitions than CPUs deadlocks a small cluster
+        n_partitions = max(2, min(32, int(
+            ray.cluster_resources().get("CPU", 4) / 2)))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["shingle"])
+            .map_batches(pairs_in_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .repartition(n_partitions, keys=["pair"])
+            .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                         **remote_kwargs())
+            .sort(["a", "b"])
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev

