@@ -60,6 +60,7 @@ class CrawlResult:
     stored_images: list
     rounds: int
     ckpt_dir: str | None = None
+    stop_reason: str = "drained"
 
 
 class CrawlPipeline:
@@ -629,15 +630,34 @@ class CrawlPipeline:
             self.inject_seeds()
             self._ckpt_commit()
         rounds_done = 0
+        stop_reason = "drained"
+        # TaskKiller idle-stop (SURVEY.md ST7): the reference INTENDS to
+        # stop when no new page has been stored for `taskKiller.timeout`
+        # (its gzip-sink wiring never fires — we implement the intended,
+        # config-compatible semantics). Wall-clock based, so it never
+        # perturbs the deterministic conformance runs (timeout default
+        # 10 min >> any test crawl).
+        import time as _time
+
+        idle_timeout_s = self.cfg.task_killer_timeout_ms / 1000.0
+        last_new_page_t = _time.monotonic()
         while max_rounds is None or rounds_done < max_rounds:
             selection = self._select()
             if selection is None:
                 break
+            prev_new = self.counters["NEW_SAVED_PAGES"]
             result = self._fetch(selection)
             self._harvest(result)
             self._ckpt_commit()
             self.round += 1
             rounds_done += 1
+            now = _time.monotonic()
+            if self.counters["NEW_SAVED_PAGES"] > prev_new:
+                last_new_page_t = now
+            elif now - last_new_page_t >= idle_timeout_s:
+                stop_reason = "idle_timeout"
+                self.counters["IDLE_TIMEOUT_STOP"] += 1
+                break
         seen: dict[str, tuple] = {}
         for part in ray.get([s.seen_entries.remote() for s in self.shards]):
             seen.update(part)
@@ -649,4 +669,5 @@ class CrawlPipeline:
             stored_images=self.stored_images,
             rounds=self.round,
             ckpt_dir=self.ckpt_dir,
+            stop_reason=stop_reason,
         )

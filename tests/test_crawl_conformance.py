@@ -121,3 +121,29 @@ def test_dataset_dedup_matches_local(ray_session):
     b = dedup_candidates_dataset(cand)
     assert a == b
     assert a["url_hash"] == [f"h{i}" for i in range(7)]
+
+
+def test_task_killer_idle_stop(ray_session, tmp_path):
+    """taskKiller intended semantics (SURVEY.md ST7): timeout 0 stops the
+    crawl at the first round that stores no new page; the default (10m)
+    never fires in-session."""
+    import json
+
+    from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+    from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG, write_fixture
+
+    fix = write_fixture("/tmp/dcr_fixtures/sf2", seed=42, scale=2)
+    cfg = json.loads(json.dumps(DEFAULT_CONFIG))
+    cfg["taskKiller"] = {"timeout": "0s"}
+    res = CrawlPipeline(fix, cfg, seed=42, scale=2, n_shards=2,
+                        fetch_concurrency=2).run()
+    full = CrawlPipeline(fix, DEFAULT_CONFIG, seed=42, scale=2, n_shards=2,
+                         fetch_concurrency=2).run()
+    assert full.stop_reason == "drained"
+    # the idle-stopped run ends strictly earlier than the drained run
+    # (rounds after the last productive one are skipped)
+    assert res.stop_reason == "idle_timeout"
+    assert res.rounds < full.rounds
+    assert res.counters["IDLE_TIMEOUT_STOP"] == 1
+    # up to its stopping point the idle run is a prefix of the full run
+    assert res.crawl_order == full.crawl_order[: len(res.crawl_order)]
