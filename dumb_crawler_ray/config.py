@@ -96,6 +96,18 @@ class JobConfig:
         return list(get_path(self.raw, "storage.includedTags", []) or [])
 
     @property
+    def max_file_size_mb(self) -> int:
+        """storage.maxFileSize (WarcStorageManager.java:30): output-file
+        rotation budget, reused as the page-fragment size budget."""
+        return int(get_path(self.raw, "storage.maxFileSize", 50))
+
+    @property
+    def proxify_tags(self) -> list[str]:
+        """renderer.proxify (ContentRenderer.java:55-64): tags routed
+        through the proxy renderer; 'all' proxies everything."""
+        return list(get_path(self.raw, "renderer.proxify", []) or [])
+
+    @property
     def task_killer_timeout_ms(self) -> int:
         text = str(get_path(self.raw, "taskKiller.timeout", "10m"))
         parsed = parse_period_ms(text)

@@ -276,6 +276,7 @@ class CrawlPipeline:
             "ckpt_dir": self.ckpt_dir,
             "fetch_delay_s": self.fetch_delay_s,
             "images_ref": self._images_broadcast(),
+            "proxy_api_key": os.environ.get("ROCKETSCRAPE_API_KEY"),
         }
 
     def _fetch(self, selection: pa.Table) -> pa.Table:

@@ -146,7 +146,7 @@ class OracleSimulator:
             # fetch + harvest in selection-rank order
             for r, tags in fetchable:
                 self.crawl_order.append(r.url_hash)
-                resp = self.web.fetch(r.url)
+                resp = self.web.fetch(self.comp.fetch_url_for(r.url, tags))
                 error, links, _html = self.comp.fetch_outcome(resp, r.url, tags)
                 r.tags = tags  # markProcessed writes recomputed tags back
                 r.attempt += 1

@@ -75,6 +75,7 @@ class CrawlComponents:
         self.prioritizer = LinkPrioritizer(cfg.priorities)
         self.validators = dict(cfg.validation_selectors)
         self.included_tags = set(cfg.included_tags)
+        self.proxify_tags = set(cfg.proxify_tags)
 
     # ---------------------------------------------------------- per batch
 
@@ -119,6 +120,35 @@ class CrawlComponents:
     def should_store(self, tags: list[str]) -> bool:
         """Tag gate (AbstractStorageManager.java:29-41): any-tag-in-order."""
         return any(t in self.included_tags for t in tags)
+
+    # -------------------------------------------------- renderer dispatch
+
+    def needs_proxy(self, tags: list[str]) -> bool:
+        """ContentRenderer.requiresProxy (ContentRenderer.java:41-52):
+        proxify contains 'all' or any task tag."""
+        p = self.proxify_tags
+        return bool(p) and ("all" in p or any(t in p for t in tags))
+
+    def proxy_url(self, url: str) -> str:
+        """RocketscrapeRenderer.transformUrl (RocketscrapeRenderer.java:20-25):
+        rewrite through the proxy API; key from $ROCKETSCRAPE_API_KEY,
+        validated non-empty and ≥10 chars (:11-19). The inner URL is NOT
+        url-encoded — faithful to the reference. Fetch actors run in their
+        own processes and do not see driver env mutations, so the driver
+        captures its env and ships it via ``proxy_api_key``."""
+        import os
+
+        key = getattr(self, "proxy_api_key", None) or os.environ.get(
+            "ROCKETSCRAPE_API_KEY"
+        )
+        if not key or len(key) < 10:
+            raise RuntimeError(
+                "Please provide a valid ROCKETSCRAPE_API_KEY environment variable!"
+            )
+        return f"https://api.rocketscrape.com/?apiKey={key}&url={url}"
+
+    def fetch_url_for(self, url: str, tags: list[str]) -> str:
+        return self.proxy_url(url) if self.needs_proxy(tags) else url
 
 
 def selection_sort_key(priority: int, attempt: int, url_hash: str):

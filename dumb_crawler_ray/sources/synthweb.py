@@ -317,6 +317,14 @@ class SynthWeb:
         return [self._row(i) for i in range(n)]
 
     def fetch(self, url: str) -> FetchResponse:
+        # transparent proxy unwrap (RocketscrapeRenderer URL shape): the
+        # synthetic network serves the inner url= target — the reference
+        # does not url-encode it, so everything after the first "&url="
+        # IS the target
+        if url.startswith("https://api.rocketscrape.com/"):
+            _, _, inner = url.partition("&url=")
+            if inner:
+                url = inner
         root = self._roots.get(url)
         if root is not None:
             return FetchResponse(200, root, [])

@@ -69,9 +69,11 @@ IMAGES_SCHEMA = pa.schema(
 class FetchWorker:
     def __init__(self, fixture_dir: str, config_raw: dict, seed: int, scale: int,
                  ckpt_dir: str | None = None, fetch_delay_s: float = 0.0,
-                 images_ref=None):
+                 images_ref=None, proxy_api_key: str | None = None):
         self.cfg = JobConfig(config_raw)
         self.comp = S.CrawlComponents(self.cfg)
+        if proxy_api_key is not None:
+            self.comp.proxy_api_key = proxy_api_key
         self.seed = seed
         pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
         self.web = SynthWeb(pages, seed, scale)
@@ -197,7 +199,7 @@ class FetchWorker:
             url, tags = urls[i], tags_list[i]
             if self.politeness_delay_s:
                 self._pace(self.comp.domain_of(url))
-            resp = self.web.fetch(url)
+            resp = self.web.fetch(self.comp.fetch_url_for(url, tags))
             error, links, html = self.comp.fetch_outcome(resp, url, tags)
             if error is not None:
                 out["error"][i] = error
@@ -284,10 +286,27 @@ class FetchWorker:
         if page_rows:
             d = os.path.join(self.ckpt_dir, "pages", f"round={rnd}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                pa.Table.from_pylist(page_rows, schema=PAGES_SCHEMA),
-                os.path.join(d, f"part-{part}.parquet"),
-            )
+            # storage.maxFileSize (WarcStorageManager.java:97-100 rotation):
+            # split a batch's pages into fragments under the size budget
+            budget = self.cfg.max_file_size_mb * (1 << 20)
+            chunk: list[dict] = []
+            size = 0
+            n_out = 0
+            for row in page_rows:
+                chunk.append(row)
+                size += len(row["html"]) + 256
+                if size >= budget:
+                    pq.write_table(
+                        pa.Table.from_pylist(chunk, schema=PAGES_SCHEMA),
+                        os.path.join(d, f"part-{part}-{n_out:03d}.parquet"),
+                    )
+                    chunk, size = [], 0
+                    n_out += 1
+            if chunk:
+                pq.write_table(
+                    pa.Table.from_pylist(chunk, schema=PAGES_SCHEMA),
+                    os.path.join(d, f"part-{part}-{n_out:03d}.parquet"),
+                )
         if image_rows:
             d = os.path.join(self.ckpt_dir, "images", f"round={rnd}")
             os.makedirs(d, exist_ok=True)

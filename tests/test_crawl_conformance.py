@@ -147,3 +147,49 @@ def test_task_killer_idle_stop(ray_session, tmp_path):
     assert res.counters["IDLE_TIMEOUT_STOP"] == 1
     # up to its stopping point the idle run is a prefix of the full run
     assert res.crawl_order == full.crawl_order[: len(res.crawl_order)]
+
+
+def test_proxy_renderer_dispatch(ray_session, monkeypatch):
+    """S4/S5: tags in renderer.proxify fetch through the rewritten proxy
+    URL (key from $ROCKETSCRAPE_API_KEY, validated); crawl results are
+    identical to the direct fetch because the synthetic network unwraps
+    the proxy transparently — and both pipeline and oracle agree."""
+    import json
+
+    import pytest as _pytest
+
+    from dumb_crawler_ray.pipelines import semantics as S
+    from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+    from dumb_crawler_ray.pipelines.oracle import simulate
+    from dumb_crawler_ray.sources.synthweb import (DEFAULT_CONFIG, SynthWeb,
+                                                   write_fixture)
+
+    fix = write_fixture("/tmp/dcr_fixtures/sf2", seed=42, scale=2)
+    cfg = json.loads(json.dumps(DEFAULT_CONFIG))
+    cfg["renderer"] = {"proxify": ["article"]}
+
+    comp = S.CrawlComponents.__new__(S.CrawlComponents)
+    # key validation: missing/short keys raise (RocketscrapeRenderer.java:11-19)
+    monkeypatch.delenv("ROCKETSCRAPE_API_KEY", raising=False)
+    from dumb_crawler_ray.config import JobConfig
+    comp.__init__(JobConfig(cfg))
+    assert comp.needs_proxy(["article"]) and not comp.needs_proxy(["other"])
+    with _pytest.raises(RuntimeError):
+        comp.proxy_url("https://x.test/a")
+    monkeypatch.setenv("ROCKETSCRAPE_API_KEY", "short")
+    with _pytest.raises(RuntimeError):
+        comp.proxy_url("https://x.test/a")
+
+    monkeypatch.setenv("ROCKETSCRAPE_API_KEY", "k" * 16)
+    assert comp.proxy_url("https://x.test/a?q=1") == (
+        "https://api.rocketscrape.com/?apiKey=" + "k" * 16
+        + "&url=https://x.test/a?q=1"
+    )
+    res = CrawlPipeline(fix, cfg, seed=42, scale=2, n_shards=2,
+                        fetch_concurrency=2).run()
+    orc = simulate(cfg, SynthWeb.generate(42, 2))
+    assert res.crawl_order == orc.crawl_order
+    assert res.seen_set == orc.seen_set
+    # proxying is transparent: same results as the un-proxied config
+    base = simulate(DEFAULT_CONFIG, SynthWeb.generate(42, 2))
+    assert res.crawl_order == base.crawl_order
