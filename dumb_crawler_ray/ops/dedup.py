@@ -40,6 +40,18 @@ def _stable64(s: str) -> int:
     return struct.unpack(">Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+def _stable64_batch(strs) -> np.ndarray:
+    """Vectorized stable 64-bit string hashing (pandas siphash, fixed
+    key — process-independent). ~10× the per-string md5 loop; collisions
+    at 64 bits are negligible for shingle identity."""
+    import pandas as pd
+
+    arr = np.asarray(list(strs), dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False)
+
+
 def _docs(sf_dir: str, columns):
     import ray
 
@@ -105,40 +117,41 @@ class _MinHasher:
     def signature(self, shingle_set: set[str]) -> np.ndarray:
         if not shingle_set:
             return np.full(N_PERM, _MERSENNE, dtype=np.int64)
-        xs = np.fromiter(
-            (_stable64(s) & 0xFFFFFFFF for s in shingle_set),
-            dtype=np.uint64, count=len(shingle_set),
-        )
+        xs = _stable64_batch(shingle_set) & np.uint64(0xFFFFFFFF)
         hashed = (self.a[:, None] * xs[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return hashed.min(axis=1).astype(np.int64)
 
 
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 class MinHashWorker:
-    """Actor-pool stage: permutations built once per actor."""
+    """Actor-pool stage: permutations built once per actor. Band keys are
+    NUMERIC (vectorized multiply-xor fold of each band's rows + the band
+    index) — an int64 groupby key shuffles far cheaper than md5-hex
+    strings, and the whole batch folds in one (docs × bands) pass."""
 
     def __init__(self, seed: int = 1234):
         self.hasher = _MinHasher(seed)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, sigs, bands = [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            sig = self.hasher.signature(_shingles(text))
-            ids.append(doc_id)
-            sigs.append([int(x) for x in sig])
-            bands.append(
-                [
-                    f"{b}:" + hashlib.md5(
-                        sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND].tobytes()
-                    ).hexdigest()[:16]
-                    for b in range(N_BANDS)
-                ]
-            )
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        n = len(ids)
+        sig_m = np.empty((n, N_PERM), dtype=np.int64)
+        for i, text in enumerate(texts):
+            sig_m[i] = self.hasher.signature(_shingles(text))
+        rows = sig_m.view(np.uint64).reshape(n, N_BANDS, ROWS_PER_BAND)
+        acc = np.zeros((n, N_BANDS), dtype=np.uint64)
+        for r in range(ROWS_PER_BAND):
+            acc = (acc * _BAND_MIX) ^ rows[:, :, r]
+        acc ^= (np.arange(N_BANDS, dtype=np.uint64) + np.uint64(1)) * _BAND_MIX
+        band_keys = (acc >> np.uint64(1)).astype(np.int64)  # keep positive
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "signature": pa.array(sigs, pa.list_(pa.int64())),
-                "bands": pa.array(bands, pa.list_(pa.string())),
+                "signature": pa.array(sig_m.tolist(), pa.list_(pa.int64())),
+                "bands": pa.array(band_keys.tolist(), pa.list_(pa.int64())),
             }
         )
 
@@ -150,50 +163,94 @@ def minhash_signatures(sf_dir: str, concurrency: int = 2):
     )
 
 
-def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
-                           concurrency: int = 2):
-    """LSH candidate generation (band-bucket groupby) + exact shingle-
-    Jaccard verification. Returns (a, b, jaccard) pairs with a < b,
-    sorted — deterministic. Rows-only oracle (not SQL-expressible)."""
+def _candidate_pairs_by_key(exploded, n_partitions: int):
+    """(key:int64, doc_id:int64) rows → unique packed int64 doc pairs.
+
+    repartition(keys=[key]) co-locates each key's rows, a block-local
+    lexsort segment scan emits packed pairs, repartition(keys=[pair]) +
+    per-block np.unique dedupes — the same keyed-repartition shape as
+    `ngram_jaccard_pairs` (Ray's sort aggregate collapses at high key
+    cardinality). Caller must scope ShuffleStrategy.HASH_SHUFFLE."""
+
+    def pairs_in_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.int64())})
+        if len(b) < 2:
+            return empty
+        keys = b.column("key").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        o = np.lexsort((ids, keys))
+        keys, ids = keys[o], ids[o]
+        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        parts = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, 1)
+            parts.append((ids[s + ii] << 32) | ids[s + jj])
+        if not parts:
+            return empty
+        return pa.table({"pair": pa.array(np.concatenate(parts), pa.int64())})
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"pair": pa.array(np.unique(b.column("pair").to_numpy()), pa.int64())}
+        )
+
+    return (
+        exploded.repartition(n_partitions, keys=["key"])
+        .map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())
+        .repartition(n_partitions, keys=["pair"])
+        .map_batches(uniq, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())
+    )
+
+
+def _hash_partition_count() -> int:
+    """Hash-shuffle partitions are backed by aggregator actors; more
+    partitions than CPUs deadlocks a small cluster."""
     import ray
 
-    sigs = minhash_signatures(sf_dir, concurrency)
+    return max(2, min(32, int(ray.cluster_resources().get("CPU", 4) / 2)))
 
-    # explode (band_key, doc_id) then groupby band_key → candidate pairs
+
+def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
+                           concurrency: int = 2):
+    """LSH candidate generation (numeric band keys, keyed-repartition
+    pair machinery) + exact shingle-Jaccard verification. Returns
+    (a, b, jaccard) pairs with a < b, sorted — deterministic. Rows-only
+    oracle (not SQL-expressible)."""
+    import ray
+
     def explode(t: pa.Table) -> pa.Table:
-        keys, ids = [], []
-        for doc_id, bands in zip(t.column("doc_id").to_pylist(),
-                                 t.column("bands").to_pylist()):
-            for bk in bands:
-                keys.append(bk)
-                ids.append(doc_id)
+        ids = t.column("doc_id").to_numpy()
+        if len(ids) and (ids.max() >= (1 << 31) or ids.min() < 0):
+            raise ValueError("minhash pair packing needs doc ids < 2^31")
+        bands = t.column("bands")
+        import pyarrow.compute as _pc
+
+        flat = _pc.list_flatten(bands)
+        n_bands = _pc.list_value_length(bands).to_numpy(zero_copy_only=False)
         return pa.table(
-            {"band_key": pa.array(keys, pa.string()),
-             "doc_id": pa.array(ids, pa.int64())}
+            {"key": flat,
+             "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64())}
         )
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column("doc_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table(
-            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
-        )
-
-    from ray.data.aggregate import Count
-
-    # candidate dedup stays distributed: groupby(a, b) collapses a pair
-    # found in several bands to one row (no driver-side set())
-    cand = (
-        sigs.map_batches(explode, batch_format="pyarrow", **remote_kwargs())
-        .groupby("band_key")
-        .map_groups(pairs_in_bucket, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
-    )
+    # datasets capture the DataContext at CREATION — the whole candidate
+    # chain (signatures included) must be built inside the scoped override
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        sigs = minhash_signatures(sf_dir, concurrency)
+        cand = _candidate_pairs_by_key(
+            sigs.map_batches(explode, batch_format="pyarrow", **remote_kwargs()),
+            _hash_partition_count(),
+        ).materialize()
+    finally:
+        ctx.shuffle_strategy = prev
 
     # exact verification: candidate pairs stream through map_batches; the
     # doc→text map is broadcast ONCE via ray.put (small-side pattern). At
@@ -211,7 +268,9 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
         tm = ray.get(text_ref)
         keep_a, keep_b, jac = [], [], []
         cache: dict[int, set] = {}
-        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+        pairs_np = t.column("pair").to_numpy()
+        for a, b in zip((pairs_np >> 32).tolist(),
+                        (pairs_np & 0x7FFFFFFF).tolist()):
             sa = cache.setdefault(a, _shingles(tm[a]))
             sb = cache.setdefault(b, _shingles(tm[b]))
             union = len(sa | sb)
@@ -254,7 +313,7 @@ def simhash64(text: str) -> int:
     toks = re.findall(TOKEN_REGEX, text.lower())
     if not toks:
         return 0
-    hs = np.fromiter((_stable64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    hs = _stable64_batch(toks)
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out_bits = (acc > 0).astype(np.uint64)
@@ -466,10 +525,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
     # this op materializes eagerly under a scoped context override. The
     # result is tiny (qualifying pairs only).
     if n_partitions is None:
-        # each hash-shuffle partition is backed by an aggregator actor:
-        # more partitions than CPUs deadlocks a small cluster
-        n_partitions = max(2, min(32, int(
-            ray.cluster_resources().get("CPU", 4) / 2)))
+        n_partitions = _hash_partition_count()
     ctx = ray.data.DataContext.get_current()
     prev = ctx.shuffle_strategy
     ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
