@@ -389,6 +389,9 @@ class CrawlPipeline:
             self.counters["IGNORED_LINKS"] += int(
                 pc.sum(fr.column("n_links_ignored")).as_py() or 0
             )
+            n_tml = int(pc.sum(fr.column("too_many_links")).as_py() or 0)
+            if n_tml:
+                self.counters["TOO_MANY_LINKS_PAGES"] += n_tml
             store_mask = fr.column("store_ok").to_numpy(zero_copy_only=False)
             st_idx = np.flatnonzero(store_mask)
             self.counters["SAVED_PAGES"] += len(st_idx)

@@ -148,6 +148,8 @@ class OracleSimulator:
                 self.crawl_order.append(r.url_hash)
                 resp = self.web.fetch(self.comp.fetch_url_for(r.url, tags))
                 error, links, _html = self.comp.fetch_outcome(resp, r.url, tags)
+                if len(links) > 300:  # K2 warning counter, no truncation
+                    self.counters["TOO_MANY_LINKS_PAGES"] += 1
                 r.tags = tags  # markProcessed writes recomputed tags back
                 r.attempt += 1
                 if r.attempt >= self.cfg.max_attempt_count:

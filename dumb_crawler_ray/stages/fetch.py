@@ -178,6 +178,7 @@ class FetchWorker:
             "tags": [list(t) for t in tags_list],
             "image_ids": [[] for _ in range(n)],
             "n_links_allowed": [0] * n, "n_links_ignored": [0] * n,
+            "too_many_links": [False] * n,
             "cand_url": [[] for _ in range(n)],
             "cand_hash": [[] for _ in range(n)],
             "cand_domain": [[] for _ in range(n)],
@@ -204,6 +205,8 @@ class FetchWorker:
             if error is not None:
                 out["error"][i] = error
                 continue
+            if len(links) > 300:  # reference warns at >300 (K2), no truncation
+                out["too_many_links"][i] = True
             page_links.append((i, links))
             if self.comp.should_store(tags):
                 out["store_ok"][i] = True
@@ -330,6 +333,7 @@ def _to_arrow(out: dict) -> pa.Table:
             "tags": pa.array(out["tags"], pa.list_(pa.string())),
             "image_ids": pa.array(out["image_ids"], pa.list_(pa.string())),
             "image_errors": pa.array(out["image_errors"], pa.int64()),
+            "too_many_links": pa.array(out["too_many_links"], pa.bool_()),
             "n_links_allowed": pa.array(out["n_links_allowed"], pa.int64()),
             "n_links_ignored": pa.array(out["n_links_ignored"], pa.int64()),
             "cand_url": pa.array(out["cand_url"], pa.list_(pa.string())),
