@@ -193,3 +193,27 @@ def test_proxy_renderer_dispatch(ray_session, monkeypatch):
     # proxying is transparent: same results as the un-proxied config
     base = simulate(DEFAULT_CONFIG, SynthWeb.generate(42, 2))
     assert res.crawl_order == base.crawl_order
+
+
+def test_run_cli_smoke(ray_session, tmp_path, capsys):
+    """`python -m dumb_crawler_ray.run` — the DumbCrawlerApplication.main
+    analogue / ray-job-submit payload — runs a job from a config file and
+    prints one JSON summary line."""
+    import json
+
+    from dumb_crawler_ray.run import main
+    from dumb_crawler_ray.sources.synthweb import write_fixture
+
+    fix = write_fixture("/tmp/dcr_fixtures/sf2", seed=42, scale=2)
+    rc = main(["--fixture", str(fix), "--scale", "2", "--shards", "2",
+               "--concurrency", "2", "--ckpt", str(tmp_path / "ck")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["urls_fetched"] > 50 and out["stop_reason"] == "drained"
+    # resume over a completed checkpoint is a no-op continuation
+    rc = main(["--fixture", str(fix), "--scale", "2", "--shards", "2",
+               "--concurrency", "2", "--ckpt", str(tmp_path / "ck"),
+               "--resume"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["urls_fetched"] == out["urls_fetched"]
