@@ -146,8 +146,39 @@ def test_embedding_near_dups_deterministic(registry, ray_session):
     a = to_df(fn(SF))
     b = to_df(fn(SF))
     pd.testing.assert_frame_equal(a, b)
-    # all reported cosines respect the threshold
+    # all reported cosines respect the threshold (the sf embeddings are
+    # random — max pairwise cosine ≈ 0.51, so zero pairs is CORRECT there)
     assert (a["cosine"] >= 0.95).all() if len(a) else True
+
+
+def test_embedding_near_dups_finds_planted_pair(ray_session):
+    """Plant a true near-duplicate vector and check the distributed LSH
+    pipeline surfaces it with the exact cosine."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.dedup import embedding_near_dup_pairs
+
+    base = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = base.column("embedding").to_pylist()
+    ids = base.column("vec_id").to_pylist()
+    near = (np.asarray(vecs[0]) + np.random.default_rng(5).normal(
+        0, 1e-3, len(vecs[0]))).tolist()
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids + [99999], pa.int64()),
+                  "embedding": pa.array(vecs + [near],
+                                        base.column("embedding").type)}),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    pairs = to_df(embedding_near_dup_pairs(d))
+    planted = pairs[(pairs.a == ids[0]) & (pairs.b == 99999)]
+    assert len(planted) == 1, pairs
+    assert planted["cosine"].iloc[0] >= 0.999
 
 
 def test_lang_id_heuristic_on_real_language(ray_session):
