@@ -283,7 +283,7 @@ def props_k_stats(sf_dir: str):
     ).sort("k_bucket")
 
 
-def order_priority_revenue(sf_dir: str, num_partitions: int = 8):
+def order_priority_revenue(sf_dir: str, num_partitions: int | None = None):
     """lineitem ⨝ orders — BOTH sides large, so this is a genuine hash
     shuffle join (Ray Data native `Dataset.join`), not a broadcast; then
     revenue per order priority. The join key (orderkey) is the one
@@ -305,6 +305,12 @@ def order_priority_revenue(sf_dir: str, num_partitions: int = 8):
             }
         )
 
+    import ray
+
+    if num_partitions is None:
+        # join partitions are actor-backed; size to the cluster
+        num_partitions = max(2, min(16, int(
+            ray.cluster_resources().get("CPU", 4) / 2)))
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())
