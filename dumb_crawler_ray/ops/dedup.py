@@ -450,7 +450,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
         sh_col, id_col, n_col = [], [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
-            hs = {_stable64(s) & ((1 << 63) - 1) for s in _shingles(text)}
+            hs = set(
+                (_stable64_batch(_shingles(text))
+                 & np.uint64((1 << 63) - 1)).tolist()
+            )
             for h in hs:
                 sh_col.append(h)
                 id_col.append(doc_id)
