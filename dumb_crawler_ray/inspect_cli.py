@@ -34,7 +34,7 @@ def summary(ckpt_dir: str) -> None:
         print(f"seed/scale      : {m['seed']}/{m['scale']}  shards: {m['n_shards']}")
         for k in sorted(m["counters"]):
             print(f"  {k:<28} {m['counters'][k]}")
-    for name in ("pages", "images", "frontier_inserts", "frontier_updates", "order"):
+    for name in ("pages", "images", "frontier_inserts", "frontier_updates", "order", "lineage"):
         ds = _tbl(ckpt_dir, name)
         if ds is not None:
             print(f"{name:<17} {ds.count_rows()} rows, {len(ds.files)} fragments")

@@ -104,6 +104,10 @@ class CrawlPipeline:
         self.fetch_mode = fetch_mode
         self.shards = None
         self._fetch_pool = None
+        # per-round per-shard lineage accumulator (north rule: per-partition
+        # lineage records) — flushed to lineage/round=NNNNNN.parquet at commit
+        self._lineage_acc: dict[int, dict] = {}
+        self._round_wall_ms = 0
         self.bloom = BloomFilter(capacity=max(1 << 14, 64 * 40 * scale), fpp=0.01)
 
     # ------------------------------------------------------------- setup
@@ -162,7 +166,7 @@ class CrawlPipeline:
         cand = cand.append_column("hash64", pa.array(h64, pa.int64()))
         maybe_seen = self.bloom.contains_many(h64)
         shard_ids = self._route(cand.column("domain").to_pylist(), hashes_np)
-        refs = []
+        refs, ref_sids = [], []
         for sid in range(self.n_shards):
             idx = np.flatnonzero(shard_ids == sid)
             if len(idx) == 0:
@@ -172,10 +176,16 @@ class CrawlPipeline:
                     cand.take(pa.array(idx)), maybe_seen[idx]
                 )
             )
-        for delta in ray.get(refs):
+            ref_sids.append((sid, len(idx)))
+        for (sid, n_in), delta in zip(ref_sids, ray.get(refs)):
             self.counters["DISCOVERED_URLS"] += delta["discovered"]
             self.counters["ROBOTS_DENIED_URLS"] += delta["robots_denied"]
             self.stats["SEEN_EXACT_PROBES"] += delta["exact_probes"]
+            lin = self._lineage(sid)
+            lin["candidates_in"] += n_in
+            lin["discovered"] += delta["discovered"]
+            lin["robots_denied"] += delta["robots_denied"]
+            lin["exact_probes"] += delta["exact_probes"]
         self.bloom.add_many(h64)
         self._ckpt_frontier_inserts(cand)
 
@@ -435,6 +445,10 @@ class CrawlPipeline:
                     "tags": [tags[i] for i in idx],
                     "attempt": attempts[idx].tolist(),
                 }
+                lin = self._lineage(sid)
+                st = status[idx]
+                lin["fetched"] += int(len(idx))
+                lin["failed"] += int((st == S.FAILED).sum())
                 refs.append(self.shards[sid].complete.remote(completes[sid]))
             ray.get(refs)
         self._ckpt_updates(completes, order_rows)
@@ -451,6 +465,42 @@ class CrawlPipeline:
         )
         if len(cand):
             self._insert_candidates(cand)
+
+    # ---------------------------------------------------------- lineage
+
+    def _lineage(self, sid: int) -> dict:
+        return self._lineage_acc.setdefault(sid, {
+            "candidates_in": 0, "discovered": 0, "robots_denied": 0,
+            "exact_probes": 0, "fetched": 0, "failed": 0,
+        })
+
+    def _ckpt_lineage(self):
+        """One row per frontier shard per round — the per-partition
+        lineage/metrics table (north rule); queryable via inspect_cli."""
+        if not self.ckpt_dir or not self._lineage_acc:
+            self._lineage_acc = {}
+            return
+        d = self._ckpt_path("lineage")
+        os.makedirs(d, exist_ok=True)
+        sids = sorted(self._lineage_acc)
+        cols = {
+            "round": pa.array([self.round] * len(sids), pa.int64()),
+            "shard": pa.array(sids, pa.int64()),
+        }
+        for k in ("candidates_in", "discovered", "robots_denied",
+                  "exact_probes", "fetched", "failed"):
+            cols[k] = pa.array(
+                [self._lineage_acc[s][k] for s in sids], pa.int64()
+            )
+        cols["wall_ms"] = pa.array(
+            [int(self._round_wall_ms)] * len(sids), pa.int64()
+        )
+        t = pa.table(cols)
+        path = os.path.join(d, f"round={self.round:06d}.parquet")
+        if os.path.exists(path):  # seed commit + first round share round 0
+            t = pa.concat_tables([pq.read_table(path), t])
+        pq.write_table(t, path)
+        self._lineage_acc = {}
 
     # -------------------------------------------------------- checkpoint
 
@@ -499,6 +549,7 @@ class CrawlPipeline:
         pq.write_table(ot, os.path.join(do, f"round={self.round:06d}.parquet"))
 
     def _ckpt_commit(self):
+        self._ckpt_lineage()
         if not self.ckpt_dir:
             return
         manifest = {
@@ -524,7 +575,7 @@ class CrawlPipeline:
             for name in os.listdir(base):
                 if name.startswith("round=") and int(name.split("=")[1]) > committed_round:
                     shutil.rmtree(os.path.join(base, name))
-        for sub in ("frontier_inserts", "frontier_updates", "order"):
+        for sub in ("frontier_inserts", "frontier_updates", "order", "lineage"):
             base = self._ckpt_path(sub)
             if not os.path.isdir(base):
                 continue
@@ -650,8 +701,10 @@ class CrawlPipeline:
             if selection is None:
                 break
             prev_new = self.counters["NEW_SAVED_PAGES"]
+            _r0 = _time.monotonic()
             result = self._fetch(selection)
             self._harvest(result)
+            self._round_wall_ms = (_time.monotonic() - _r0) * 1000
             self._ckpt_commit()
             self.round += 1
             rounds_done += 1
