@@ -335,6 +335,54 @@ def simhash_signatures(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())
 
 
+# ------------------------------------------------- near-dup clustering
+
+def near_dup_clusters(sf_dir: str, threshold: float = 0.5,
+                      concurrency: int = 2):
+    """Connected components over the verified MinHash near-dup pairs →
+    one row per clustered doc with its cluster representative (min doc_id)
+    and cluster size, plus `keep` (rep only) — the training-data keep-list
+    finisher.
+
+    The component pass is driver-side union-find: the input is the
+    VERIFIED pair set, which is provably tiny relative to the corpus
+    (near-dups only — everything upstream of it is distributed). At a
+    scale where even that set outgrows the driver, swap in min-label
+    propagation (a few groupby(min) rounds over the same pairs).
+    Deterministic; rows-only oracle."""
+    pairs = minhash_near_dup_pairs(sf_dir, threshold=threshold,
+                                   concurrency=concurrency)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the representative is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted(parent)
+    reps = [find(m) for m in members]
+    sizes: dict[int, int] = {}
+    for r in reps:
+        sizes[r] = sizes.get(r, 0) + 1
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_rep": pa.array(reps, pa.int64()),
+            "cluster_size": pa.array([sizes[r] for r in reps], pa.int64()),
+            "keep": pa.array([m == r for m, r in zip(members, reps)], pa.bool_()),
+        }
+    )
+
+
 # ------------------------------------------------------ embedding near-dup
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,

@@ -412,6 +412,7 @@ def build_registry() -> dict[str, tuple]:
 
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
+    reg["near_dup_clusters"] = (dedup.near_dup_clusters, None)
     reg["simhash_signatures"] = (dedup.simhash_signatures, None)
     reg["embedding_near_dup_pairs"] = (dedup.embedding_near_dup_pairs, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)

@@ -254,3 +254,18 @@ def test_winnowed_fingerprints(registry, ray_session):
     df = to_df(registry["winnowed_fingerprints"][0](SF))
     assert len(df) == 500
     assert df["fingerprints"].map(len).min() >= 1
+
+
+def test_near_dup_clusters(registry, ray_session):
+    """Clusters over verified pairs: representatives are the min doc_id,
+    keep-list has exactly one keeper per cluster, and every clustered doc
+    appears in some verified pair."""
+    fn, _ = registry["near_dup_clusters"]
+    df = to_df(fn(SF))
+    pairs = to_df(registry["minhash_near_dup_pairs"][0](SF))
+    in_pairs = set(pairs["a"]) | set(pairs["b"])
+    assert set(df["doc_id"]) == in_pairs
+    for rep, g in df.groupby("cluster_rep"):
+        assert rep == g["doc_id"].min()
+        assert g["keep"].sum() == 1
+        assert (g["cluster_size"] == len(g)).all()
