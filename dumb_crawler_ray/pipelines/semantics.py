@@ -109,13 +109,17 @@ class CrawlComponents:
         J/services/renderer/SimpleHttpRenderer.java:38-42."""
         if resp.status_code != 200:
             return f"INVALID_STATUS_CODE_{resp.status_code}", [], ""
-        if not resp.html.strip():
+        # faithful quirk: SimpleHttpRenderer reads the body line-by-line and
+        # concatenates WITHOUT newlines (SimpleHttpRenderer.java:44-50) —
+        # validation, extraction and storage all see the stripped form
+        html = "".join(resp.html.splitlines())
+        if not html.strip():
             return "EMPTY_RESPONSE_BODY", [], ""
         for tag in tags:
             selector = self.validators.get(tag)
-            if selector is not None and not css_select_exists(resp.html, selector):
-                return f"CONTENT_VALIDATION_ERROR_{tag}", [], resp.html
-        return None, extract_links(resp.html, url), resp.html
+            if selector is not None and not css_select_exists(html, selector):
+                return f"CONTENT_VALIDATION_ERROR_{tag}", [], html
+        return None, extract_links(html, url), html
 
     def should_store(self, tags: list[str]) -> bool:
         """Tag gate (AbstractStorageManager.java:29-41): any-tag-in-order."""
