@@ -217,3 +217,29 @@ def test_run_cli_smoke(ray_session, tmp_path, capsys):
     assert rc == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["urls_fetched"] == out["urls_fetched"]
+
+
+def test_kitchen_sink_conformance(ray_session, monkeypatch):
+    """Every config feature at once — robots, politeness cap + delay,
+    proxy dispatch, id-extractor dedup, validation, storage gate, low
+    maxAttemptCount — pipeline ≡ oracle on order, seen set AND counters."""
+    import json
+
+    from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+    from dumb_crawler_ray.pipelines.oracle import simulate
+    from dumb_crawler_ray.sources.synthweb import (DEFAULT_CONFIG, SynthWeb,
+                                                   write_fixture)
+
+    monkeypatch.setenv("ROCKETSCRAPE_API_KEY", "k" * 16)
+    fix = write_fixture("/tmp/dcr_fixtures/sf4", seed=42, scale=4)
+    cfg = json.loads(json.dumps(DEFAULT_CONFIG))
+    cfg["politeness"] = {"delay_ms": 1, "max_per_domain_per_round": 3,
+                         "respect_robots": True}
+    cfg["renderer"] = {"proxify": ["article"]}
+    cfg["maxAttemptCount"] = 2
+    res = CrawlPipeline(fix, cfg, seed=42, scale=4, n_shards=3,
+                        fetch_concurrency=3).run()
+    orc = simulate(cfg, SynthWeb.generate(42, 4))
+    assert res.crawl_order == orc.crawl_order
+    assert res.seen_set == orc.seen_set
+    assert res.counters == orc.counters
