@@ -376,6 +376,26 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["daily_active_users"] = (
+        relational.daily_active_users,
+        """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS active_users
+        FROM events GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    reg["order_size_distribution"] = (
+        relational.order_size_distribution,
+        """
+        WITH per_order AS (
+            SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+        )
+        SELECT n_items, count(*) AS n_orders
+        FROM per_order GROUP BY n_items ORDER BY n_items
+        """,
+    )
+
     reg["ngram_jaccard_pairs"] = (
         dedup.ngram_jaccard_pairs,
         """
@@ -417,6 +437,7 @@ def build_registry() -> dict[str, tuple]:
     reg["embedding_near_dup_pairs"] = (dedup.embedding_near_dup_pairs, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["lang_id"] = (text.lang_id, None)
+    reg["approx_distinct_users"] = (text.approx_distinct_users, None)
     reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)
     reg["image_decode_stats"] = (image_decode_stats, None)
     reg["image_phash_near_dups"] = (image_phash_near_dups, None)

@@ -402,3 +402,46 @@ def part_brand_stats(sf_dir: str):
          ("p_size", "sum", "sum_size")],
         derive=derive,
     ).sort("p_brand")
+
+
+def daily_active_users(sf_dir: str):
+    """COUNT(DISTINCT) as a two-stage shuffle: groupby(day, user) collapses
+    duplicates (stage 1 — the heavy shuffle shrinks to unique pairs), then
+    groupby(day).count() counts survivors. Never materializes a per-group
+    set anywhere."""
+    from ray.data.aggregate import Count
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.utf8_slice_codeunits(
+            pc.strftime(t.column("ts"), format="%Y-%m-%d"), 0, 10
+        )
+        return pa.table({"day": day, "user_id": t.column("user_id")})
+
+    pairs = partial_aggregate(
+        _read(sf_dir, "events", columns=["ts", "user_id"]),
+        ["day", "user_id"],
+        [("user_id", "count", "n_events")],
+        derive=derive,
+    )
+    return (
+        pairs.groupby("day")
+        .aggregate(Count(alias_name="active_users"))
+        .sort("day")
+    )
+
+
+def order_size_distribution(sf_dir: str):
+    """TPC-H Q13-shaped double aggregation: lineitems per order, then the
+    distribution of that count — two chained groupbys on different keys."""
+    from ray.data.aggregate import Count
+
+    per_order = partial_aggregate(
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+        ["l_orderkey"],
+        [("l_orderkey", "count", "n_items")],
+    )
+    return (
+        per_order.groupby("n_items")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("n_items")
+    )

@@ -200,3 +200,79 @@ def winnowed_fingerprints(sf_dir: str, window: int = 32, keep_every: int = 8):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+
+
+class _HLL:
+    """Minimal HyperLogLog (2^p registers, the standard bias-corrected
+    estimator) — a MERGEABLE sketch: per-batch sketches combine by
+    register-max, so distinct counting becomes map_batches partials plus
+    one tiny merge (the sketch pattern for wide data; sub-1% memory of
+    the exact two-stage distinct at high cardinality)."""
+
+    P = 12  # 4096 registers → ~1.6% relative error
+
+    @classmethod
+    def sketch(cls, hashes: "np.ndarray") -> "np.ndarray":
+        m = 1 << cls.P
+        regs = np.zeros(m, dtype=np.uint8)
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - cls.P)).astype(np.int64)
+        rest = (h << np.uint64(cls.P)) | np.uint64(1)  # sentinel bit
+        # rank = leading zeros of the remaining bits + 1, vectorized
+        lz = np.zeros(len(h), dtype=np.uint8)
+        cur = rest.copy()
+        mask = np.ones(len(h), dtype=bool)
+        for bit in range(64):
+            top = (cur >> np.uint64(63)) & np.uint64(1)
+            newly = mask & (top == 1)
+            lz[newly] = bit + 1
+            mask &= top == 0
+            if not mask.any():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(regs, idx, lz)
+        return regs
+
+    @classmethod
+    def estimate(cls, regs: "np.ndarray") -> float:
+        m = float(1 << cls.P)
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(
+            np.power(2.0, -regs.astype(np.float64))
+        )
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+
+def approx_distinct_users(sf_dir: str):
+    """HLL distinct-user estimate: one sketch per batch (map_batches),
+    register-max merge of the tiny sketches, one output row
+    (estimate + exact-side memory ratio). Rows-only oracle; accuracy vs
+    the exact count is asserted in tests."""
+    import pandas as pd
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").to_numpy(zero_copy_only=False).astype(object)
+        hs = pd.util.hash_array(ids, categorize=False)
+        return pa.table({"sketch": pa.array([_HLL.sketch(hs).tobytes()],
+                                            pa.binary())})
+
+    import ray
+
+    sketches = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(sketch_batch, batch_format="pyarrow", **remote_kwargs())
+    merged = np.zeros(1 << _HLL.P, dtype=np.uint8)
+    n_sketches = 0
+    for b in sketches.iter_batches(batch_format="pyarrow", batch_size=None):
+        for raw in b.column("sketch").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
+            n_sketches += 1
+    return pa.table(
+        {
+            "estimate": pa.array([int(round(_HLL.estimate(merged)))], pa.int64()),
+            "n_sketches": pa.array([n_sketches], pa.int64()),
+            "sketch_bytes": pa.array([merged.nbytes], pa.int64()),
+        }
+    )

@@ -76,7 +76,8 @@ SQL_CHECKED = [
     "props_k_stats", "part_brand_stats", "doc_token_counts",
     "doc_quality_scores", "doc_fingerprints", "dedup_exact",
     "ann_bruteforce_topk", "ngram_jaccard_pairs", "order_priority_revenue",
-    "top_parts_per_brand", "user_sessions",
+    "top_parts_per_brand", "user_sessions", "daily_active_users",
+    "order_size_distribution",
 ]
 
 
@@ -269,3 +270,19 @@ def test_near_dup_clusters(registry, ray_session):
         assert rep == g["doc_id"].min()
         assert g["keep"].sum() == 1
         assert (g["cluster_size"] == len(g)).all()
+
+
+def test_hll_accuracy_vs_exact(registry, ray_session):
+    """The mergeable HLL sketch estimates distinct users within its
+    theoretical error band (~1.6% at 2^12 registers; generous 5% bound),
+    and the sketch state is 4 KiB regardless of cardinality."""
+    import duckdb
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        est = to_df(registry["approx_distinct_users"][0](sf))
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        e = int(est["estimate"].iloc[0])
+        assert abs(e - exact) / exact <= 0.05, (sf, e, exact)
+        assert int(est["sketch_bytes"].iloc[0]) == 4096
