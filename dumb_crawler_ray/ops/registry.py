@@ -396,6 +396,18 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["purchase_click_asof"] = (
+        relational.purchase_click_asof,
+        """
+        SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.user_id, p.ts
+        """,
+    )
+
     reg["ngram_jaccard_pairs"] = (
         dedup.ngram_jaccard_pairs,
         """

@@ -445,3 +445,50 @@ def order_size_distribution(sf_dir: str):
         .aggregate(Count(alias_name="n_orders"))
         .sort("n_items")
     )
+
+
+def purchase_click_asof(sf_dir: str):
+    """AS-OF JOIN — an operator Ray Data has no primitive for: for every
+    purchase event, the same user's latest click at-or-before it.
+    Expressed as one read → side-marker filter → groupby(user).map_groups
+    doing a per-key sorted `searchsorted` merge (the co-group form of
+    merge-asof). Keyed time alignment never crosses partitions, so the
+    shape holds at any scale; oracle = DuckDB's native ASOF JOIN."""
+    import numpy as np
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["purchase", "click"]))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "is_purchase": pc.equal(t.column("event_type"), "purchase"),
+            }
+        )
+
+    def asof(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy()
+        isp = g.column("is_purchase").to_numpy(zero_copy_only=False)
+        p_ts = np.sort(ts[isp])
+        c_ts = np.sort(ts[~isp])
+        idx = np.searchsorted(c_ts, p_ts, side="right") - 1
+        click = np.where(idx >= 0, c_ts[np.maximum(idx, 0)],
+                         np.datetime64("NaT"))
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(p_ts), pa.int64()),
+                "purchase_ts": pa.array(p_ts),
+                "click_ts": pa.array(click),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow", **remote_kwargs())
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pyarrow", **remote_kwargs())
+        .sort(["user_id", "purchase_ts"])
+    )

@@ -77,7 +77,7 @@ SQL_CHECKED = [
     "doc_quality_scores", "doc_fingerprints", "dedup_exact",
     "ann_bruteforce_topk", "ngram_jaccard_pairs", "order_priority_revenue",
     "top_parts_per_brand", "user_sessions", "daily_active_users",
-    "order_size_distribution",
+    "order_size_distribution", "purchase_click_asof",
 ]
 
 
