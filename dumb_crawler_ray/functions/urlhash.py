@@ -8,8 +8,10 @@ contain ``?<id>`` (URLHasher.java:19-29).
 
 Additionally (north-rule extension, BASELINE.json) we derive ``hash64`` — a
 signed 64-bit hash of the canonical id — used by the bloom / cuckoo
-membership filters. It is the first 8 bytes of md5(id), big-endian, which is
-stable across processes and machines (unlike Python's ``hash``).
+membership filters. It is pandas' siphash64 (``pd.util.hash_array`` with the
+fixed default key), stable across processes and machines (unlike Python's
+salted ``hash``). Persisted bloom/cuckoo snapshot compatibility therefore
+depends on pandas keeping ``hash_array`` stable across versions.
 """
 
 from __future__ import annotations

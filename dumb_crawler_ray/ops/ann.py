@@ -19,27 +19,34 @@ import numpy as np
 import pyarrow as pa
 
 from ..rayutil import remote_kwargs
+from .vecutil import embedding_matrix, normalize_rows as _normalize
 
 SIM_DECIMALS = 4  # round similarities so float noise can't flip value hashes
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
+    """First `n_queries` vectors by ascending vec_id — computed as a
+    DISTRIBUTED partial-min: each Arrow batch keeps only its n smallest
+    ids (map_batches), so the driver merges ≤ n·n_blocks tiny rows instead
+    of reading the whole embeddings table (the round-1 version did a
+    driver-side `pq.read_table` of the full file)."""
+    import ray
 
-    t = pq.read_table(
+    def partial_min(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        keep = np.argsort(ids)[:n_queries]
+        return t.take(keep)
+
+    ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(partial_min, batch_format="pyarrow", **remote_kwargs())
+    cand = pa.concat_tables(
+        tb for tb in ds.iter_batches(batch_format="pyarrow", batch_size=None)
     )
-    ids = np.asarray(t.column("vec_id").to_pylist())
-    order = np.argsort(ids)
-    take = order[: n_queries]
-    q = np.asarray(
-        [t.column("embedding")[int(i)].as_py() for i in take], dtype=np.float64
-    )
-    return ids[take], q
-
-
-def _normalize(m: np.ndarray) -> np.ndarray:
-    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ids = cand.column("vec_id").to_numpy()
+    order = np.argsort(ids)[:n_queries]
+    q = embedding_matrix(cand.column("embedding"))[order]
+    return ids[order], q
 
 
 def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
@@ -55,8 +62,8 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
 
     def partial_topk(t: pa.Table) -> pa.Table:
         ids_q, qn = ray.get(q_ref)
-        vids = np.asarray(t.column("vec_id").to_pylist())
-        mat = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
+        vids = t.column("vec_id").to_numpy()
+        mat = _normalize(embedding_matrix(t.column("embedding")))
         sims = qn @ mat.T  # (n_queries, batch)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])
@@ -84,9 +91,9 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
 
 
 def _merge_topk(cand: pa.Table, qids: np.ndarray, k: int) -> pa.Table:
-    q = np.asarray(cand.column("query_id").to_pylist())
-    n = np.asarray(cand.column("neighbor_id").to_pylist())
-    s = np.asarray(cand.column("sim").to_pylist())
+    q = cand.column("query_id").to_numpy()
+    n = cand.column("neighbor_id").to_numpy()
+    s = cand.column("sim").to_numpy()
     out_q, out_n, out_s, out_r = [], [], [], []
     for qid in qids:
         m = (q == qid) & (n != qid)  # exclude self
@@ -135,17 +142,18 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
     sample_ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     ).limit(4096)
-    sample = np.asarray(
-        [r["embedding"] for r in sample_ds.take_all()], dtype=np.float64
-    )
+    sample = np.concatenate([
+        embedding_matrix(tb.column("embedding"))
+        for tb in sample_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ])
     cent = _kmeans(_normalize(sample), n_centroids)
     probe_cells = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
     ctx_ref = ray.put((qids, qn, cent, probe_cells))
 
     def partial(t: pa.Table) -> pa.Table:
         ids_q, qn, cent, probe = ray.get(ctx_ref)
-        vids = np.asarray(t.column("vec_id").to_pylist())
-        mat = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
+        vids = t.column("vec_id").to_numpy()
+        mat = _normalize(embedding_matrix(t.column("embedding")))
         cells = np.argmax(mat @ cent.T, axis=1)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(ids_q)):

@@ -11,15 +11,16 @@ the large-scale training-data cleaners.
 
 Scale shape: every stage is a `map_batches` or a single `groupby` on a
 precomputed key; pairwise work only ever happens INSIDE a bucket/group
-(never all-pairs). Signatures use stable md5-derived hashing (never
+(never all-pairs). Shingle/token signatures use pandas' siphash64
+(`pd.util.hash_array`, fixed default key — process-independent, never
 Python's salted `hash`) so results are identical across processes and
-cluster sizes.
+cluster sizes; persisted signature compatibility depends on pandas
+keeping `hash_array` stable across versions.
 """
 
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pyarrow as pa
@@ -28,16 +29,13 @@ import pyarrow.compute as pc
 from ..rayutil import remote_kwargs
 
 from .text import TOKEN_REGEX, normalize_expr
+from .vecutil import embedding_matrix
 
 SIM_DECIMALS = 4  # matches ops.ann — rounding kills float value-hash noise
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 _MERSENNE = (1 << 61) - 1
-
-
-def _stable64(s: str) -> int:
-    return struct.unpack(">Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
 def _stable64_batch(strs) -> np.ndarray:
@@ -216,6 +214,31 @@ def _hash_partition_count() -> int:
     return max(2, min(32, int(ray.cluster_resources().get("CPU", 4) / 2)))
 
 
+def _gather_texts(sf_dir: str, ids) -> dict[int, str]:
+    """doc_id→text for ONLY the requested ids, via a distributed filter:
+    the needed-id array is broadcast once (`ray.put`), every batch keeps
+    just its members (`np.isin`), and the driver collects the survivors —
+    O(|ids|) driver memory regardless of corpus size."""
+    import ray
+
+    ids_arr = np.fromiter(ids, dtype=np.int64)
+    ids_ref = ray.put(np.sort(ids_arr))
+
+    def pick(t: pa.Table) -> pa.Table:
+        needed = ray.get(ids_ref)
+        mask = np.isin(t.column("doc_id").to_numpy(), needed)
+        return t.filter(pa.array(mask))
+
+    out: dict[int, str] = {}
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pick, batch_format="pyarrow", **remote_kwargs()
+    )
+    for tb in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        out.update(zip(tb.column("doc_id").to_pylist(),
+                       tb.column("text").to_pylist()))
+    return out
+
+
 def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
                            concurrency: int = 2):
     """LSH candidate generation (numeric band keys, keyed-repartition
@@ -253,16 +276,17 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
         ctx.shuffle_strategy = prev
 
     # exact verification: candidate pairs stream through map_batches; the
-    # doc→text map is broadcast ONCE via ray.put (small-side pattern). At
-    # 100 TB the broadcast side outgrows memory — the shuffle-join exact
-    # path for that regime is `ngram_jaccard_pairs` (inverted index, no
-    # broadcast); LSH+broadcast-verify is the fast path while texts fit.
-    docs_tbl = pa.concat_tables(
-        tb for tb in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
-            batch_format="pyarrow", batch_size=None)
-    )
-    text_ref = ray.put(dict(zip(docs_tbl.column("doc_id").to_pylist(),
-                                docs_tbl.column("text").to_pylist())))
+    # broadcast side is the texts of CANDIDATE-PAIR MEMBERS ONLY (the
+    # verified-pair precondition: candidates ≪ corpus), gathered by a
+    # distributed filter over the documents table — never a whole-corpus
+    # read or broadcast. The no-broadcast-at-all exact path for a regime
+    # where even candidates are huge is `ngram_jaccard_pairs`.
+    member_ids: set[int] = set()
+    for tb in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        p = tb.column("pair").to_numpy()
+        member_ids.update(np.unique(p >> 32).tolist())
+        member_ids.update(np.unique(p & 0x7FFFFFFF).tolist())
+    text_ref = ray.put(_gather_texts(sf_dir, member_ids))
 
     def verify(t: pa.Table) -> pa.Table:
         tm = ray.get(text_ref)
@@ -413,7 +437,7 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
     def code_explode(t: pa.Table) -> pa.Table:
         planes = ray.get(planes_ref)
         ids = t.column("vec_id").to_numpy()
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(t.column("embedding"))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         codes = mat @ planes > 0
         keys = np.zeros(len(ids), dtype=np.int64)
@@ -424,8 +448,12 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
         all_keys = np.concatenate([keys[:, None], flips], axis=1).ravel()
         rep = n_planes + 1
         rep_ids = np.repeat(ids, rep)
-        rep_vecs = pa.array(
-            np.repeat(mat, rep, axis=0).tolist(), pa.list_(pa.float64())
+        rep_mat = np.repeat(mat, rep, axis=0)
+        # zero-copy list<double> build: flat values + arithmetic offsets
+        rep_vecs = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(rep_mat) + 1) * mat.shape[1],
+                               mat.shape[1], dtype=np.int32)),
+            pa.array(rep_mat.ravel(), pa.float64()),
         )
         return pa.table(
             {
@@ -436,12 +464,12 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
         )
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = g.column("vec_id").to_numpy()
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        mat = np.asarray(g.column("vec").to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(g.column("vec"))
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
         sub = mat @ mat.T

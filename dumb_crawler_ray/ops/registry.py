@@ -140,6 +140,55 @@ def image_embeddings_q(sf_dir: str):
     return ds.map_batches(meta, batch_format="pyarrow", **remote_kwargs())
 
 
+def embedding_near_dups_q(sf_dir: str):
+    """Driver-evidence wrapper for `dedup.embedding_near_dup_pairs`.
+
+    The testdata embeddings are RANDOM vectors (max pairwise cosine ≈0.51
+    at sf0.01), so the raw table's correct answer at the 0.95 threshold is
+    zero rows — vacuous evidence that can't distinguish "no near-dups in
+    fixture" from "op silently broken". This wrapper plants deterministic
+    ≥0.999-cosine near-duplicates of the first `n_plant` vectors (new
+    vec_id = 10_000_000 + original, tiny seeded perturbation) into a
+    derived /tmp fixture, so the op provably surfaces >0 verified pairs.
+    The unmodified-op behavior stays covered by the planted-pair pytest.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .vecutil import embedding_matrix, normalize_rows
+
+    import hashlib
+
+    n_plant = 8
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out_dir = f"/tmp/dcr_fixtures/emb_neardup_{tag}"
+    out_path = f"{out_dir}/embeddings.parquet"
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy()
+        order = np.argsort(ids)[:n_plant]
+        base = embedding_matrix(t.column("embedding"))[order]
+        rng = np.random.default_rng(1234)
+        planted = normalize_rows(
+            normalize_rows(base) + 0.01 * rng.standard_normal(base.shape)
+        )
+        extra = pa.table(
+            {
+                "vec_id": pa.array((ids[order] + 10_000_000).astype("int64")),
+                "embedding": pa.array(planted.tolist(),
+                                      t.schema.field("embedding").type),
+            }
+        )
+        tmp = out_path + ".tmp"
+        pq.write_table(pa.concat_tables([t.select(["vec_id", "embedding"]),
+                                         extra]), tmp)
+        os.replace(tmp, out_path)
+    return dedup.embedding_near_dup_pairs(out_dir)
+
+
 def _media_dir() -> str:
     from ..sources.media import write_media_fixture
 
@@ -446,7 +495,7 @@ def build_registry() -> dict[str, tuple]:
     reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
     reg["near_dup_clusters"] = (dedup.near_dup_clusters, None)
     reg["simhash_signatures"] = (dedup.simhash_signatures, None)
-    reg["embedding_near_dup_pairs"] = (dedup.embedding_near_dup_pairs, None)
+    reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["lang_id"] = (text.lang_id, None)
     reg["approx_distinct_users"] = (text.approx_distinct_users, None)

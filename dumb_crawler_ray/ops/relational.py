@@ -120,69 +120,78 @@ def lineitem_agg(sf_dir: str):
     ).sort(["l_returnflag", "l_linestatus"])
 
 
-def orders_by_segment(sf_dir: str):
-    """orders ⨝ customer (broadcast) → per-market-segment order stats."""
+def _join_partitions() -> int:
+    """Join/hash partitions are actor-backed; size to the cluster."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
-    seg_map = {}
-    for ref in _read(sf_dir, "customer",
-                     columns=["c_custkey", "c_mktsegment"]).to_arrow_refs():
-        t = ray.get(ref)
-        seg_map.update(zip(t.column("c_custkey").to_pylist(),
-                           t.column("c_mktsegment").to_pylist()))
-    seg_ref = ray.put(seg_map)  # broadcast once, read per task
+    return max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
 
-    def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(seg_ref)
-        segs = [m.get(k) for k in t.column("o_custkey").to_pylist()]
+
+def orders_by_segment(sf_dir: str):
+    """orders ⨝ customer → per-market-segment order stats. customer is NOT
+    a bounded dimension (TPC-H customer grows with SF), so this is a
+    native hash-shuffle `Dataset.join` — not a driver-built broadcast dict.
+    The fact side is projected to (key, cents) BEFORE the join so the
+    shuffle moves two ints per row."""
+    def derive(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "c_mktsegment": pa.array(segs, pa.string()),
+                "o_custkey": t.column("o_custkey"),
                 "total_cents": _cents(t.column("o_totalprice")),
             }
         )
 
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+                   ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("o_custkey",), right_on=("c_custkey",))
     return partial_aggregate(
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        joined,
         ["c_mktsegment"],
         [("total_cents", "count", "n_orders"),
          ("total_cents", "sum", "sum_total_cents")],
-        derive=attach,
     ).sort("c_mktsegment")
 
 
 def urgent_orders_by_nation(sf_dir: str):
-    """orders ⨝ customer ⨝ nation (two broadcast lookups) with the row
-    filter pushed before the join; urgent orders per nation."""
+    """orders ⨝ customer ⨝ nation with the row filter pushed before the
+    join. customer is unbounded → native hash-shuffle join; nation is a
+    true bounded dimension (25 rows) → broadcast as an ARROW table with a
+    vectorized `pc.index_in` + `pc.take` lookup (no Python dict, no
+    per-row loop)."""
     import ray
-    from ray.data.aggregate import Count
 
-    c_map, n_map = {}, {}
-    for ref in _read(sf_dir, "customer",
-                     columns=["c_custkey", "c_nationkey"]).to_arrow_refs():
-        t = ray.get(ref)
-        c_map.update(zip(t.column("c_custkey").to_pylist(),
-                         t.column("c_nationkey").to_pylist()))
-    for ref in _read(sf_dir, "nation",
-                     columns=["n_nationkey", "n_name"]).to_arrow_refs():
-        t = ray.get(ref)
-        n_map.update(zip(t.column("n_nationkey").to_pylist(),
-                         t.column("n_name").to_pylist()))
-    lookup_ref = ray.put((c_map, n_map))
+    n_keys, n_names = [], []
+    for tb in _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]
+                    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        n_keys.append(tb.column("n_nationkey").combine_chunks())
+        n_names.append(tb.column("n_name").combine_chunks())
+    nation_ref = ray.put((pa.concat_arrays(n_keys), pa.concat_arrays(n_names)))
 
-    def attach(t: pa.Table) -> pa.Table:
-        mask = pc.starts_with(t.column("o_orderpriority"), "1-")
-        t = t.filter(mask)
-        c_m, n_m = ray.get(lookup_ref)
-        names = [n_m.get(c_m.get(k)) for k in t.column("o_custkey").to_pylist()]
-        return pa.table({"n_name": pa.array(names, pa.string())})
+    def urgent_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.starts_with(t.column("o_orderpriority"), "1-"))
+        return t.select(["o_custkey"])
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+                   ).map_batches(urgent_only, batch_format="pyarrow",
+                                 **remote_kwargs())
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(nation_ref)
+        idx = pc.index_in(t.column("c_nationkey"), value_set=keys)
+        return pa.table({"n_name": pc.take(names, idx)})
 
     return partial_aggregate(
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]),
+        joined,
         ["n_name"],
         [("n_name", "count", "n_urgent")],
-        derive=attach,
+        derive=attach_nation,
     ).sort("n_name")
 
 
@@ -305,12 +314,8 @@ def order_priority_revenue(sf_dir: str, num_partitions: int | None = None):
             }
         )
 
-    import ray
-
     if num_partitions is None:
-        # join partitions are actor-backed; size to the cluster
-        num_partitions = max(2, min(16, int(
-            ray.cluster_resources().get("CPU", 4) / 2)))
+        num_partitions = _join_partitions()
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())
@@ -473,9 +478,14 @@ def purchase_click_asof(sf_dir: str):
         isp = g.column("is_purchase").to_numpy(zero_copy_only=False)
         p_ts = np.sort(ts[isp])
         c_ts = np.sort(ts[~isp])
-        idx = np.searchsorted(c_ts, p_ts, side="right") - 1
-        click = np.where(idx >= 0, c_ts[np.maximum(idx, 0)],
-                         np.datetime64("NaT"))
+        if c_ts.size:
+            idx = np.searchsorted(c_ts, p_ts, side="right") - 1
+            click = np.where(idx >= 0, c_ts.take(np.maximum(idx, 0)),
+                             np.datetime64("NaT"))
+        else:
+            # purchases with zero clicks: ASOF LEFT JOIN ⇒ all-NULL side
+            # (np.where would index into the empty array and crash)
+            click = np.full(len(p_ts), np.datetime64("NaT"), dtype=ts.dtype)
         uid = g.column("user_id")[0].as_py()
         return pa.table(
             {

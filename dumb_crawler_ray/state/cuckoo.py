@@ -62,10 +62,11 @@ class CuckooFilter:
         for _ in range(MAX_KICKS):
             slot = int(self._rng.integers(0, 4))
             cur, self.table[b, slot] = self.table[b, slot], cur
-            b = int(
-                (np.uint64(b) ^ (np.uint64(cur) * _FP_MULT))
-                & np.uint64(self.n_buckets - 1)
-            )
+            # Python-int arithmetic with an explicit 2^64 mask: identical
+            # involution to _b2's wrapping uint64 multiply, without numpy's
+            # scalar-overflow RuntimeWarning on every kick
+            fph = (int(cur) * int(_FP_MULT)) & 0xFFFFFFFFFFFFFFFF
+            b = (b ^ fph) & (self.n_buckets - 1)
             row = self.table[b]
             empty = np.flatnonzero(row == 0)
             if len(empty):

@@ -193,18 +193,17 @@ class FrontierShardState:
 
     # ---------------------------------------------------------- complete
 
-    def complete(self, rows: dict) -> int:
+    def complete(self, rows: dict) -> None:
         """Apply fetch outcomes: url_hash, status, error, tags, attempt.
         Reference markProcessed (URLStore.java:171-183): recomputed tags are
-        written back, attempt incremented. Returns MAX_ATTEMPT hits."""
-        max_hits = 0
+        written back, attempt incremented. (MAX_ATTEMPT accounting happens
+        in CrawlPipeline._harvest, not here.)"""
         for i, h in enumerate(rows["url_hash"]):
             rec = self.records[h]
             rec[R_STATUS] = int(rows["status"][i])
             rec[R_ERROR] = rows["error"][i]
             rec[R_TAGS] = list(rows["tags"][i])
             rec[R_ATTEMPT] = int(rows["attempt"][i])
-        return max_hits
 
     def requeue_orphans(self) -> int:
         """Resume semantics (URLStore.java:54-58): PROCESSING → QUEUED."""

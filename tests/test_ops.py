@@ -286,3 +286,67 @@ def test_hll_accuracy_vs_exact(registry, ray_session):
         e = int(est["estimate"].iloc[0])
         assert abs(e - exact) / exact <= 0.05, (sf, e, exact)
         assert int(est["sketch_bytes"].iloc[0]) == 4096
+
+
+def test_gather_texts_touches_only_requested_ids(ray_session):
+    """The MinHash verify stage must gather ONLY candidate-member texts —
+    never the whole corpus (the round-1 version broadcast every doc)."""
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.dedup import _gather_texts
+
+    all_ids = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    want = {all_ids[0], all_ids[7], all_ids[42]}
+    got = _gather_texts(SF, want)
+    assert set(got.keys()) == want
+    assert all(isinstance(v, str) and v for v in got.values())
+
+
+def test_asof_user_with_zero_clicks(ray_session):
+    """ASOF LEFT JOIN semantics: a user with purchases but no clicks gets
+    NULL click_ts (regression: np.where eagerly indexed the empty click
+    array and crashed)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.relational import purchase_click_asof
+
+    d = tempfile.mkdtemp()
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 09:00",
+         "2024-01-01 09:30"]
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(ts),
+            "event_type": pa.array(
+                ["purchase", "purchase", "click", "purchase"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    df = to_df(purchase_click_asof(d)).sort_values(
+        ["user_id", "purchase_ts"]).reset_index(drop=True)
+    assert len(df) == 3
+    u1 = df[df.user_id == 1]
+    assert u1["click_ts"].isna().all()  # zero clicks -> all NULL
+    u2 = df[df.user_id == 2]
+    assert u2["click_ts"].notna().all()
+
+
+def test_embedding_near_dups_driver_evidence(registry, ray_session):
+    """The registry-level query must record >0 rows (planted near-dups in
+    the derived fixture) so driver evidence is non-vacuous."""
+    fn, _ = registry["embedding_near_dup_pairs"]
+    df = to_df(fn(SF))
+    assert len(df) > 0
+    assert (df["cosine"] >= 0.95).all()
+    # every planted pair maps original -> original + 10_000_000
+    planted = df[df["b"] >= 10_000_000]
+    assert len(planted) > 0
+    assert (planted["b"] - planted["a"] == 10_000_000).any()
