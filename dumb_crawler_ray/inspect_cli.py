@@ -8,6 +8,8 @@ round fragments" and the url_index lookup becomes a parquet filter.
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir>                # summary
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> urls [round]   # stored URLs
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> page <url_hash> [out.html]
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed [round] # failed validations
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed-page <url_hash> [out.html]
 """
 
 from __future__ import annotations
@@ -34,7 +36,8 @@ def summary(ckpt_dir: str) -> None:
         print(f"seed/scale      : {m['seed']}/{m['scale']}  shards: {m['n_shards']}")
         for k in sorted(m["counters"]):
             print(f"  {k:<28} {m['counters'][k]}")
-    for name in ("pages", "images", "frontier_inserts", "frontier_updates", "order", "lineage"):
+    for name in ("pages", "pages_failed", "images", "frontier_inserts",
+                 "frontier_updates", "order", "lineage"):
         ds = _tbl(ckpt_dir, name)
         if ds is not None:
             print(f"{name:<17} {ds.count_rows()} rows, {len(ds.files)} fragments")
@@ -52,10 +55,27 @@ def list_urls(ckpt_dir: str, rnd: int | None) -> None:
         print(f"r{r['round']:>4} #{r['rank']:<5} {r['url_hash']}  {r['url']}")
 
 
-def dump_page(ckpt_dir: str, url_hash: str, out: str | None) -> int:
-    ds = _tbl(ckpt_dir, "pages")
+def list_failed(ckpt_dir: str, rnd: int | None) -> None:
+    """Debug-HTML sink view (reference: debug/{errorCode}/{taskId}.html,
+    J/services/CrawlingTaskCallable.java:73-84)."""
+    ds = _tbl(ckpt_dir, "pages_failed")
     if ds is None:
-        print("no pages table")
+        print("no pages_failed table")
+        return
+    flt = (pads.field("round") == rnd) if rnd is not None else None
+    t = ds.to_table(columns=["round", "rank", "url_hash", "error_code", "url"],
+                    filter=flt)
+    t = t.sort_by([("round", "ascending"), ("rank", "ascending")])
+    for r in t.to_pylist():
+        print(f"r{r['round']:>4} #{r['rank']:<5} {r['error_code']:<36} "
+              f"{r['url_hash']}  {r['url']}")
+
+
+def dump_page(ckpt_dir: str, url_hash: str, out: str | None,
+              table: str = "pages") -> int:
+    ds = _tbl(ckpt_dir, table)
+    if ds is None:
+        print(f"no {table} table")
         return 1
     t = ds.to_table(filter=pads.field("url_hash") == url_hash)
     if len(t) == 0:
@@ -84,6 +104,11 @@ def main(argv: list[str]) -> int:
         list_urls(ckpt, int(argv[2]) if len(argv) > 2 else None)
     elif cmd == "page":
         return dump_page(ckpt, argv[2], argv[3] if len(argv) > 3 else None)
+    elif cmd == "failed":
+        list_failed(ckpt, int(argv[2]) if len(argv) > 2 else None)
+    elif cmd == "failed-page":
+        return dump_page(ckpt, argv[2], argv[3] if len(argv) > 3 else None,
+                         table="pages_failed")
     else:
         print(__doc__)
         return 2

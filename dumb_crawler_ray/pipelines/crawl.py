@@ -497,7 +497,7 @@ class CrawlPipeline:
         )
         t = pa.table(cols)
         path = os.path.join(d, f"round={self.round:06d}.parquet")
-        if os.path.exists(path):  # seed commit + first round share round 0
+        if os.path.exists(path):  # defensive: merge if a round re-commits
             t = pa.concat_tables([pq.read_table(path), t])
         pq.write_table(t, path)
         self._lineage_acc = {}
@@ -514,7 +514,7 @@ class CrawlPipeline:
         os.makedirs(d, exist_ok=True)
         t = cand.select(["url", "url_hash", "domain", "tags", "priority"])
         path = os.path.join(d, f"round={self.round:06d}.parquet")
-        if os.path.exists(path):  # seeds + round candidates share round 0
+        if os.path.exists(path):  # multiple insert batches within one round
             t = pa.concat_tables([pq.read_table(path), t])
         pq.write_table(t, path)
 
@@ -568,7 +568,7 @@ class CrawlPipeline:
 
     def _ckpt_clean_uncommitted(self, committed_round: int):
         """Drop fragments from rounds after the last committed manifest."""
-        for sub in ("pages", "images"):
+        for sub in ("pages", "images", "pages_failed"):
             base = self._ckpt_path(sub)
             if not os.path.isdir(base):
                 continue
@@ -682,8 +682,14 @@ class CrawlPipeline:
         if not restored:
             if self.ckpt_dir:
                 os.makedirs(self.ckpt_dir, exist_ok=True)
+            # the seed phase commits under its OWN round id (-1) so a crash
+            # mid-first-round can never leave uncommitted round-0 fragments
+            # that the seed-only manifest would replay (_ckpt_clean_uncommitted
+            # removes everything > committed_round, i.e. >= 0)
+            self.round = -1
             self.inject_seeds()
             self._ckpt_commit()
+            self.round = 0
         rounds_done = 0
         stop_reason = "drained"
         # TaskKiller idle-stop (SURVEY.md ST7): the reference INTENDS to

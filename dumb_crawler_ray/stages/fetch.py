@@ -49,6 +49,20 @@ PAGES_SCHEMA = pa.schema(
     ]
 )
 
+# debug-HTML sink for failed validations (S10): the reference writes raw
+# HTML to debug/{errorCode}/{taskId}.html (CrawlingTaskCallable.java:73-84);
+# here failed pages land as queryable per-round parquet fragments
+FAILED_PAGES_SCHEMA = pa.schema(
+    [
+        ("url_hash", pa.string()),
+        ("url", pa.string()),
+        ("error_code", pa.string()),
+        ("html", pa.large_string()),
+        ("round", pa.int64()),
+        ("rank", pa.int64()),
+    ]
+)
+
 IMAGES_SCHEMA = pa.schema(
     [
         ("image_id", pa.string()),
@@ -187,6 +201,7 @@ class FetchWorker:
         }
         page_rows = []
         image_rows = []
+        failed_rows = []
         if self.fetch_delay_s:
             import time
 
@@ -204,6 +219,11 @@ class FetchWorker:
             error, links, html = self.comp.fetch_outcome(resp, url, tags)
             if error is not None:
                 out["error"][i] = error
+                if html:  # validation failures carry the body; persist it
+                    failed_rows.append(
+                        {"url_hash": hashes[i], "url": url, "error_code": error,
+                         "html": html, "round": rnd, "rank": ranks[i]}
+                    )
                 continue
             if len(links) > 300:  # reference warns at >300 (K2), no truncation
                 out["too_many_links"][i] = True
@@ -263,7 +283,7 @@ class FetchWorker:
                     {**row, "page_url_hash": hashes[i],
                      "round": rnd, "rank": ranks[i], "validation_error": verr}
                 )
-        self._write_fragments(rnd, page_rows, image_rows)
+        self._write_fragments(rnd, page_rows, image_rows, failed_rows)
         out["image_errors"] = [
             sum(1 for r in image_rows if r["rank"] == ranks[i] and r["validation_error"])
             for i in range(n)
@@ -282,10 +302,18 @@ class FetchWorker:
                 now = time.monotonic()
         self._domain_last_fetch[domain] = now
 
-    def _write_fragments(self, rnd: int, page_rows, image_rows) -> None:
+    def _write_fragments(self, rnd: int, page_rows, image_rows,
+                         failed_rows=()) -> None:
         if self.ckpt_dir is None:
             return
         part = uuid.uuid4().hex[:12]
+        if failed_rows:
+            d = os.path.join(self.ckpt_dir, "pages_failed", f"round={rnd}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(list(failed_rows), schema=FAILED_PAGES_SCHEMA),
+                os.path.join(d, f"part-{part}.parquet"),
+            )
         if page_rows:
             d = os.path.join(self.ckpt_dir, "pages", f"round={rnd}")
             os.makedirs(d, exist_ok=True)

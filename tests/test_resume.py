@@ -90,3 +90,87 @@ def test_resume_with_different_shard_count(ray_session, fix4, tmp_path):
     ).run()
     assert res.crawl_order == orc.crawl_order
     assert res.seen_set == orc.seen_set
+
+
+def test_resume_after_crash_mid_first_round(ray_session, fix4, tmp_path):
+    """Crash AFTER round-0 fragments are written but BEFORE the round-0
+    manifest commit: the seed phase commits under its own round id (-1),
+    so restore must discard the uncommitted round-0 fragments and replay
+    to exactly the oracle state (regression: seeds and round 0 used to
+    share manifest round 0, leaking half-written round-0 state into the
+    resume)."""
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    ckpt = tmp_path / "ckpt_crash0"
+
+    class CrashBeforeFirstCommit(CrawlPipeline):
+        def _ckpt_commit(self):
+            if self.round >= 0:
+                raise RuntimeError("simulated crash before round-0 commit")
+            super()._ckpt_commit()
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        CrashBeforeFirstCommit(
+            fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+            fetch_concurrency=2, ckpt_dir=str(ckpt),
+        ).run()
+    # uncommitted round-0 fragments exist on disk next to the seed manifest
+    assert os.path.exists(ckpt / "frontier_updates" / "round=000000.parquet")
+    import json
+
+    with open(ckpt / "manifest.json") as fh:
+        assert json.load(fh)["round"] == -1
+
+    res = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), resume=True,
+    ).run()
+    assert res.crawl_order == orc.crawl_order
+    assert res.seen_set == orc.seen_set
+    assert res.counters == orc.counters
+    assert res.stored_pages == orc.stored_pages
+
+
+def test_pages_failed_debug_sink(ray_session, fix4, tmp_path):
+    """S10: validation-failed pages persist their raw HTML + error code as
+    checkpoint fragments (reference writes debug/{errorCode}/{taskId}.html,
+    CrawlingTaskCallable.java:73-84), queryable via inspect_cli."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+
+    from dumb_crawler_ray import inspect_cli
+
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    want = {h for h, v in orc.seen_set.items()
+            if v[2] and v[2].startswith("CONTENT_VALIDATION")}
+    assert want  # fixture plants invalid articles
+
+    ckpt = tmp_path / "ckpt_failed"
+    CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt),
+    ).run()
+    frags = _read_rounds(str(ckpt / "pages_failed"))
+    assert frags
+    failed = pa.concat_tables(frags)
+    assert set(failed.column("url_hash").to_pylist()) == want
+    assert all(e.startswith("CONTENT_VALIDATION_ERROR_")
+               for e in failed.column("error_code").to_pylist())
+    # the persisted body is the real (validation-failing) page html
+    for html in failed.column("html").to_pylist():
+        assert html and "article-body" not in html
+
+    # inspect_cli surfaces the sink
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        inspect_cli.list_failed(str(ckpt), None)
+    assert "CONTENT_VALIDATION_ERROR_article" in buf.getvalue()
+    one = failed.column("url_hash")[0].as_py()
+    out_html = tmp_path / "dbg.html"
+    with redirect_stdout(io.StringIO()):
+        rc = inspect_cli.dump_page(str(ckpt), one, str(out_html),
+                                   table="pages_failed")
+    assert rc == 0 and out_html.read_text()
