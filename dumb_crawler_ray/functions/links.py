@@ -12,24 +12,45 @@ Reference semantics (J/services/CrawlingTaskCallable.java:86-106):
   is deterministic.
 
 No HTML parser library ships in this environment; extraction is a compiled
-regex scan over the tag stream, which exactly covers the deterministic HTML
+regex scan over the tag stream (with ``<!-- comments -->`` and
+``<script>``/``<style>`` bodies stripped first, matching Jsoup's behavior
+of not surfacing links from either), which covers the deterministic HTML
 the synthetic web emits (FIXTURES.md §2) and ordinary well-formed pages.
 
-``css_select_exists`` supports the selector shapes the reference configs use
-for ``validationSelectors`` (J/services/ContentValidator.java:29-47):
-``tag``, ``.class``, ``#id``, ``tag.class``, ``tag#id``.
+``css_select_exists`` supports the Jsoup selector shapes reference configs
+use for ``validationSelectors`` / ``CONTAINSELEMENT``
+(J/services/ContentValidator.java:29-47): compound simple selectors
+(``tag``/``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=v]``,
+``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, ``[attr~=v]``), descendant
+(space) and child (``>``) combinators, and ``,`` selector groups.
+Unsupported syntax (e.g. pseudo-classes) is handled gracefully: logged
+once per selector and treated as not-matching — never raised, so an exotic
+config selector cannot crash the fetch stage mid-crawl.
 """
 
 from __future__ import annotations
 
+import logging
 import re
 from urllib.parse import urljoin
+
+logger = logging.getLogger(__name__)
 
 _LINK_TAG = re.compile(r"<(a|link)\b([^>]*)>", re.IGNORECASE | re.DOTALL)
 _ATTR = re.compile(
     r"""([A-Za-z][A-Za-z0-9_-]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.DOTALL,
 )
+_STRIP_BLOCKS = re.compile(
+    r"<!--.*?-->|<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _clean_html(html: str) -> str:
+    """Drop comments and script/style bodies so neither link extraction nor
+    selector matching sees markup a DOM parser would treat as text."""
+    return _STRIP_BLOCKS.sub("", html)
 
 
 def _attrs(tag_body: str) -> dict[str, str]:
@@ -48,7 +69,7 @@ def extract_links(html: str, base_url: str) -> list[str]:
     """Absolute http(s) outlinks in document order, first occurrence only."""
     seen = set()
     out = []
-    for m in _LINK_TAG.finditer(html):
+    for m in _LINK_TAG.finditer(_clean_html(html)):
         attrs = _attrs(m.group(2))
         href = attrs.get("href")
         if href is None:
@@ -65,35 +86,190 @@ def extract_links(html: str, base_url: str) -> list[str]:
     return out
 
 
-_TAG_CACHE: dict[str, re.Pattern] = {}
+# --------------------------------------------------- CSS selector engine
+
+# HTML void elements never take children (no close tag expected)
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_ANY_TAG = re.compile(r"<(/?)([A-Za-z][A-Za-z0-9-]*)([^>]*)>", re.DOTALL)
+
+# one compound simple-selector: tag/* then any number of .cls #id [attr...]
+_COMPOUND = re.compile(
+    r"(?P<tag>[A-Za-z][A-Za-z0-9-]*|\*)?"
+    r"(?P<rest>(?:\.[A-Za-z0-9_-]+|#[A-Za-z0-9_-]+|\[[^\]]+\])*)"
+)
+_SIMPLE = re.compile(
+    r"\.(?P<cls>[A-Za-z0-9_-]+)"
+    r"|#(?P<id>[A-Za-z0-9_-]+)"
+    r"|\[\s*(?P<attr>[A-Za-z][A-Za-z0-9_-]*)\s*"
+    r"(?:(?P<op>[~^$*]?=)\s*(?P<q>[\"']?)(?P<val>[^\]\"']*)(?P=q)\s*)?\]"
+)
 
 
-def _tag_regex(tag: str | None) -> re.Pattern:
-    key = tag or "*"
-    rx = _TAG_CACHE.get(key)
-    if rx is None:
-        name = re.escape(tag) if tag else r"[A-Za-z][A-Za-z0-9-]*"
-        rx = re.compile(r"<(%s)\b([^>]*)>" % name, re.IGNORECASE | re.DOTALL)
-        _TAG_CACHE[key] = rx
-    return rx
+class _UnsupportedSelector(Exception):
+    pass
+
+
+def _parse_compound(src: str):
+    m = _COMPOUND.fullmatch(src.strip())
+    if not m or (m.group("tag") is None and not m.group("rest")):
+        raise _UnsupportedSelector(src)
+    preds = []
+    tag = m.group("tag")
+    if tag and tag != "*":
+        preds.append(("tag", tag.lower(), None))
+    pos = 0
+    rest = m.group("rest") or ""
+    while pos < len(rest):
+        sm = _SIMPLE.match(rest, pos)
+        if sm is None:
+            raise _UnsupportedSelector(src)
+        pos = sm.end()
+        if sm.group("cls"):
+            preds.append(("class", sm.group("cls"), None))
+        elif sm.group("id"):
+            preds.append(("id", sm.group("id"), None))
+        else:
+            preds.append(("attr", sm.group("attr").lower(),
+                          (sm.group("op"), sm.group("val"))))
+    return preds
+
+
+def _parse_selector(selector: str):
+    """selector → list of alternatives; each alternative is a list of
+    (combinator, compound-preds) right-to-left, combinator ∈ {'desc','child'}
+    describing how the NEXT (leftward) compound relates."""
+    alts = []
+    for branch in selector.split(","):
+        branch = branch.strip()
+        if not branch:
+            raise _UnsupportedSelector(selector)
+        toks = _tokenize(branch)
+        chain = []  # (compound, combinator-to-parent)
+        expect_compound = True
+        comb = None
+        for t in toks:
+            if t == ">":
+                if expect_compound or comb is not None:
+                    raise _UnsupportedSelector(selector)
+                comb = "child"
+            else:
+                if not expect_compound and comb is None:
+                    comb = "desc"
+                chain.append((comb, _parse_compound(t)))
+                comb = None
+                expect_compound = False
+        if comb is not None or not chain:
+            raise _UnsupportedSelector(selector)
+        alts.append(chain)
+    return alts
+
+
+_TOKEN = re.compile(r">|(?:[A-Za-z0-9*_.#-]|\[[^\]]*\])+")
+
+
+def _tokenize(branch: str) -> list[str]:
+    """Compound/combinator tokens; bracket groups may contain spaces and
+    quotes. Any character not consumed by a token (e.g. ':', '+', '~'
+    combinators) marks the selector unsupported."""
+    toks, pos = [], 0
+    for m in _TOKEN.finditer(branch):
+        if branch[pos:m.start()].strip():
+            raise _UnsupportedSelector(branch)
+        toks.append(m.group())
+        pos = m.end()
+    if branch[pos:].strip():
+        raise _UnsupportedSelector(branch)
+    return toks
+
+
+_SEL_CACHE: dict[str, object] = {}
+_WARNED: set[str] = set()
+
+
+def _compound_matches(preds, name: str, attrs: dict) -> bool:
+    for kind, arg, extra in preds:
+        if kind == "tag":
+            if name != arg:
+                return False
+        elif kind == "class":
+            if arg not in (attrs.get("class") or "").split():
+                return False
+        elif kind == "id":
+            if attrs.get("id") != arg:
+                return False
+        else:  # attr
+            val = attrs.get(arg)
+            if val is None:
+                return False
+            op, want = extra
+            if op is None:
+                continue
+            if op == "=" and val != want:
+                return False
+            if op == "^=" and not val.startswith(want):
+                return False
+            if op == "$=" and not val.endswith(want):
+                return False
+            if op == "*=" and want not in val:
+                return False
+            if op == "~=" and want not in val.split():
+                return False
+    return True
+
+
+def _chain_matches(chain, lineage) -> bool:
+    """lineage: [(name, attrs), ...] root→self. chain is right-to-left:
+    chain[-1] must match lineage[-1]; walk leftward with child/descendant
+    semantics (descendant backtracks over any ancestor depth)."""
+
+    def rec(ci: int, li: int) -> bool:
+        comb, preds = chain[ci]
+        if not _compound_matches(preds, *lineage[li]):
+            return False
+        if ci == 0:
+            return True
+        prev_comb = comb  # how chain[ci-1] relates to this element
+        if prev_comb == "child":
+            return li > 0 and rec(ci - 1, li - 1)
+        return any(rec(ci - 1, aj) for aj in range(li - 1, -1, -1))
+
+    return rec(len(chain) - 1, len(lineage) - 1)
 
 
 def css_select_exists(html: str, selector: str) -> bool:
-    selector = selector.strip()
-    tag = cls = ident = None
-    m = re.fullmatch(
-        r"([A-Za-z][A-Za-z0-9-]*)?(?:\.([A-Za-z0-9_-]+)|#([A-Za-z0-9_-]+))?",
-        selector,
-    )
-    if not m or (m.group(1) is None and m.group(2) is None and m.group(3) is None):
-        raise ValueError(f"unsupported CSS selector {selector!r}")
-    tag, cls, ident = m.group(1), m.group(2), m.group(3)
-    for t in _tag_regex(tag).finditer(html):
-        if cls is None and ident is None:
-            return True
-        attrs = _attrs(t.group(2))
-        if cls is not None and cls in (attrs.get("class") or "").split():
-            return True
-        if ident is not None and attrs.get("id") == ident:
-            return True
+    """Jsoup-subset existence check (see module docstring for the grammar).
+    Unsupported selectors log once and return False instead of raising —
+    a config typo must not kill the fetch stage."""
+    parsed = _SEL_CACHE.get(selector)
+    if parsed is None:
+        try:
+            parsed = _parse_selector(selector)
+        except _UnsupportedSelector:
+            parsed = "unsupported"
+        _SEL_CACHE[selector] = parsed
+    if parsed == "unsupported":
+        if selector not in _WARNED:
+            _WARNED.add(selector)
+            logger.warning("unsupported CSS selector %r: treating as no-match",
+                           selector)
+        return False
+    # single pass over the tag stream with an open-element stack
+    stack: list[tuple[str, dict]] = []
+    for m in _ANY_TAG.finditer(_clean_html(html)):
+        closing, name, body = m.group(1), m.group(2).lower(), m.group(3)
+        if closing:
+            for j in range(len(stack) - 1, -1, -1):
+                if stack[j][0] == name:
+                    del stack[j:]
+                    break
+            continue
+        attrs = _attrs(body)
+        lineage = stack + [(name, attrs)]
+        for chain in parsed:
+            if len(chain) <= len(lineage) and _chain_matches(chain, lineage):
+                return True
+        if name not in _VOID and not body.rstrip().endswith("/"):
+            stack.append((name, attrs))
     return False

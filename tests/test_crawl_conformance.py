@@ -243,3 +243,40 @@ def test_kitchen_sink_conformance(ray_session, monkeypatch):
     assert res.crawl_order == orc.crawl_order
     assert res.seen_set == orc.seen_set
     assert res.counters == orc.counters
+
+
+def test_conformance_with_combinator_selector(ray_session, fix4):
+    """A reference config may use any Jsoup selector shape in
+    validationSelectors (ContentValidator.java:29-47) — a descendant/child
+    combinator must neither crash the fetch stage nor change semantics
+    (here `body > div.article-body` is equivalent to `div.article-body`
+    on the synthetic pages)."""
+    import copy
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["validationSelectors"] = {"article": "body > div.article-body"}
+    web = SynthWeb.generate(42, 4)
+    orc_base = oracle.simulate(DEFAULT_CONFIG, web)
+    orc = oracle.simulate(cfg, web)
+    assert orc.crawl_order == orc_base.crawl_order  # selector-equivalent
+    res = CrawlPipeline(
+        fix4, cfg, seed=42, scale=4, n_shards=4, fetch_concurrency=2
+    ).run()
+    assert_match(res, orc)
+
+
+def test_unsupported_selector_does_not_crash_crawl(ray_session, fix4):
+    """An exotic (unsupported) selector degrades to no-match: every article
+    fails validation, none stores, but the crawl completes."""
+    import copy
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["validationSelectors"] = {"article": "div:has(> span.price)"}
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(cfg, web)
+    res = CrawlPipeline(
+        fix4, cfg, seed=42, scale=4, n_shards=4, fetch_concurrency=2
+    ).run()
+    assert_match(res, orc)
+    assert res.counters.get("SAVED_PAGES", 0) == 0
+    assert res.counters["ERROR_CONTENT_VALIDATION_ERROR_article"] > 0

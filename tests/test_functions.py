@@ -241,3 +241,69 @@ def test_config_defaults():
     assert c.task_killer_timeout_ms == 600_000
     assert c.scheduler_batch_size == 6
     assert not c.respect_robots
+
+
+def test_css_selector_combinators_and_attrs():
+    """Jsoup-shape truth table (ContentValidator.java:29-47 accepts
+    arbitrary Jsoup selectors; this engine covers the config-realistic
+    subset and degrades gracefully on the rest)."""
+    html = (
+        '<html><body>'
+        '<div class="header__principal" id="hp" data-kind="main article">'
+        '  <span class="price" data-cur="USD">10</span>'
+        '</div>'
+        '<section><p><b>deep</b></p></section>'
+        '<input type="text">'
+        '</body></html>'
+    )
+    T = lambda s: css_select_exists(html, s)
+    # compound
+    assert T("div.header__principal")
+    assert T("div#hp")
+    assert T("#hp")
+    assert T("*")
+    assert T("div[data-kind]")
+    assert T('div[data-kind~=article]')
+    assert T('[data-cur=USD]')
+    assert T('[data-cur="USD"]')
+    assert T("[data-kind^=main]")
+    assert T("[data-kind$=article]")
+    assert T("[data-kind*=n ar]")
+    assert not T("[data-cur=EUR]")
+    assert not T("div.price")
+    # descendant / child
+    assert T("div span.price")
+    assert T("div > span")
+    assert T("body section p b")
+    assert T("section > p > b")
+    assert T("html b")
+    assert not T("span > div")
+    assert not T("section > b")      # b is a grandchild
+    assert not T("div section")      # siblings, not nested
+    # groups
+    assert T("nope, div > span.price")
+    assert not T("nope, .missing")
+    # void elements don't capture children
+    assert not T("input b")
+    # unsupported syntax: logged, False, never raises
+    assert not T("div:has(span)")
+    assert not T("p + b")
+    assert not T("")
+
+
+def test_extract_links_ignores_comments_and_scripts():
+    """Jsoup does not surface links inside comments or script bodies —
+    neither does the regex scan after block stripping."""
+    html = (
+        '<html><body>'
+        '<a href="https://keep.test/a">real</a>'
+        '<!-- <a href="https://drop.test/commented">x</a> -->'
+        '<script>var s = \'<a href="https://drop.test/script">y</a>\';</script>'
+        '<style>a { color: red } /* <a href="https://drop.test/css">z</a> */</style>'
+        '<a href="https://keep.test/b">real2</a>'
+        '</body></html>'
+    )
+    links = extract_links(html, "https://keep.test/")
+    assert links == ["https://keep.test/a", "https://keep.test/b"]
+    # selector matching also ignores commented-out markup
+    assert not css_select_exists("<!-- <div class='x'></div> -->", "div.x")
