@@ -128,6 +128,14 @@ class JobConfig:
     def respect_robots(self) -> bool:
         return bool(get_path(self.raw, "politeness.respect_robots", False))
 
+    # --- fetch backend selection (rebuild extension) ---
+    @property
+    def fetcher_mode(self) -> str:
+        """``fetcher.mode``: "synthetic" (sandbox web, default) or "http"
+        (real network via sources/httpweb.py — the SimpleHttpRenderer
+        integration seam)."""
+        return str(get_path(self.raw, "fetcher.mode", "synthetic"))
+
     # --- rebuild scheduler knobs ---
     @property
     def scheduler_batch_size(self) -> int:

@@ -10,6 +10,7 @@ round fragments" and the url_index lookup becomes a parquet filter.
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> page <url_hash> [out.html]
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed [round] # failed validations
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed-page <url_hash> [out.html]
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> import-warc <warc_file_or_dir>
 """
 
 from __future__ import annotations
@@ -109,6 +110,15 @@ def main(argv: list[str]) -> int:
     elif cmd == "failed-page":
         return dump_page(ckpt, argv[2], argv[3] if len(argv) > 3 else None,
                          table="pages_failed")
+    elif cmd == "import-warc":
+        import json as _json
+
+        from .sources.warc import import_warc
+
+        cfg_path = os.path.join(ckpt, "config.json")
+        cfg = _json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+        n = import_warc(argv[2], ckpt, cfg)
+        print(f"imported {n} pages from {argv[2]}")
     else:
         print(__doc__)
         return 2

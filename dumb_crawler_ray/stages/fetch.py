@@ -35,6 +35,7 @@ import pyarrow.parquet as pq
 from ..config import JobConfig
 from ..functions import codec
 from ..pipelines import semantics as S
+from ..sources.httpweb import FetchTransportError
 from ..sources.synthweb import SynthWeb
 
 
@@ -89,8 +90,15 @@ class FetchWorker:
         if proxy_api_key is not None:
             self.comp.proxy_api_key = proxy_api_key
         self.seed = seed
-        pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
-        self.web = SynthWeb(pages, seed, scale)
+        if self.cfg.fetcher_mode == "http":
+            # real-network seam (SimpleHttpRenderer semantics); raises
+            # FetchTransportError per fetch in a network-less sandbox
+            from ..sources.httpweb import HttpWeb
+
+            self.web = HttpWeb()
+        else:
+            pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+            self.web = SynthWeb(pages, seed, scale)
         self._images_shared: pa.Table | None = None
         self._shared_index: dict[str, int] = {}
         if images_ref is not None:
@@ -113,15 +121,16 @@ class FetchWorker:
             # by ROW GROUP on demand with a small LRU. images.parquet may
             # be one file or a sharded directory of part files.
             root = os.path.join(fixture_dir, "images.parquet")
-            paths = (
-                sorted(
+            if os.path.isdir(root):
+                paths = sorted(
                     os.path.join(root, n)
                     for n in os.listdir(root)
                     if n.endswith(".parquet")
                 )
-                if os.path.isdir(root)
-                else [root]
-            )
+            elif os.path.exists(root):
+                paths = [root]
+            else:  # http mode may run without a local image table
+                paths = []
             self._images_pfs = [pq.ParquetFile(p) for p in paths]
             self._image_index: dict[str, tuple[int, int, int]] = {}
             for fi, pf in enumerate(self._images_pfs):
@@ -215,7 +224,13 @@ class FetchWorker:
             url, tags = urls[i], tags_list[i]
             if self.politeness_delay_s:
                 self._pace(self.comp.domain_of(url))
-            resp = self.web.fetch(self.comp.fetch_url_for(url, tags))
+            try:
+                resp = self.web.fetch(self.comp.fetch_url_for(url, tags))
+            except FetchTransportError:
+                # reference throws CrawlingException("HTML_RENDERING_ERROR")
+                # from the renderer (SimpleHttpRenderer.java:24-26)
+                out["error"][i] = "HTML_RENDERING_ERROR"
+                continue
             error, links, html = self.comp.fetch_outcome(resp, url, tags)
             if error is not None:
                 out["error"][i] = error
