@@ -350,3 +350,70 @@ def test_embedding_near_dups_driver_evidence(registry, ray_session):
     planted = df[df["b"] >= 10_000_000]
     assert len(planted) > 0
     assert (planted["b"] - planted["a"] == 10_000_000).any()
+
+
+def test_simhash_matches_independent_reimplementation(ray_session):
+    """Second, deliberately naive implementation (per-token per-bit Python
+    loop) must agree bit-for-bit with the vectorized simhash64 — converts
+    the no-oracle row into a checked one."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.dedup import simhash64
+    from dumb_crawler_ray.ops.text import TOKEN_REGEX
+
+    def simhash_ref(text):
+        toks = re.findall(TOKEN_REGEX, text.lower())
+        if not toks:
+            return 0
+        counts = [0] * 64
+        for tok in toks:
+            h = int(pd.util.hash_array(np.array([tok], dtype=object),
+                                       categorize=False)[0])
+            for b in range(64):
+                counts[b] += 1 if (h >> b) & 1 else -1
+        val = 0
+        for b in range(64):
+            if counts[b] > 0:
+                val |= 1 << b
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()[:40]
+    for s in texts + ["", "one", "a b  c", "ümlaut ünïcode 123", "THE the The"]:
+        assert simhash64(s) == simhash_ref(s), repr(s[:60])
+
+
+def test_winnowed_matches_independent_reimplementation(registry, ray_session):
+    """Naive per-window polynomial hashing (no rolling update) must produce
+    the same winnowed fingerprint sets as the Ray pipeline output."""
+    import pyarrow.parquet as pq
+
+    MOD, BASE, WINDOW, KEEP = (1 << 61) - 1, 257, 32, 8
+
+    def ref_fps(s):
+        if not s:
+            return []
+        data = s.encode("utf-8", errors="replace")
+        if len(s) < WINDOW:  # spec: char-length threshold, byte windows
+            h = 0
+            for c in data:
+                h = (h * BASE + c) % MOD
+            hs = [h]
+        else:
+            hs = []
+            for i in range(len(data) - WINDOW + 1):
+                h = 0
+                for c in data[i:i + WINDOW]:
+                    h = (h * BASE + c) % MOD
+                hs.append(h)
+        picked = sorted({min(hs[i:i + KEEP]) for i in range(0, len(hs), KEEP)})
+        return [int(h % (1 << 62)) for h in picked]
+
+    got = to_df(registry["winnowed_fingerprints"][0](SF)).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()[:50]
+    assert docs
+    for row in docs:
+        assert list(got.loc[row["doc_id"], "fingerprints"]) == ref_fps(row["text"])
