@@ -127,12 +127,77 @@ def _join_partitions() -> int:
     return max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
 
 
+# Dimension tables at or under this row count are broadcast (one `ray.put`
+# Arrow table + vectorized `pc.index_in` lookup per batch); above it the
+# plan switches to a native hash-shuffle `Dataset.join`. The same
+# size-gated strategy as Spark's autoBroadcastJoinThreshold: broadcast is
+# strictly faster while the build side fits comfortably in a worker heap,
+# and the shuffle join is the 100×-scale path that needs no driver memory.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata only — O(files), no data read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(root):
+        return sum(
+            pq.ParquetFile(os.path.join(root, n)).metadata.num_rows
+            for n in os.listdir(root) if n.endswith(".parquet")
+        )
+    return pq.ParquetFile(root).metadata.num_rows
+
+
+def _broadcast_arrow(sf_dir: str, name: str, columns: list[str]):
+    """`ray.put` a small table's columns ONCE as Arrow arrays (plasma,
+    zero-copy per task) — never a Python dict."""
+    import ray
+
+    parts: dict[str, list] = {c: [] for c in columns}
+    for tb in _read(sf_dir, name, columns=columns).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for c in columns:
+            parts[c].append(tb.column(c).combine_chunks())
+    return ray.put(tuple(pa.concat_arrays(parts[c]) for c in columns))
+
+
+def _fact_dim_join(fact, sf_dir: str, dim: str, fact_key: str, dim_key: str,
+                   dim_cols: list[str]):
+    """fact ⨝ dimension with size-gated strategy selection (see
+    BROADCAST_ROW_LIMIT). Returns a Dataset carrying fact columns plus
+    `dim_cols`. The broadcast path's per-batch lookup is pure Arrow
+    (`pc.index_in` + `pc.take`) — vectorized, no per-row Python."""
+    import ray
+
+    if _parquet_num_rows(sf_dir, dim) <= BROADCAST_ROW_LIMIT:
+        ref = _broadcast_arrow(sf_dir, dim, [dim_key] + dim_cols)
+
+        def attach(t: pa.Table) -> pa.Table:
+            arrays = ray.get(ref)
+            idx = pc.index_in(t.column(fact_key), value_set=arrays[0])
+            cols = {c: t.column(c) for c in t.column_names}
+            for j, name in enumerate(dim_cols, start=1):
+                cols[name] = pc.take(arrays[j], idx)
+            return pa.table(cols)
+
+        return fact.map_batches(attach, batch_format="pyarrow",
+                                **remote_kwargs())
+    dim_ds = _read(sf_dir, dim, columns=[dim_key] + dim_cols)
+    return fact.join(dim_ds, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=(fact_key,), right_on=(dim_key,))
+
+
 def orders_by_segment(sf_dir: str):
     """orders ⨝ customer → per-market-segment order stats. customer is NOT
-    a bounded dimension (TPC-H customer grows with SF), so this is a
-    native hash-shuffle `Dataset.join` — not a driver-built broadcast dict.
-    The fact side is projected to (key, cents) BEFORE the join so the
-    shuffle moves two ints per row."""
+    a bounded dimension (it grows with SF), so the join is size-gated:
+    Arrow-table broadcast + `pc.index_in` while it fits, native
+    hash-shuffle `Dataset.join` beyond BROADCAST_ROW_LIMIT. The fact side
+    is projected to (key, cents) first so either path moves two ints per
+    row."""
     def derive(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -143,10 +208,8 @@ def orders_by_segment(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
                    ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner",
-                         num_partitions=_join_partitions(),
-                         on=("o_custkey",), right_on=("c_custkey",))
+    joined = _fact_dim_join(orders, sf_dir, "customer",
+                            "o_custkey", "c_custkey", ["c_mktsegment"])
     return partial_aggregate(
         joined,
         ["c_mktsegment"],
@@ -157,19 +220,9 @@ def orders_by_segment(sf_dir: str):
 
 def urgent_orders_by_nation(sf_dir: str):
     """orders ⨝ customer ⨝ nation with the row filter pushed before the
-    join. customer is unbounded → native hash-shuffle join; nation is a
-    true bounded dimension (25 rows) → broadcast as an ARROW table with a
-    vectorized `pc.index_in` + `pc.take` lookup (no Python dict, no
-    per-row loop)."""
-    import ray
-
-    n_keys, n_names = [], []
-    for tb in _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]
-                    ).iter_batches(batch_format="pyarrow", batch_size=None):
-        n_keys.append(tb.column("n_nationkey").combine_chunks())
-        n_names.append(tb.column("n_name").combine_chunks())
-    nation_ref = ray.put((pa.concat_arrays(n_keys), pa.concat_arrays(n_names)))
-
+    joins. customer uses the size-gated join (see _fact_dim_join); nation
+    (25 rows, truly bounded) always broadcasts — both lookups are
+    vectorized Arrow `pc.index_in`, no Python dicts or per-row loops."""
     def urgent_only(t: pa.Table) -> pa.Table:
         t = t.filter(pc.starts_with(t.column("o_orderpriority"), "1-"))
         return t.select(["o_custkey"])
@@ -177,21 +230,19 @@ def urgent_orders_by_nation(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
                    ).map_batches(urgent_only, batch_format="pyarrow",
                                  **remote_kwargs())
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner",
-                         num_partitions=_join_partitions(),
-                         on=("o_custkey",), right_on=("c_custkey",))
+    joined = _fact_dim_join(orders, sf_dir, "customer",
+                            "o_custkey", "c_custkey", ["c_nationkey"])
+    with_nation = _fact_dim_join(joined, sf_dir, "nation",
+                                 "c_nationkey", "n_nationkey", ["n_name"])
 
-    def attach_nation(t: pa.Table) -> pa.Table:
-        keys, names = ray.get(nation_ref)
-        idx = pc.index_in(t.column("c_nationkey"), value_set=keys)
-        return pa.table({"n_name": pc.take(names, idx)})
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"n_name": t.column("n_name")})
 
     return partial_aggregate(
-        joined,
+        with_nation,
         ["n_name"],
         [("n_name", "count", "n_urgent")],
-        derive=attach_nation,
+        derive=project,
     ).sort("n_name")
 
 

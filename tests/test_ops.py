@@ -417,3 +417,15 @@ def test_winnowed_matches_independent_reimplementation(registry, ray_session):
     assert docs
     for row in docs:
         assert list(got.loc[row["doc_id"], "fingerprints"]) == ref_fps(row["text"])
+
+
+def test_size_gated_join_shuffle_path_matches_oracle(registry, ray_session,
+                                                     monkeypatch):
+    """Force the hash-shuffle Dataset.join branch (as if customer exceeded
+    BROADCAST_ROW_LIMIT) — results must stay oracle-identical."""
+    from dumb_crawler_ray.ops import relational
+
+    monkeypatch.setattr(relational, "BROADCAST_ROW_LIMIT", 0)
+    for name in ("orders_by_segment", "urgent_orders_by_nation"):
+        fn, sql = registry[name]
+        compare(name + "[shuffle-join]", fn(SF), sql)
