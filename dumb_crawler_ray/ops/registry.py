@@ -491,6 +491,58 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["event_value_quantiles"] = (
+        relational.event_value_quantiles,
+        """
+        SELECT event_type,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    )
+
+    reg["supplier_nation_stats"] = (
+        relational.supplier_nation_stats,
+        """
+        SELECT r.r_name, n.n_name, count(*) AS n_suppliers,
+               CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_acctbal_cents
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
+    reg["word_frequencies"] = (
+        text.word_frequencies,
+        """
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents
+        )
+        SELECT word, count(*) AS n FROM toks
+        GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+    )
+
+    reg["doc_sample"] = (
+        text.doc_sample,
+        """
+        SELECT doc_id, md5(text) AS fp FROM documents
+        WHERE md5(text) LIKE '0%' ORDER BY doc_id
+        """,
+    )
+
+    reg["heavy_hitters_users"] = (
+        text.heavy_hitters,
+        """
+        SELECT user_id, count(*) AS n FROM events
+        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
     reg["near_dup_clusters"] = (dedup.near_dup_clusters, None)

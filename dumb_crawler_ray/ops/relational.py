@@ -503,6 +503,86 @@ def order_size_distribution(sf_dir: str):
     )
 
 
+def event_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p90/p99) over integer cents — the
+    scale-safe shape: a two-stage count aggregation collapses events to a
+    per-(event_type, value_cents) HISTOGRAM first (shuffle volume =
+    distinct values, not rows), then tiny per-group cumsum walks pick the
+    discrete quantiles. Matches DuckDB `quantile_disc` exactly (rank
+    ceil(q·n), verified index formula). For an unbounded real-valued
+    domain the fixed-point histogram swaps for a mergeable t-digest; money
+    in cents is a bounded domain, so exact is affordable at any scale."""
+    import numpy as np
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    hist = partial_aggregate(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type", "value_cents"],
+        [("value_cents", "count", "n")],
+        derive=derive,
+    )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        v = g.column("value_cents").to_numpy()
+        c = g.column("n").to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        out = {}
+        for name, q in (("p50_cents", 0.5), ("p90_cents", 0.9),
+                        ("p99_cents", 0.99)):
+            rank = min(total, int(np.ceil(q * total)))  # 1-based disc rank
+            out[name] = pa.array([int(v[np.searchsorted(cum, rank)])],
+                                 pa.int64())
+        return pa.table({"event_type": g.column("event_type").slice(0, 1), **out})
+
+    return (
+        hist.groupby("event_type")
+        .map_groups(quantiles, batch_format="pyarrow", **remote_kwargs())
+        .sort("event_type")
+    )
+
+
+def supplier_nation_stats(sf_dir: str):
+    """supplier ⨝ nation ⨝ region rollup — exercises the remaining TPC-H
+    dimension tables through the size-gated join (both dims are bounded →
+    Arrow broadcast lookups), then a two-key partial aggregation."""
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_nationkey": t.column("s_nationkey"),
+                "acctbal_cents": _cents(t.column("s_acctbal")),
+            }
+        )
+
+    supp = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]
+                 ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())
+    with_nation = _fact_dim_join(supp, sf_dir, "nation",
+                                 "s_nationkey", "n_nationkey",
+                                 ["n_name", "n_regionkey"])
+    with_region = _fact_dim_join(with_nation, sf_dir, "region",
+                                 "n_regionkey", "r_regionkey", ["r_name"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["r_name", "n_name", "acctbal_cents"])
+
+    return partial_aggregate(
+        with_region,
+        ["r_name", "n_name"],
+        [("acctbal_cents", "count", "n_suppliers"),
+         ("acctbal_cents", "sum", "sum_acctbal_cents")],
+        derive=project,
+    ).sort(["r_name", "n_name"])
+
+
 def purchase_click_asof(sf_dir: str):
     """AS-OF JOIN — an operator Ray Data has no primitive for: for every
     purchase event, the same user's latest click at-or-before it.

@@ -202,6 +202,143 @@ def winnowed_fingerprints(sf_dir: str, window: int = 32, keep_every: int = 8):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())
 
 
+def word_frequencies(sf_dir: str, k: int = 100):
+    """Corpus vocabulary top-k (classic distributed wordcount): per-batch
+    LOCAL counts via one C-level regex scan + np.unique (the partial
+    combiner — the groupby shuffle moves one row per (block, word), never
+    per token), then a global sum and a pinned-order top-k."""
+    from ray.data.aggregate import Sum
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        # a single findall over the space-joined batch: the separator
+        # guarantees no cross-document token merging
+        toks = re.findall(TOKEN_REGEX, " ".join(texts).lower())
+        if not toks:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        words, counts = np.unique(np.asarray(toks, dtype=object),
+                                  return_counts=True)
+        return pa.table(
+            {"word": pa.array(list(words), pa.string()),
+             "n_part": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(local_counts, batch_format="pyarrow", **remote_kwargs())
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_sample(sf_dir: str, prefix: str = "0"):
+    """Deterministic hash-threshold sampling: keep documents whose
+    md5(text) starts with `prefix` (1/16 per hex nibble). Hash sampling is
+    THE scale-safe sampling primitive — the same rows are selected
+    regardless of cluster size, partitioning or run count, and the filter
+    is embarrassingly parallel. SQL-checkable via DuckDB's md5()."""
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in t.column("text").to_pylist()]
+        keep = pa.array([f.startswith(prefix) for f in fps], pa.bool_())
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "fp": pa.array(fps, pa.string())}
+        ).filter(keep)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )
+
+
+def _mg_trim(items: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries summary trim: subtract the (capacity+1)-largest count
+    from everything, drop non-positives — the classic decrement step,
+    vectorized. Guarantees any item with true count > N/(capacity+1)
+    survives."""
+    if len(items) <= capacity:
+        return items, counts
+    order = np.argsort(-counts, kind="stable")
+    sub = counts[order[capacity]]
+    kept = order[:capacity]
+    new_counts = counts[kept] - sub
+    pos = new_counts > 0
+    return items[kept][pos], new_counts[pos]
+
+
+def heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 4096):
+    """Top-k most frequent users — the 2-pass heavy-hitters pattern:
+
+      pass 1  map_batches → per-batch Misra-Gries summaries (≤ capacity
+              rows per batch, mergeable), driver merge + trim → a BOUNDED
+              candidate set (capacity rows max, any true count >
+              N/(capacity+1) guaranteed present)
+      pass 2  exact distributed recount of candidates only (broadcast the
+              candidate array, filter + partial aggregate), pinned-order
+              top-k
+
+    With capacity ≥ distinct items (true at test scale) the result is
+    exact and SQL-checkable; at 100 TB capacity bounds every stage's
+    memory and the guarantee above is the published MG bound."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def summarize(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").to_numpy()
+        items, counts = np.unique(ids, return_counts=True)
+        items, counts = _mg_trim(items, counts.astype(np.int64), capacity)
+        return pa.table(
+            {"user_id": pa.array(items, pa.int64()),
+             "n_part": pa.array(counts, pa.int64())}
+        )
+
+    summaries = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(summarize, batch_format="pyarrow", **remote_kwargs())
+    acc: dict[int, int] = {}
+
+    def _trim_acc():
+        nonlocal acc
+        items = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+        counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
+        items, counts = _mg_trim(items, counts, capacity)
+        acc = dict(zip(items.tolist(), counts.tolist()))
+
+    for b in summaries.iter_batches(batch_format="pyarrow", batch_size=None):
+        for uid, n in zip(b.column("user_id").to_pylist(),
+                          b.column("n_part").to_pylist()):
+            acc[uid] = acc.get(uid, 0) + n
+        if len(acc) > 8 * capacity:  # keep the driver merge truly bounded
+            _trim_acc()
+    _trim_acc()
+    cand = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+    cand_ref = ray.put(np.sort(cand))
+
+    def exact_count(t: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        ids = t.column("user_id").to_numpy()
+        ids = ids[np.isin(ids, wanted)]
+        items, counts = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(items, pa.int64()),
+             "n_part": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(exact_count, batch_format="pyarrow", **remote_kwargs())
+        .groupby("user_id")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .sort(["n", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 class _HLL:
     """Minimal HyperLogLog (2^p registers, the standard bias-corrected
     estimator) — a MERGEABLE sketch: per-batch sketches combine by

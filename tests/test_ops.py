@@ -78,6 +78,8 @@ SQL_CHECKED = [
     "ann_bruteforce_topk", "ngram_jaccard_pairs", "order_priority_revenue",
     "top_parts_per_brand", "user_sessions", "daily_active_users",
     "order_size_distribution", "purchase_click_asof",
+    "event_value_quantiles", "supplier_nation_stats", "word_frequencies",
+    "doc_sample", "heavy_hitters_users",
 ]
 
 
@@ -429,3 +431,32 @@ def test_size_gated_join_shuffle_path_matches_oracle(registry, ray_session,
     for name in ("orders_by_segment", "urgent_orders_by_nation"):
         fn, sql = registry[name]
         compare(name + "[shuffle-join]", fn(SF), sql)
+
+
+def test_new_ops_parity_at_sf001(registry, ray_session):
+    """The driver compares at sf0.01 (where the top-10 boundary TIES at
+    n=80) — check the tie-pinning and quantile formulas there too."""
+    for name in ("event_value_quantiles", "heavy_hitters_users",
+                 "word_frequencies"):
+        fn, sql = registry[name]
+        compare(name + "[sf0.01]", fn("/root/testdata/sf0.01"), sql,
+                sf_dir="/root/testdata/sf0.01")
+
+
+def test_misra_gries_guarantee(ray_session):
+    """MG property: with summary capacity c, every item whose true count
+    exceeds N/(c+1) must survive the trim (tested on skewed data where the
+    sketch actually trims)."""
+    from dumb_crawler_ray.ops.text import _mg_trim
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: item i appears ~ 5000/i times
+    items = np.concatenate([np.full(max(1, 5000 // i), i) for i in range(1, 2000)])
+    rng.shuffle(items)
+    u, c = np.unique(items, return_counts=True)
+    cap = 64
+    kept, _ = _mg_trim(u, c.astype(np.int64), cap)
+    n = len(items)
+    must_keep = u[c > n / (cap + 1)]
+    assert len(kept) <= cap
+    assert set(must_keep).issubset(set(kept))
