@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..rayutil import remote_kwargs
+from ..rayutil import actor_pool_size, remote_kwargs
 
 from .text import TOKEN_REGEX, normalize_expr
 from .vecutil import embedding_matrix
@@ -154,7 +154,9 @@ class MinHashWorker:
         )
 
 
-def minhash_signatures(sf_dir: str, concurrency: int = 2):
+def minhash_signatures(sf_dir: str, concurrency: int | None = None):
+    if concurrency is None:
+        concurrency = actor_pool_size()
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashWorker, batch_format="pyarrow", concurrency=concurrency,
         **remote_kwargs(),
@@ -240,7 +242,7 @@ def _gather_texts(sf_dir: str, ids) -> dict[int, str]:
 
 
 def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
-                           concurrency: int = 2):
+                           concurrency: int | None = None):
     """LSH candidate generation (numeric band keys, keyed-repartition
     pair machinery) + exact shingle-Jaccard verification. Returns
     (a, b, jaccard) pairs with a < b, sorted — deterministic. Rows-only
@@ -362,7 +364,7 @@ def simhash_signatures(sf_dir: str):
 # ------------------------------------------------- near-dup clustering
 
 def near_dup_clusters(sf_dir: str, threshold: float = 0.5,
-                      concurrency: int = 2):
+                      concurrency: int | None = None):
     """Connected components over the verified MinHash near-dup pairs →
     one row per clustered doc with its cluster representative (min doc_id)
     and cluster size, plus `keep` (rep only) — the training-data keep-list

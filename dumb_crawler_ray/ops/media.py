@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..rayutil import remote_kwargs
+from ..rayutil import actor_pool_size, remote_kwargs
 from ..sources import media
 
 
@@ -68,7 +68,7 @@ class AudioFeaturesWorker:
         )
 
 
-def audio_features(audio_parquet: str, concurrency: int = 2,
+def audio_features(audio_parquet: str, concurrency: int | None = None,
                    batch_size: int = 64):
     import ray
 
@@ -76,7 +76,7 @@ def audio_features(audio_parquet: str, concurrency: int = 2,
         audio_parquet, columns=["audio_id", "bytes"]
     ).map_batches(
         AudioFeaturesWorker, batch_format="pyarrow", **remote_kwargs(),
-        batch_size=batch_size, concurrency=concurrency,
+        batch_size=batch_size, concurrency=concurrency if concurrency is not None else actor_pool_size(),
     )
 
 
@@ -117,7 +117,7 @@ class FrameSampleWorker:
 
 
 def video_frame_sample(video_parquet: str, every_k: int = 4,
-                       concurrency: int = 2, batch_size: int = 16):
+                       concurrency: int | None = None, batch_size: int = 16):
     """Small batch_size on purpose: each row carries a whole clip of
     frames (batch × concurrency of wide binaries must fit worker heaps)."""
     import ray
@@ -126,6 +126,6 @@ def video_frame_sample(video_parquet: str, every_k: int = 4,
         video_parquet, columns=["video_id", "bytes"]
     ).map_batches(
         FrameSampleWorker, batch_format="pyarrow", **remote_kwargs(),
-        batch_size=batch_size, concurrency=concurrency,
+        batch_size=batch_size, concurrency=concurrency if concurrency is not None else actor_pool_size(),
         fn_constructor_kwargs={"every_k": every_k},
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..rayutil import remote_kwargs
+from ..rayutil import actor_pool_size, remote_kwargs
 
 from ..functions import codec
 
@@ -56,7 +56,7 @@ class DecodeStatsWorker:
         )
 
 
-def decode_stats(images_parquet: str, concurrency: int = 2,
+def decode_stats(images_parquet: str, concurrency: int | None = None,
                  batch_size: int = 64):
     """Small `batch_size` on purpose: batches carry large binary payloads,
     so batch×concurrency must fit the worker heap (SURVEY.md §4)."""
@@ -69,7 +69,7 @@ def decode_stats(images_parquet: str, concurrency: int = 2,
         batch_format="pyarrow",
         **remote_kwargs(),
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else actor_pool_size(),
     )
 
 
@@ -115,7 +115,7 @@ class ResizeWorker:
 
 
 def resize(images_parquet: str, out_w: int = 16, out_h: int = 16,
-           concurrency: int = 2, batch_size: int = 64):
+           concurrency: int | None = None, batch_size: int = 64):
     import ray
 
     return ray.data.read_parquet(
@@ -125,7 +125,7 @@ def resize(images_parquet: str, out_w: int = 16, out_h: int = 16,
         batch_format="pyarrow",
         **remote_kwargs(),
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else actor_pool_size(),
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
     )
 
@@ -166,7 +166,7 @@ class ImageFeaturesWorker:
         )
 
 
-def image_features(images_parquet: str, concurrency: int = 2,
+def image_features(images_parquet: str, concurrency: int | None = None,
                    batch_size: int = 256, thumb: int = 16):
     """Actor-pool feature extraction. Size `concurrency` BELOW the CPU
     count — the parquet read tasks need CPUs too; a pool that claims every
@@ -181,7 +181,7 @@ def image_features(images_parquet: str, concurrency: int = 2,
         batch_format="pyarrow",
         **remote_kwargs(),
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else actor_pool_size(),
         fn_constructor_kwargs={"thumb": thumb},
     )
 
@@ -224,7 +224,7 @@ class ImageEmbedWorker:
         )
 
 
-def image_embeddings(images_parquet: str, concurrency: int = 2,
+def image_embeddings(images_parquet: str, concurrency: int | None = None,
                      batch_size: int = 256, dim: int = 512):
     import ray
 
@@ -235,7 +235,7 @@ def image_embeddings(images_parquet: str, concurrency: int = 2,
         batch_format="pyarrow",
         **remote_kwargs(),
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else actor_pool_size(),
         fn_constructor_kwargs={"dim": dim},
     )
 

@@ -105,8 +105,7 @@ def image_phash_near_dups(sf_dir: str):
 
 
 def image_features_q(sf_dir: str):
-    ds = multimodal.image_features(f"{_fixture_dir()}/images.parquet",
-                                   concurrency=2)
+    ds = multimodal.image_features(f"{_fixture_dir()}/images.parquet")
 
     def meta(t: pa.Table) -> pa.Table:
         return t.drop_columns(["thumb"]).append_column(
@@ -117,8 +116,7 @@ def image_features_q(sf_dir: str):
 
 
 def image_embeddings_q(sf_dir: str):
-    ds = multimodal.image_embeddings(f"{_fixture_dir()}/images.parquet",
-                                     concurrency=2)
+    ds = multimodal.image_embeddings(f"{_fixture_dir()}/images.parquet")
 
     def meta(t: pa.Table) -> pa.Table:
         import numpy as np

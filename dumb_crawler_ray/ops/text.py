@@ -12,7 +12,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..rayutil import remote_kwargs
+from ..rayutil import actor_pool_size, remote_kwargs
 import pyarrow.compute as pc
 
 TOKEN_REGEX = r"[A-Za-z0-9]+"
@@ -148,7 +148,9 @@ class LangIdWorker:
         )
 
 
-def lang_id(sf_dir: str, concurrency: int = 2):
+def lang_id(sf_dir: str, concurrency: int | None = None):
+    if concurrency is None:
+        concurrency = actor_pool_size()
     return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         LangIdWorker, batch_format="pyarrow", concurrency=concurrency,
         **remote_kwargs(),

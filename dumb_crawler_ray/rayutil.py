@@ -21,6 +21,21 @@ def _workers_can_import() -> bool:
     return parent in os.environ.get("PYTHONPATH", "").split(os.pathsep)
 
 
+def actor_pool_size(frac: float = 0.4, lo: int = 2, hi: int = 12) -> int:
+    """Default actor-pool concurrency: ~40% of cluster CPUs, clamped.
+    Pools sized at or above the CPU count starve their own upstream
+    parquet read (measured 2.5× slower at 30 actors / 32 CPUs); tiny
+    fixed pools serialize the stage on big machines. Falls back to
+    os.cpu_count() when Ray isn't initialized yet (graph build time)."""
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        cpus = os.cpu_count() or 4
+    return max(lo, min(hi, int(cpus * frac)))
+
+
 def remote_kwargs() -> dict:
     """kwargs to splice into map_batches(...)/ray.remote(...).options(...)
     so workers can import this package even when the driver put it on
