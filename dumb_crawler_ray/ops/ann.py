@@ -114,6 +114,79 @@ def _merge_topk(cand: pa.Table, qids: np.ndarray, k: int) -> pa.Table:
     )
 
 
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding table (spherical —
+    cosine assignment on normalized vectors).
+
+    Scale shape: centroids are the SMALL side — `ray.put` once per
+    iteration; each Arrow batch computes its partial (per-cluster vector
+    sum + count) inside `map_batches`, so one iteration ships k×dim floats
+    per block to the driver, never the data. iters+1 streaming passes over
+    the table total. Deterministic: init = the first k vec_ids' vectors
+    (distributed partial-min), fixed iteration count, argmax ties broken
+    by lowest cluster id (numpy argmax semantics).
+
+    Returns (vec_id, cluster, sim) assignments sorted by vec_id —
+    rows-only oracle; determinism + objective-monotonicity are pytested.
+    """
+    import ray
+
+    _qids, init = _load_queries(sf_dir, k)
+    cent = _normalize(init)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _normalize(embedding_matrix(t.column("embedding")))
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "vec_sum": pa.array(sums.tolist(),
+                                        pa.list_(pa.float64())),
+                }
+            )
+
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for b in ds.map_batches(partial_sums, batch_format="pyarrow",
+                                **remote_kwargs()).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            counts += b.column("count").to_numpy()
+            sums += embedding_matrix(b.column("vec_sum"))
+        nonzero = counts > 0
+        cent[nonzero] = _normalize(sums[nonzero] /
+                                   counts[nonzero][:, None])
+
+    final_ref = ray.put(cent)
+
+    def assign_out(t: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        mat = _normalize(embedding_matrix(t.column("embedding")))
+        sims = mat @ c.T
+        assign = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "sim": pa.array(
+                    np.round(sims[np.arange(len(assign)), assign],
+                             SIM_DECIMALS), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign_out, batch_format="pyarrow",
+                          **remote_kwargs()).sort("vec_id")
+
+
 def _kmeans(mat: np.ndarray, n_centroids: int, seed: int = 7, iters: int = 10):
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)

@@ -541,12 +541,35 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["top_terms_per_doc"] = (
+        text.top_terms_per_doc,
+        """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), df AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ), ranked AS (
+            SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.word) AS rank
+            FROM tf JOIN df USING (word)
+        )
+        SELECT doc_id, rank, word, tf, df FROM ranked
+        WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
     reg["near_dup_clusters"] = (dedup.near_dup_clusters, None)
     reg["simhash_signatures"] = (dedup.simhash_signatures, None)
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
+    reg["embedding_kmeans"] = (ann.embedding_kmeans, None)
     reg["lang_id"] = (text.lang_id, None)
     reg["approx_distinct_users"] = (text.approx_distinct_users, None)
     reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)

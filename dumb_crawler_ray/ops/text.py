@@ -258,6 +258,80 @@ def doc_sample(sf_dir: str, prefix: str = "0"):
     )
 
 
+def top_terms_per_doc(sf_dir: str, k: int = 3):
+    """TF-IDF-style characteristic terms, integer-exact (no float log —
+    ranking by (tf DESC, df ASC, word ASC) is order-equivalent to
+    tf·idf for fixed tf and needs no rounding pact with the oracle):
+
+      map_batches   doc → distinct (doc_id, word, tf) rows (np.unique per
+                    doc — the tokenize+count combiner)
+      groupby(word) document frequency over the distinct pairs
+      Dataset.join  tf ⨝ df on word — both sides scale with corpus, so a
+                    genuine hash-shuffle join (vocab is NOT broadcast)
+      groupby(doc_id).map_groups   pinned-order top-k per doc
+
+    SQL oracle: the same two aggregations + row_number window."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def tf_explode(t: pa.Table) -> pa.Table:
+        out_doc, out_word, out_tf = [], [], []
+        for doc_id, s in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = re.findall(TOKEN_REGEX, s.lower())
+            if not toks:
+                continue
+            words, counts = np.unique(np.asarray(toks, dtype=object),
+                                      return_counts=True)
+            out_doc.extend([doc_id] * len(words))
+            out_word.extend(words)
+            out_tf.extend(counts.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "word": pa.array(out_word, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_explode, batch_format="pyarrow", **remote_kwargs()
+    )
+    # (doc, word) rows are distinct by construction → row count per word
+    # IS count(DISTINCT doc_id)
+    df = tf.groupby("word").aggregate(Count(alias_name="df"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["word_r", "df"])
+
+    df = df.map_batches(rename, batch_format="pyarrow", **remote_kwargs())
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
+    joined = tf.join(df, join_type="inner", num_partitions=n_parts,
+                     on=("word",), right_on=("word_r",))
+
+    def topk(g: pa.Table) -> pa.Table:
+        tfs = g.column("tf").to_numpy()
+        dfs = g.column("df").to_numpy()
+        words = np.asarray(g.column("word").to_pylist(), dtype=object)
+        order = np.lexsort((words, dfs, -tfs))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([g.column("doc_id")[0].as_py()] * len(order),
+                                   pa.int64()),
+                "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+                "word": pa.array(words[order], pa.string()),
+                "tf": pa.array(tfs[order], pa.int64()),
+                "df": pa.array(dfs[order], pa.int64()),
+            }
+        )
+
+    return (
+        joined.groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow", **remote_kwargs())
+        .sort(["doc_id", "rank"])
+    )
+
+
 def _mg_trim(items: np.ndarray, counts: np.ndarray, capacity: int):
     """Misra-Gries summary trim: subtract the (capacity+1)-largest count
     from everything, drop non-positives — the classic decrement step,

@@ -460,3 +460,26 @@ def test_misra_gries_guarantee(ray_session):
     must_keep = u[c > n / (cap + 1)]
     assert len(kept) <= cap
     assert set(must_keep).issubset(set(kept))
+
+
+def test_top_terms_per_doc_parity(registry, ray_session):
+    fn, sql = registry["top_terms_per_doc"]
+    compare("top_terms_per_doc", fn(SF), sql)
+
+
+def test_embedding_kmeans_invariants(registry, ray_session):
+    """k-means: deterministic across runs, every vector assigned, cluster
+    ids within range, and the spherical objective (mean cosine to own
+    centroid) does not decrease with more Lloyd's iterations."""
+    from dumb_crawler_ray.ops.ann import embedding_kmeans
+
+    fn, _ = registry["embedding_kmeans"]
+    a = to_df(fn(SF))
+    b = to_df(fn(SF))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 500
+    assert a["cluster"].between(0, 7).all()
+    assert a["vec_id"].is_unique
+    obj1 = to_df(embedding_kmeans(SF, k=8, iters=1))["sim"].mean()
+    obj5 = to_df(embedding_kmeans(SF, k=8, iters=5))["sim"].mean()
+    assert obj5 >= obj1 - 1e-6, (obj1, obj5)
