@@ -307,3 +307,52 @@ def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8):
         .aggregate(Min("hamming", alias_name="hamming"))
         .sort(["a", "b"])
     )
+
+
+def image_keeplist(images_parquet: str, max_hamming: int = 8):
+    """Composite crawl→dedup finisher: phash near-dup pairs (distributed,
+    see `phash_near_dup_pairs`) → connected components (min-id union-find
+    over the verified pair set — provably tiny relative to the corpus) →
+    one row per image with its cluster representative and the `keep` flag
+    (representative only). The image-side analogue of
+    `dedup.near_dup_clusters`; the training-data keep-list a crawl feeds
+    into dataset curation. Deterministic; rows-only oracle."""
+    import ray
+
+    pairs = phash_near_dup_pairs(images_parquet, max_hamming=max_hamming)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        for a, bb in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(bb, bb)
+            ra, rb = find(a), find(bb)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    reps = {m: find(m) for m in parent}
+    reps_ref = ray.put(reps)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        r = ray.get(reps_ref)
+        ids = t.column("image_id").to_pylist()
+        rep = [r.get(i, i) for i in ids]
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "cluster_rep": pa.array(rep, pa.string()),
+                "keep": pa.array([i == x for i, x in zip(ids, rep)], pa.bool_()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(images_parquet, columns=["image_id"])
+        .map_batches(annotate, batch_format="pyarrow", **remote_kwargs())
+        .sort("image_id")
+    )

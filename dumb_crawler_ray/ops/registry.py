@@ -202,6 +202,10 @@ def video_frame_sample_q(sf_dir: str):
     return media.video_frame_sample(f"{_media_dir()}/video.parquet")
 
 
+def image_keeplist_q(sf_dir: str):
+    return multimodal.image_keeplist(f"{_fixture_dir()}/images.parquet")
+
+
 def image_resize_meta(sf_dir: str):
     ds = multimodal.resize(f"{_fixture_dir()}/images.parquet")
 
@@ -575,6 +579,7 @@ def build_registry() -> dict[str, tuple]:
     reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)
     reg["image_decode_stats"] = (image_decode_stats, None)
     reg["image_phash_near_dups"] = (image_phash_near_dups, None)
+    reg["image_keeplist"] = (image_keeplist_q, None)
     reg["image_resize_meta"] = (image_resize_meta, None)
     reg["image_features"] = (image_features_q, None)
     reg["image_embeddings"] = (image_embeddings_q, None)

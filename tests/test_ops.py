@@ -483,3 +483,26 @@ def test_embedding_kmeans_invariants(registry, ray_session):
     obj1 = to_df(embedding_kmeans(SF, k=8, iters=1))["sim"].mean()
     obj5 = to_df(embedding_kmeans(SF, k=8, iters=5))["sim"].mean()
     assert obj5 >= obj1 - 1e-6, (obj1, obj5)
+
+
+def test_image_keeplist(registry, ray_session):
+    """Crawl→dedup finisher: every planted near-dup image (idx%16==15 is a
+    noisy copy of idx-1) shares a cluster with its source; exactly one
+    keeper per cluster; singletons keep themselves."""
+    fn, _ = registry["image_keeplist"]
+    df = to_df(fn(SF))
+    assert df["image_id"].is_unique and len(df) == 256
+    # every cluster has exactly one keeper, and it is the min image_id
+    for rep, g in df.groupby("cluster_rep"):
+        assert g["keep"].sum() == 1
+        assert g.loc[g["keep"], "image_id"].iloc[0] == rep == g["image_id"].min()
+    pairs = to_df(registry["image_phash_near_dups"][0](SF))
+    # planted dups must be clustered together
+    import re as _re
+
+    planted = [(a, b) for a, b in zip(pairs["a"], pairs["b"])
+               if int(b[3:]) - int(a[3:]) == 1 and int(b[3:]) % 16 == 15]
+    assert planted
+    rep = dict(zip(df["image_id"], df["cluster_rep"]))
+    for a, b in planted:
+        assert rep[a] == rep[b]
