@@ -191,7 +191,9 @@ def _candidate_pairs_by_key(exploded, n_partitions: int):
             parts.append((ids[s + ii] << 32) | ids[s + jj])
         if not parts:
             return empty
-        return pa.table({"pair": pa.array(np.concatenate(parts), pa.int64())})
+        # in-block dedup before the pair shuffle (distinct-only semantics)
+        return pa.table({"pair": pa.array(np.unique(np.concatenate(parts)),
+                                          pa.int64())})
 
     def uniq(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -548,9 +550,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
         """One keyed-repartition block holds EVERY row of its shingles, so
         pair generation is a block-local segment scan (lexsort + triu per
         segment) — no per-group UDF dispatch. (a,b) and (n_a,n_b) are each
-        PACKED into one int64 (31-bit guard in `explode`), halving the
-        pair-count shuffle volume."""
+        PACKED into one int64 (31-bit guard in `explode`), and pair
+        occurrences are PRE-AGGREGATED in-block (np.unique + counts) — the
+        partial-combiner pattern applied to the pair shuffle: it moves one
+        row per distinct (block, pair), not one per shared shingle."""
         empty = pa.table({"pair": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64()),
                           "sizes": pa.array([], pa.int64())})
         if len(b) < 2:
             return empty
@@ -571,21 +576,30 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
             size_parts.append((ns[s + ii] << 32) | ns[s + jj])
         if not pair_parts:
             return empty
+        p = np.concatenate(pair_parts)
+        sz = np.concatenate(size_parts)
+        u, idx, cnt = np.unique(p, return_index=True, return_counts=True)
         return pa.table(
             {
-                "pair": pa.array(np.concatenate(pair_parts), pa.int64()),
-                "sizes": pa.array(np.concatenate(size_parts), pa.int64()),
+                "pair": pa.array(u, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "sizes": pa.array(sz[idx], pa.int64()),
             }
         )
 
     def combine(b: pa.Table) -> pa.Table:
-        """Pair counts within one pair-keyed block = global counts (the
-        repartition co-located every instance of a pair)."""
+        """Partial pair-counts within one pair-keyed block sum to global
+        counts (the repartition co-located every instance of a pair)."""
         p = b.column("pair").to_numpy()
+        c = b.column("cnt").to_numpy()
         s = b.column("sizes").to_numpy()
-        u, idx, cnt = np.unique(p, return_index=True, return_counts=True)
-        inter = cnt.astype(np.int64)
-        sizes = s[idx]
+        o = np.argsort(p, kind="stable")
+        p, c, s = p[o], c[o], s[o]
+        starts = np.flatnonzero(np.concatenate([[True], p[1:] != p[:-1]]))
+        u = p[starts]
+        inter = np.add.reduceat(c, starts).astype(np.int64) if len(p) else \
+            np.empty(0, dtype=np.int64)
+        sizes = s[starts]
         n_a, n_b = sizes >> 32, sizes & 0x7FFFFFFF
         union = n_a + n_b - inter
         keep = inter * threshold_den >= union * threshold_num
