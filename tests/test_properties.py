@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the hashing/membership/sketch
+primitives — classes of inputs rather than fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+int64s = st.lists(
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    min_size=0, max_size=300,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(int64s)
+def test_bloom_no_false_negatives(xs):
+    from dumb_crawler_ray.state.bloom import BloomFilter
+
+    b = BloomFilter(capacity=4096, fpp=0.01)
+    arr = np.asarray(xs, dtype=np.int64)
+    b.add_many(arr)
+    assert b.contains_many(arr).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(int64s)
+def test_cuckoo_no_false_negatives(xs):
+    from dumb_crawler_ray.state.cuckoo import CuckooFilter
+
+    c = CuckooFilter(capacity=4096)
+    arr = np.asarray(xs, dtype=np.int64)
+    c.add_many(arr)
+    assert c.contains_many(arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 31) - 1),
+                min_size=2, max_size=50, unique=True))
+def test_pair_packing_round_trip(ids):
+    """(a<<32)|b packing used by the dedup pair shuffles is lossless for
+    31-bit doc ids with a < b."""
+    ids = sorted(ids)
+    a, b = np.asarray(ids[:-1], dtype=np.int64), np.asarray(ids[1:], dtype=np.int64)
+    packed = (a << 32) | b
+    assert ((packed >> 32) == a).all()
+    assert ((packed & 0x7FFFFFFF) == b).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(max_size=400))
+def test_rolling_fingerprints_match_naive(s):
+    """Rabin-Karp rolling update == naive per-window polynomial hash for
+    arbitrary unicode text."""
+    from dumb_crawler_ray.ops.text import polynomial_hash, rolling_fingerprints
+
+    MOD, BASE, W = (1 << 61) - 1, 257, 32
+    got = rolling_fingerprints(s, W)
+    data = s.encode("utf-8", errors="replace")
+    if not s:
+        want = []
+    elif len(s) < W:
+        want = [polynomial_hash(s)]
+    else:
+        want = []
+        for i in range(len(data) - W + 1):
+            h = 0
+            for c in data[i:i + W]:
+                h = (h * BASE + c) % MOD
+            want.append(h)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(max_size=200))
+def test_simhash_stable_and_locality_free(s):
+    """simhash64 is deterministic and int64-ranged for arbitrary text."""
+    from dumb_crawler_ray.ops.dedup import simhash64
+
+    a = simhash64(s)
+    assert a == simhash64(s)
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=500),
+       st.integers(min_value=1, max_value=16))
+def test_misra_gries_bound_property(items, cap):
+    """Any item with count > n/(cap+1) survives _mg_trim; output ≤ cap."""
+    from dumb_crawler_ray.ops.text import _mg_trim
+
+    arr = np.asarray(items, dtype=np.int64)
+    u, c = np.unique(arr, return_counts=True)
+    kept, _ = _mg_trim(u, c.astype(np.int64), cap)
+    assert len(kept) <= cap
+    n = len(arr)
+    for item, cnt in zip(u, c):
+        if cnt > n / (cap + 1):
+            assert item in kept
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=100000), min_size=1,
+                max_size=400),
+       st.floats(min_value=0.01, max_value=0.99))
+def test_quantile_histogram_equals_sorted_rank(vals, q):
+    """The histogram-cumsum quantile equals the sorted-array
+    ceil(q*n)-1 discrete quantile (DuckDB quantile_disc semantics)."""
+    arr = np.asarray(vals, dtype=np.int64)
+    v, c = np.unique(arr, return_counts=True)
+    cum = np.cumsum(c)
+    total = int(cum[-1])
+    rank = min(total, int(np.ceil(q * total)))
+    got = int(v[np.searchsorted(cum, rank)])
+    want = int(np.sort(arr)[max(0, int(np.ceil(q * len(arr))) - 1)])
+    assert got == want
