@@ -40,13 +40,23 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(partial_min, batch_format="pyarrow", **remote_kwargs())
-    cand = pa.concat_tables(
-        tb for tb in ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:  # empty embeddings table → no queries
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64)
+    cand = pa.concat_tables(batches)
     ids = cand.column("vec_id").to_numpy()
     order = np.argsort(ids)[:n_queries]
     q = embedding_matrix(cand.column("embedding"))[order]
     return ids[order], q
+
+
+def _empty_topk() -> pa.Table:
+    return pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "rank": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
 
 
 def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
@@ -57,6 +67,8 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
     import ray
 
     qids, qmat = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_topk()
     qn = _normalize(qmat)
     q_ref = ray.put((qids, qn))
 
@@ -132,6 +144,12 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     import ray
 
     _qids, init = _load_queries(sf_dir, k)
+    if len(_qids) == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
     cent = _normalize(init)
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -209,6 +227,8 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
     import ray
 
     qids, qmat = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_topk()
     qn = _normalize(qmat)
     # train the coarse quantizer on a bounded sample (scale path: sample,
     # not the full table)

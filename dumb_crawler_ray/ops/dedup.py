@@ -313,8 +313,11 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
         )
 
     verified = cand.map_batches(verify, batch_format="pyarrow", **remote_kwargs())
-    out = pa.concat_tables(
-        tb for tb in verified.iter_batches(batch_format="pyarrow", batch_size=None)
+    batches = list(verified.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    out = pa.concat_tables(batches) if batches else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
     )
     if len(out) == 0:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -433,6 +436,11 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
     from ray.data.aggregate import Max
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    if pf.metadata.num_rows == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
     first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first.column(0)[0])
     rng = np.random.default_rng(seed)

@@ -153,7 +153,8 @@ def _parquet_num_rows(sf_dir: str, name: str) -> int:
 
 def _broadcast_arrow(sf_dir: str, name: str, columns: list[str]):
     """`ray.put` a small table's columns ONCE as Arrow arrays (plasma,
-    zero-copy per task) — never a Python dict."""
+    zero-copy per task) — never a Python dict. Empty tables broadcast as
+    typed empty arrays (schema from the parquet footer)."""
     import ray
 
     parts: dict[str, list] = {c: [] for c in columns}
@@ -161,7 +162,16 @@ def _broadcast_arrow(sf_dir: str, name: str, columns: list[str]):
             batch_format="pyarrow", batch_size=None):
         for c in columns:
             parts[c].append(tb.column(c).combine_chunks())
-    return ray.put(tuple(pa.concat_arrays(parts[c]) for c in columns))
+    if parts[columns[0]]:
+        arrays = tuple(pa.concat_arrays(parts[c]) for c in columns)
+    else:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(f"{sf_dir}/{name}.parquet",
+                              format="parquet").schema
+        arrays = tuple(pa.array([], type=schema.field(c).type)
+                       for c in columns)
+    return ray.put(arrays)
 
 
 def _fact_dim_join(fact, sf_dir: str, dim: str, fact_key: str, dim_key: str,
@@ -178,6 +188,11 @@ def _fact_dim_join(fact, sf_dir: str, dim: str, fact_key: str, dim_key: str,
         def attach(t: pa.Table) -> pa.Table:
             arrays = ray.get(ref)
             idx = pc.index_in(t.column(fact_key), value_set=arrays[0])
+            # inner-join semantics: drop fact rows with no dimension match
+            valid = pc.is_valid(idx)
+            if not pc.all(valid).as_py():
+                t = t.filter(valid)
+                idx = idx.filter(valid)
             cols = {c: t.column(c) for c in t.column_names}
             for j, name in enumerate(dim_cols, start=1):
                 cols[name] = pc.take(arrays[j], idx)
@@ -367,6 +382,15 @@ def order_priority_revenue(sf_dir: str, num_partitions: int | None = None):
 
     if num_partitions is None:
         num_partitions = _join_partitions()
+    # Ray's hash-join aggregator cannot finalize over a 0-row input;
+    # footer metadata makes the guard free
+    if (_parquet_num_rows(sf_dir, "lineitem") == 0
+            or _parquet_num_rows(sf_dir, "orders") == 0):
+        return pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n_items": pa.array([], pa.int64()),
+             "sum_disc_price_c4": pa.array([], pa.int64())}
+        )
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(derive, batch_format="pyarrow", **remote_kwargs())

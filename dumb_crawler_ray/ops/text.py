@@ -274,6 +274,18 @@ def top_terms_per_doc(sf_dir: str, k: int = 3):
     import ray
     from ray.data.aggregate import Count
 
+    from .relational import _parquet_num_rows
+
+    # Ray's hash-join aggregator cannot finalize over a 0-row input
+    if _parquet_num_rows(sf_dir, "documents") == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()),
+             "word": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()),
+             "df": pa.array([], pa.int64())}
+        )
+
     def tf_explode(t: pa.Table) -> pa.Table:
         out_doc, out_word, out_tf = [], [], []
         for doc_id, s in zip(t.column("doc_id").to_pylist(),
