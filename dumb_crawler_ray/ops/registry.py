@@ -48,12 +48,16 @@ def _crawl_result():
         return _CRAWL_CACHE
     except NameError:
         pass
+    import shutil
+
     from ..pipelines.crawl import CrawlPipeline
     from ..sources.synthweb import DEFAULT_CONFIG
 
+    ckpt = f"/tmp/dcr_fixtures/crawl_ckpt_sf{_FIXTURE_SCALE}"
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh run, not a resume
     _CRAWL_CACHE = CrawlPipeline(
         _fixture_dir(), DEFAULT_CONFIG, seed=_FIXTURE_SEED, scale=_FIXTURE_SCALE,
-        n_shards=4, fetch_concurrency=2,
+        n_shards=4, fetch_concurrency=2, ckpt_dir=ckpt,
     ).run()
     return _CRAWL_CACHE
 
@@ -83,6 +87,17 @@ def crawl_seen_set(sf_dir: str):
             "priority": pa.array([v[4] for _, v in items], pa.int64()),
         }
     )
+
+
+def crawl_lineage(sf_dir: str):
+    """Per-shard per-round lineage records (north rule): who inserted /
+    fetched / failed what, per frontier partition, straight from the
+    checkpoint the fixture crawl commits."""
+    import pyarrow.dataset as pads
+
+    r = _crawl_result()
+    ds = pads.dataset(f"{r.ckpt_dir}/lineage", format="parquet")
+    return ds.to_table().sort_by([("round", "ascending"), ("shard", "ascending")])
 
 
 def crawl_counters(sf_dir: str):
@@ -588,4 +603,5 @@ def build_registry() -> dict[str, tuple]:
     reg["crawl_order"] = (crawl_order, None)
     reg["crawl_seen_set"] = (crawl_seen_set, None)
     reg["crawl_counters"] = (crawl_counters, None)
+    reg["crawl_lineage"] = (crawl_lineage, None)
     return reg

@@ -538,3 +538,18 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
             n = len(r)
         # approx_distinct_users returns its one sketch row; all else empty
         assert n == (1 if name == "approx_distinct_users" else 0), (name, n)
+
+
+def test_crawl_lineage_view(registry, ray_session):
+    """North-rule lineage: per-(round, shard) records from the committed
+    checkpoint; fetched/failed totals reconcile with the crawl counters."""
+    df = to_df(registry["crawl_lineage"][0](SF))
+    counters = to_df(registry["crawl_counters"][0](SF)).set_index("counter")["value"]
+    assert set(df.columns) >= {"round", "shard", "candidates_in", "discovered",
+                               "robots_denied", "exact_probes", "fetched",
+                               "failed", "wall_ms"}
+    assert df["fetched"].sum() == (
+        counters.get("PROCESSED_URLS", 0)
+        + sum(v for k, v in counters.items() if k.startswith("ERROR_"))
+    )
+    assert (df.groupby(["round", "shard"]).size() == 1).all()
