@@ -521,7 +521,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         src = pq.read_table(f"{SF}/{t}.parquet")
         pq.write_table(src.slice(0, 0), str(d / f"{t}.parquet"))
     fixture_backed = {
-        "crawl_order", "crawl_seen_set", "crawl_counters",
+        "crawl_order", "crawl_seen_set", "crawl_counters", "crawl_lineage",
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "audio_features", "video_frame_sample",
