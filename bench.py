@@ -63,12 +63,16 @@ def run_crawl(num_cpus: int) -> dict:
     cfg = json.loads(json.dumps(DEFAULT_CONFIG))
     cfg.update(BENCH_CONFIG_OVERRIDES)
     # actor pool strictly proportional to cluster size so N vs 4N compares
-    # like-for-like (4× the fetch slots at 4× the CPUs)
+    # like-for-like (4× the fetch slots at 4× the CPUs); each actor runs
+    # `threadCount`-style in-actor fetch threads (reference semantics) so
+    # RTT overlaps within a worker — in-flight fetches = conc × threads
     conc = max(2, (num_cpus * 3) // 4)
+    threads = int(os.environ.get("DCR_BENCH_THREADS", "4"))
     t0 = time.time()
     res = CrawlPipeline(
         fix, cfg, seed=42, scale=BENCH_SCALE, n_shards=8,
         fetch_concurrency=conc, fetch_delay_s=RTT_MS / 1000.0,
+        fetch_threads=threads,
     ).run()
     wall = time.time() - t0
     return {
@@ -80,6 +84,7 @@ def run_crawl(num_cpus: int) -> dict:
         "rounds": res.rounds,
         "urls_per_sec": round(len(res.crawl_order) / wall, 1),
         "fetch_concurrency": conc,
+        "fetch_threads": threads,
         "rtt_ms": RTT_MS,
     }
 
@@ -233,8 +238,16 @@ def main_scaling() -> dict:
     write_fixture(scaling_fixture, seed=42, scale=SCALING_SCALE)
     out = {}
     for label, cpus in (("N", 8), ("4N", 32)):
+        # the scaling CRITERION runs the latency-bound regime (1 fetch
+        # thread/actor, in-flight strictly CPU-proportional) — the regime
+        # the north rule describes. With RTT-overlap threads the N-size
+        # job is already compute-saturated on this shared single box, so a
+        # single-host 8→32-CPU ratio stops measuring the engine (see
+        # BASELINE.md); override with DCR_SCALING_THREADS to measure that
+        # regime anyway.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                   DCR_BENCH_SCALE=str(SCALING_SCALE), DCR_BENCH_K="4096")
+                   DCR_BENCH_SCALE=str(SCALING_SCALE), DCR_BENCH_K="4096",
+                   DCR_BENCH_THREADS=os.environ.get("DCR_SCALING_THREADS", "1"))
         proc = subprocess.run(
             [sys.executable, __file__, "--crawl-only"],
             capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),

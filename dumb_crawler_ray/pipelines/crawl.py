@@ -78,6 +78,7 @@ class CrawlPipeline:
         resume: bool = False,
         fetch_delay_s: float = 0.0,
         fetch_mode: str = "actors",
+        fetch_threads: int = 1,
     ):
         self.fixture_dir = str(fixture_dir)
         self.cfg = config if isinstance(config, JobConfig) else JobConfig(config)
@@ -88,6 +89,7 @@ class CrawlPipeline:
         self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size
         self.fetch_delay_s = fetch_delay_s
+        self.fetch_threads = fetch_threads
         self.hot_domains = frozenset(
             hot_domains if hot_domains is not None else [domains_for(scale)[0]]
         )
@@ -269,7 +271,12 @@ class CrawlPipeline:
     def _images_broadcast(self):
         """`ray.put` the image table once — every fetch actor reads the
         same plasma copy zero-copy instead of re-reading parquet row
-        groups per batch (SURVEY.md §4: broadcast the small side)."""
+        groups per batch (SURVEY.md §4: broadcast the small side).
+        Measured: a Ray-Data parallel read + driver assembly is ~2.7×
+        SLOWER than one serial `pq.read_table` at bench scale (extra copy
+        + read-task overhead), so the serial read stays. At real scale the
+        broadcast becomes one put per image shard keyed like the frontier
+        (see FetchWorker docstring)."""
         import ray
 
         if getattr(self, "_images_ref", None) is None:
@@ -285,6 +292,7 @@ class CrawlPipeline:
             "scale": self.scale,
             "ckpt_dir": self.ckpt_dir,
             "fetch_delay_s": self.fetch_delay_s,
+            "fetch_threads": self.fetch_threads,
             "images_ref": self._images_broadcast(),
             "proxy_api_key": os.environ.get("ROCKETSCRAPE_API_KEY"),
         }

@@ -84,7 +84,8 @@ IMAGES_SCHEMA = pa.schema(
 class FetchWorker:
     def __init__(self, fixture_dir: str, config_raw: dict, seed: int, scale: int,
                  ckpt_dir: str | None = None, fetch_delay_s: float = 0.0,
-                 images_ref=None, proxy_api_key: str | None = None):
+                 images_ref=None, proxy_api_key: str | None = None,
+                 fetch_threads: int = 1):
         self.cfg = JobConfig(config_raw)
         self.comp = S.CrawlComponents(self.cfg)
         if proxy_api_key is not None:
@@ -148,6 +149,16 @@ class FetchWorker:
         # per-round budget (the cap) without affecting crawl ORDER.
         self.politeness_delay_s = self.cfg.politeness_delay_ms / 1000.0
         self._domain_last_fetch: dict[str, float] = {}
+        # in-actor fetch threads — the reference's `threadCount` semantics
+        # (J/DumbCrawler.java task executor): RTT overlaps WITHIN a worker
+        # while outcomes stay deterministic (results re-ordered by input
+        # index; the per-domain politeness clock is lock-protected). 1 =
+        # serial (conformance default).
+        import threading
+
+        self.fetch_threads = max(1, int(fetch_threads))
+        self._pace_lock = threading.Lock()
+        self._executor = None
         self.round = -1  # set via batch column
 
     def _image_rows_bulk(self, ids: list[str]) -> dict[str, dict]:
@@ -211,42 +222,58 @@ class FetchWorker:
         page_rows = []
         image_rows = []
         failed_rows = []
-        if self.fetch_delay_s:
-            import time
 
-            time.sleep(self.fetch_delay_s * n)
-        # pass 1: fetch + outcome; collect links and stored-page info
-        page_links: list[tuple[int, list[str]]] = []
-        stored: list[tuple[int, list[str], str]] = []  # (i, image_ids, html)
-        for i in range(n):
-            if not sched_allowed[i]:
-                continue
+        # pass 1: fetch + outcome (optionally overlapped across
+        # fetch_threads in-actor threads — RTT/network I/O releases the
+        # GIL; results are consumed in input-index order so outcomes are
+        # bit-identical at any thread count)
+        def fetch_one(i: int):
             url, tags = urls[i], tags_list[i]
             if self.politeness_delay_s:
                 self._pace(self.comp.domain_of(url))
+            if self.fetch_delay_s:
+                import time
+
+                time.sleep(self.fetch_delay_s)  # simulated per-URL RTT
             try:
                 resp = self.web.fetch(self.comp.fetch_url_for(url, tags))
             except FetchTransportError:
                 # reference throws CrawlingException("HTML_RENDERING_ERROR")
                 # from the renderer (SimpleHttpRenderer.java:24-26)
-                out["error"][i] = "HTML_RENDERING_ERROR"
-                continue
+                return i, "HTML_RENDERING_ERROR", [], "", []
             error, links, html = self.comp.fetch_outcome(resp, url, tags)
+            return i, error, links, html, list(resp.image_ids)
+
+        todo = [i for i in range(n) if sched_allowed[i]]
+        if self.fetch_threads > 1 and len(todo) > 1:
+            if self._executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._executor = ThreadPoolExecutor(
+                    max_workers=self.fetch_threads)
+            fetched = list(self._executor.map(fetch_one, todo))
+        else:
+            fetched = [fetch_one(i) for i in todo]
+
+        page_links: list[tuple[int, list[str]]] = []
+        stored: list[tuple[int, list[str], str]] = []  # (i, image_ids, html)
+        for i, error, links, html, image_ids in fetched:
             if error is not None:
                 out["error"][i] = error
                 if html:  # validation failures carry the body; persist it
                     failed_rows.append(
-                        {"url_hash": hashes[i], "url": url, "error_code": error,
-                         "html": html, "round": rnd, "rank": ranks[i]}
+                        {"url_hash": hashes[i], "url": urls[i],
+                         "error_code": error, "html": html,
+                         "round": rnd, "rank": ranks[i]}
                     )
                 continue
             if len(links) > 300:  # reference warns at >300 (K2), no truncation
                 out["too_many_links"][i] = True
             page_links.append((i, links))
-            if self.comp.should_store(tags):
+            if self.comp.should_store(tags_list[i]):
                 out["store_ok"][i] = True
-                out["image_ids"][i] = list(resp.image_ids)
-                stored.append((i, list(resp.image_ids), html))
+                out["image_ids"][i] = image_ids
+                stored.append((i, image_ids, html))
         # pass 2: ONE vectorized link analysis for the whole batch
         flat_links = [l for _, links in page_links for l in links]
         if flat_links:
@@ -306,16 +333,21 @@ class FetchWorker:
         return _to_arrow(out)
 
     def _pace(self, domain: str) -> None:
+        """Min wall-clock delay between fetches of one domain. Lock-
+        protected claim-then-sleep so concurrent fetch threads serialize
+        per domain without holding the lock while sleeping."""
         import time
 
-        now = time.monotonic()
-        last = self._domain_last_fetch.get(domain)
-        if last is not None:
-            wait = self.politeness_delay_s - (now - last)
-            if wait > 0:
-                time.sleep(wait)
+        while True:
+            with self._pace_lock:
                 now = time.monotonic()
-        self._domain_last_fetch[domain] = now
+                last = self._domain_last_fetch.get(domain)
+                wait = 0.0 if last is None else (
+                    self.politeness_delay_s - (now - last))
+                if wait <= 0:
+                    self._domain_last_fetch[domain] = now
+                    return
+            time.sleep(wait)
 
     def _write_fragments(self, rnd: int, page_rows, image_rows,
                          failed_rows=()) -> None:

@@ -280,3 +280,38 @@ def test_unsupported_selector_does_not_crash_crawl(ray_session, fix4):
     assert_match(res, orc)
     assert res.counters.get("SAVED_PAGES", 0) == 0
     assert res.counters["ERROR_CONTENT_VALIDATION_ERROR_article"] > 0
+
+
+def test_conformance_with_fetch_threads(ray_session, fix4):
+    """In-actor fetch threads (reference threadCount semantics) must not
+    change ANY outcome: results re-order by input index, the politeness
+    clock is lock-protected."""
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    res = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, fetch_threads=4,
+    ).run()
+    assert_match(res, orc)
+
+
+def test_politeness_pacing_with_fetch_threads(ray_session, fix4):
+    """With a politeness delay and threads, per-domain fetch spacing still
+    holds (the pacing clock is shared across threads)."""
+    import copy
+    import time
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["politeness"]["delay_ms"] = 30
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(cfg, web)
+    t0 = time.time()
+    res = CrawlPipeline(
+        fix4, cfg, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, fetch_threads=4,
+    ).run(max_rounds=3)
+    wall = time.time() - t0
+    # d00 holds ~half the pages; cap=8/domain/round over 3 rounds ⇒ at
+    # least (per-domain fetches - 1) × 30 ms of enforced spacing per actor
+    assert res.crawl_order == orc.crawl_order[:len(res.crawl_order)]
+    assert wall >= 0.03  # sanity: pacing actually slept
