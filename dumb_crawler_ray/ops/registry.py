@@ -560,6 +560,28 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["event_funnel"] = (
+        relational.event_funnel,
+        """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+            WHERE e.event_type = 'click' GROUP BY 1
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 'view_click', count(*) FROM c
+        UNION ALL SELECT 'view_click_purchase', count(*) FROM p
+        ORDER BY stage
+        """,
+    )
+
     reg["top_terms_per_doc"] = (
         text.top_terms_per_doc,
         """

@@ -607,6 +607,59 @@ def supplier_nation_stats(sf_dir: str):
     ).sort(["r_name", "n_name"])
 
 
+def event_funnel(sf_dir: str):
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-that-click): stage reached per user via a
+    groupby(user).map_groups sorted scan — the same keyed-ordered-scan
+    shape as sessionization, so it holds at any scale — then a tiny
+    stage-count aggregation. Oracle: chained min-after-min joins."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["view", "click", "purchase"]))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def stage(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy()
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        views = np.sort(ts[et == "view"])
+        reached = {"view": 0, "view_click": 0, "view_click_purchase": 0}
+        if views.size:
+            reached["view"] = 1
+            clicks = np.sort(ts[et == "click"])
+            clicks = clicks[clicks > views[0]]
+            if clicks.size:
+                reached["view_click"] = 1
+                purchases = ts[et == "purchase"]
+                if (purchases > clicks[0]).any():
+                    reached["view_click_purchase"] = 1
+        return pa.table(
+            {
+                "stage": pa.array(list(reached), pa.string()),
+                "n_part": pa.array(list(reached.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow", **remote_kwargs())
+        .groupby("user_id")
+        .map_groups(stage, batch_format="pyarrow", **remote_kwargs())
+        .groupby("stage")
+        .aggregate(Sum("n_part", alias_name="n_users"))
+        .sort("stage")
+    )
+
+
 def purchase_click_asof(sf_dir: str):
     """AS-OF JOIN — an operator Ray Data has no primitive for: for every
     purchase event, the same user's latest click at-or-before it.
