@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-rounds", type=int, default=None)
     ap.add_argument("--rtt-ms", type=float, default=0.0,
                     help="simulated fetch RTT per URL")
+    ap.add_argument("--fetch-threads", type=int, default=1,
+                    help="in-actor fetch threads (reference threadCount "
+                         "semantics; outcomes identical at any value)")
     args = ap.parse_args(argv)
 
     import ray
@@ -60,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         args.fixture, cfg, seed=args.seed, scale=args.scale,
         n_shards=args.shards, ckpt_dir=args.ckpt, resume=args.resume,
         fetch_concurrency=conc, fetch_delay_s=args.rtt_ms / 1000.0,
+        fetch_threads=args.fetch_threads,
     ).run(max_rounds=args.max_rounds)
     wall = time.time() - t0
     print(json.dumps({
