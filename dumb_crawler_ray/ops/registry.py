@@ -560,6 +560,19 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["high_value_week"] = (
+        relational.high_value_week,
+        """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+          AND value >= 100.0
+        GROUP BY event_type ORDER BY event_type
+        """,
+    )
+
     reg["event_funnel"] = (
         relational.event_funnel,
         """

@@ -607,6 +607,48 @@ def supplier_nation_stats(sf_dir: str):
     ).sort(["r_name", "n_name"])
 
 
+def high_value_week(sf_dir: str, start: str = "2024-01-08",
+                    end: str = "2024-01-15", min_value: float = 100.0):
+    """Predicate PUSHDOWN at the read (SURVEY.md §4 "prune at the read"):
+    the time-range + value filter is handed to `read_parquet` as an Arrow
+    dataset expression, so parquet row groups outside the range never
+    leave storage — the incremental/backfill access pattern. Then a plain
+    per-type aggregate over the surviving rows."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    import ray
+
+    lo = dt.datetime.fromisoformat(start)
+    hi = dt.datetime.fromisoformat(end)
+    expr = (
+        (pads.field("ts") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pads.field("ts") < pa.scalar(hi, pa.timestamp("us")))
+        & (pads.field("value") >= pa.scalar(min_value))
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        filter=expr,
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return partial_aggregate(
+        ds,
+        ["event_type"],
+        [("value_cents", "count", "n"),
+         ("value_cents", "sum", "sum_value_cents")],
+        derive=derive,
+    ).sort("event_type")
+
+
 def event_funnel(sf_dir: str):
     """Ordered conversion funnel (view → click-after-view →
     purchase-after-that-click): stage reached per user via a

@@ -79,7 +79,7 @@ SQL_CHECKED = [
     "top_parts_per_brand", "user_sessions", "daily_active_users",
     "order_size_distribution", "purchase_click_asof",
     "event_value_quantiles", "supplier_nation_stats", "word_frequencies",
-    "doc_sample", "heavy_hitters_users", "event_funnel",
+    "doc_sample", "heavy_hitters_users", "event_funnel", "high_value_week",
 ]
 
 
