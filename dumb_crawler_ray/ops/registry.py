@@ -100,6 +100,16 @@ def crawl_lineage(sf_dir: str):
     return ds.to_table().sort_by([("round", "ascending"), ("shard", "ascending")])
 
 
+def curated_corpus(sf_dir: str):
+    """End-to-end flagship composition: the crawl checkpoint's pages feed
+    the curation pipeline (latest-wins → text extraction → quality →
+    exact dedup) — crawl output in, training-corpus table out."""
+    from ..pipelines.curate import curate_corpus
+
+    r = _crawl_result()
+    return curate_corpus(r.ckpt_dir)
+
+
 def crawl_counters(sf_dir: str):
     r = _crawl_result()
     items = sorted(r.counters.items())
@@ -639,4 +649,5 @@ def build_registry() -> dict[str, tuple]:
     reg["crawl_seen_set"] = (crawl_seen_set, None)
     reg["crawl_counters"] = (crawl_counters, None)
     reg["crawl_lineage"] = (crawl_lineage, None)
+    reg["curated_corpus"] = (curated_corpus, None)
     return reg

