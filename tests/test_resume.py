@@ -174,3 +174,23 @@ def test_pages_failed_debug_sink(ray_session, fix4, tmp_path):
         rc = inspect_cli.dump_page(str(ckpt), one, str(out_html),
                                    table="pages_failed")
     assert rc == 0 and out_html.read_text()
+
+
+def test_resume_with_fetch_threads(ray_session, fix4, tmp_path):
+    """Kill/resume with in-actor fetch threads enabled: checkpoint commit
+    points are round-granular regardless of intra-round concurrency, so
+    resume must still be bit-identical."""
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    ckpt = tmp_path / "ckpt_threads"
+    CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, fetch_threads=4, ckpt_dir=str(ckpt),
+    ).run(max_rounds=3)
+    res = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, fetch_threads=4, ckpt_dir=str(ckpt), resume=True,
+    ).run()
+    assert res.crawl_order == orc.crawl_order
+    assert res.seen_set == orc.seen_set
+    assert res.counters == orc.counters
