@@ -210,11 +210,41 @@ def run_queries() -> dict:
     return timings
 
 
+def run_queries_extra() -> dict:
+    """Round-2 operators, timed under a separate key so the headline
+    `value` stays comparable across rounds."""
+    from dumb_crawler_ray.ops import ann, relational, text
+
+    def consume(result):
+        if hasattr(result, "iter_batches"):
+            return sum(len(b) for b in result.iter_batches(
+                batch_format="pyarrow", batch_size=None))
+        return result.num_rows
+
+    suite = {
+        "event_value_quantiles": lambda: relational.event_value_quantiles(SF_DIR),
+        "heavy_hitters_users": lambda: text.heavy_hitters(SF_DIR),
+        "word_frequencies": lambda: text.word_frequencies(SF_DIR),
+        "top_terms_per_doc": lambda: text.top_terms_per_doc(SF_DIR),
+        "embedding_kmeans": lambda: ann.embedding_kmeans(SF_DIR),
+        "event_funnel": lambda: relational.event_funnel(SF_DIR),
+        "high_value_week": lambda: relational.high_value_week(SF_DIR),
+        "supplier_nation_stats": lambda: relational.supplier_nation_stats(SF_DIR),
+    }
+    timings = {}
+    for name, fn in suite.items():
+        t0 = time.time()
+        consume(fn())
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
 def main_headline() -> dict:
     _ray_init(NUM_CPUS)
     crawl = run_crawl(NUM_CPUS)
     queries = run_queries()
     queries["crawl"] = crawl["wall_s"]
+    extra = run_queries_extra()
     total = round(sum(queries.values()), 3)
     return {
         "metric": "crawl throughput (URLs fetched+deduped/sec) + operator suite wall",
@@ -225,6 +255,7 @@ def main_headline() -> dict:
         "num_cpus": NUM_CPUS,
         "crawl_urls_per_sec": crawl["urls_per_sec"],
         "crawl_detail": crawl,
+        "queries_extra": extra,
     }
 
 

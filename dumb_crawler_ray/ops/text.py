@@ -265,14 +265,14 @@ def top_terms_per_doc(sf_dir: str, k: int = 3):
 
       map_batches   doc → distinct (doc_id, word, tf) rows (np.unique per
                     doc — the tokenize+count combiner)
-      groupby(word) document frequency over the distinct pairs
-      Dataset.join  tf ⨝ df on word — both sides scale with corpus, so a
-                    genuine hash-shuffle join (vocab is NOT broadcast)
+      union + repartition(keys=[word])   tf rows and partial-df marker
+                    rows co-locate per word — a hand-rolled hash join in
+                    ONE shuffle (vocab is NOT broadcast)
+      map_batches   block-local df sum + vectorized attach
       groupby(doc_id).map_groups   pinned-order top-k per doc
 
     SQL oracle: the same two aggregations + row_number window."""
     import ray
-    from ray.data.aggregate import Count
 
     from .relational import _parquet_num_rows
 
@@ -306,20 +306,73 @@ def top_terms_per_doc(sf_dir: str, k: int = 3):
             }
         )
 
-    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tf_explode, batch_format="pyarrow", **remote_kwargs()
-    )
-    # (doc, word) rows are distinct by construction → row count per word
-    # IS count(DISTINCT doc_id)
-    df = tf.groupby("word").aggregate(Count(alias_name="df"))
+    # tf ⨝ df by word via KEYED REPARTITION co-location (the same shape
+    # as ngram_jaccard_pairs): df rows ride in the same stream marked
+    # doc_id = -1, the hash repartition lands every word's tf AND df rows
+    # in one block, and a block-local vectorized lookup attaches df.
+    # (Ray's native Dataset.join crashes finalizing empty right-side
+    # partitions, which a small vocabulary guarantees; this pattern is
+    # also one shuffle instead of two.)
+    def df_partial(t: pa.Table) -> pa.Table:
+        # (doc, word) rows are distinct per doc → per-batch row counts per
+        # word are partial document frequencies; mark with doc_id = -1
+        words, counts = np.unique(
+            np.asarray(t.column("word").to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(len(words), -1), pa.int64()),
+                "word": pa.array(list(words), pa.string()),
+                "tf": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["word_r", "df"])
+    def attach_df(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy()
+        words = np.asarray(b.column("word").to_pylist(), dtype=object)
+        tfs = b.column("tf").to_numpy()
+        is_df = doc == -1
+        # sum the partial dfs per word (block holds EVERY row of its words)
+        dw, inv = np.unique(words[is_df], return_inverse=True)
+        dsum = np.zeros(len(dw), dtype=np.int64)
+        np.add.at(dsum, inv, tfs[is_df])
+        lookup = dict(zip(dw, dsum))
+        keep = ~is_df
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "word": pa.array(words[keep], pa.string()),
+                "tf": pa.array(tfs[keep], pa.int64()),
+                "df": pa.array([lookup[w] for w in words[keep]], pa.int64()),
+            }
+        )
 
-    df = df.map_batches(rename, batch_format="pyarrow", **remote_kwargs())
+    # datasets capture the DataContext at creation — the WHOLE chain
+    # (reads included) must be built inside the scoped override
     n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
-    joined = tf.join(df, join_type="inner", num_partitions=n_parts,
-                     on=("word",), right_on=("word_r",))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tf_explode, batch_format="pyarrow", **remote_kwargs()
+        )
+        df_rows = tf.map_batches(df_partial, batch_format="pyarrow",
+                                 **remote_kwargs())
+        joined_mat = (
+            tf.union(df_rows)
+            .repartition(n_parts, keys=["word"])
+            .map_batches(attach_df, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    # a materialized dataset CAPTURES the context it was built under —
+    # rebuild from its plasma blocks (zero-copy) so the downstream
+    # groupby plans under the restored default strategy, not as a
+    # 200-partition hash shuffle
+    joined = ray.data.from_arrow_refs(list(joined_mat.to_arrow_refs()))
 
     def topk(g: pa.Table) -> pa.Table:
         tfs = g.column("tf").to_numpy()
