@@ -274,8 +274,6 @@ def _events_cents(sf_dir: str, extra_cols=()):
 
 
 def events_by_type(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     return partial_aggregate(
         _events_cents(sf_dir, ("event_type",)),
         ["event_type"],

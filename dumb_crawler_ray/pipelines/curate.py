@@ -22,7 +22,6 @@ n_dups (how many stored pages shared this content), quality_ok.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa

@@ -13,7 +13,7 @@ original's own order is thread-timing- and SQLite-plan-dependent
 from __future__ import annotations
 
 from collections import Counter
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..config import JobConfig
 from ..sources.synthweb import SynthWeb, robots_disallow

@@ -33,7 +33,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import JobConfig
-from ..functions import codec
 from ..pipelines import semantics as S
 from ..sources.httpweb import FetchTransportError
 from ..sources.synthweb import SynthWeb
