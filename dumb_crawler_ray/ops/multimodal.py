@@ -356,3 +356,132 @@ def image_keeplist(images_parquet: str, max_hamming: int = 8):
         .map_batches(annotate, batch_format="pyarrow", **remote_kwargs())
         .sort("image_id")
     )
+
+
+class ImageQualityWorker:
+    """Per-image quality scoring from decoded pixels — the image-side
+    analogue of `text.text_quality` for training-data curation: mean
+    luminance, RMS contrast, horizontal+vertical gradient energy
+    (sharpness proxy — low values flag blurry/flat images), and
+    low-contrast / extreme-exposure flags. Deterministic floats rounded
+    to 4 decimals."""
+
+    def __init__(self, contrast_floor: float = 10.0,
+                 exposure_lo: float = 30.0, exposure_hi: float = 225.0):
+        self.contrast_floor = contrast_floor
+        self.exposure_lo = exposure_lo
+        self.exposure_hi = exposure_hi
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, lum_m, contrast, grad, flags_lc, flags_exp = [], [], [], [], [], []
+        for iid, data in zip(t.column("image_id").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            arr = codec.decode(data).astype(np.float64)
+            gray = arr @ np.array([0.299, 0.587, 0.114])
+            mean = float(gray.mean())
+            rms = float(gray.std())
+            gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+            gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+            ids.append(iid)
+            lum_m.append(round(mean, 4))
+            contrast.append(round(rms, 4))
+            grad.append(round(float(gx + gy), 4))
+            flags_lc.append(rms < self.contrast_floor)
+            flags_exp.append(mean < self.exposure_lo or mean > self.exposure_hi)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "mean_luma": pa.array(lum_m, pa.float64()),
+                "rms_contrast": pa.array(contrast, pa.float64()),
+                "grad_energy": pa.array(grad, pa.float64()),
+                "low_contrast": pa.array(flags_lc, pa.bool_()),
+                "bad_exposure": pa.array(flags_exp, pa.bool_()),
+            }
+        )
+
+
+def image_quality(images_parquet: str, concurrency: int | None = None,
+                  batch_size: int = 64):
+    import ray
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes"]
+    ).map_batches(
+        ImageQualityWorker, batch_format="pyarrow", **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else actor_pool_size(),
+    ).sort("image_id")
+
+
+def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
+                   dim: int = 512):
+    """Cosine top-k over IMAGE embeddings — the payload-axis similarity
+    search: embed (actor pool, per-actor weights) → per-batch partial
+    top-k against a broadcast query matrix → tiny driver merge. The
+    fixture's planted near-duplicate images (every 16th is a noisy copy
+    of its predecessor) must surface as top-1 neighbors — asserted in
+    tests, which makes this rows-only op's output self-evidencing."""
+    import ray
+
+    emb = image_embeddings(images_parquet, dim=dim).materialize()
+
+    # queries: first n by image_id (tiny driver merge of per-batch mins)
+    first = []
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+        order = np.argsort(ids)[:n_queries]
+        m = np.asarray(b.column("embedding").to_pylist(), dtype=np.float32)
+        first.append((ids[order], m[order]))
+    if not first:
+        return pa.table({"query_id": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.string()),
+                         "sim": pa.array([], pa.float64())})
+    all_ids = np.concatenate([i for i, _ in first])
+    all_m = np.concatenate([m for _, m in first])
+    order = np.argsort(all_ids)[:n_queries]
+    qids, qm = all_ids[order], all_m[order]
+    q_ref = ray.put((qids, qm))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(q_ref)
+        vids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+        sims = qm @ mat.T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(ids_q)):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                out_q.append(str(ids_q[qi]))
+                out_n.append(str(vids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.string()),
+             "neighbor_id": pa.array(out_n, pa.string()),
+             "sim": pa.array(out_s, pa.float64())}
+        )
+
+    cand_batches = list(
+        emb.map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    cand = pa.concat_tables(cand_batches)
+    q = np.asarray(cand.column("query_id").to_pylist(), dtype=object)
+    n = np.asarray(cand.column("neighbor_id").to_pylist(), dtype=object)
+    s = cand.column("sim").to_numpy()
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for qid in qids:
+        m = (q == qid) & (n != qid)
+        order = np.lexsort((n[m], -s[m]))[:k]
+        for r, (ni, si) in enumerate(zip(n[m][order], s[m][order]), start=1):
+            out_q.append(str(qid))
+            out_r.append(r)
+            out_n.append(str(ni))
+            out_s.append(round(float(si), 4))
+    return pa.table(
+        {"query_id": pa.array(out_q, pa.string()),
+         "rank": pa.array(out_r, pa.int64()),
+         "neighbor_id": pa.array(out_n, pa.string()),
+         "sim": pa.array(out_s, pa.float64())}
+    )

@@ -231,6 +231,16 @@ def image_keeplist_q(sf_dir: str):
     return multimodal.image_keeplist(f"{_fixture_dir()}/images.parquet")
 
 
+def image_quality_q(sf_dir: str):
+    return multimodal.image_quality(f"{_fixture_dir()}/images.parquet")
+
+
+def image_ann_topk_q(sf_dir: str):
+    # 16 queries so the planted near-dup pair (img14 → img15) is included
+    return multimodal.image_ann_topk(f"{_fixture_dir()}/images.parquet",
+                                     n_queries=16)
+
+
 def image_resize_meta(sf_dir: str):
     ds = multimodal.resize(f"{_fixture_dir()}/images.parquet")
 
@@ -640,6 +650,8 @@ def build_registry() -> dict[str, tuple]:
     reg["image_decode_stats"] = (image_decode_stats, None)
     reg["image_phash_near_dups"] = (image_phash_near_dups, None)
     reg["image_keeplist"] = (image_keeplist_q, None)
+    reg["image_quality"] = (image_quality_q, None)
+    reg["image_ann_topk"] = (image_ann_topk_q, None)
     reg["image_resize_meta"] = (image_resize_meta, None)
     reg["image_features"] = (image_features_q, None)
     reg["image_embeddings"] = (image_embeddings_q, None)

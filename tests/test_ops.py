@@ -525,6 +525,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "curated_corpus",
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
+        "image_quality", "image_ann_topk",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
@@ -572,3 +573,22 @@ def test_curated_corpus(registry, ray_session):
     # re-running is deterministic
     df2 = to_df(registry["curated_corpus"][0](SF))
     pd.testing.assert_frame_equal(df, df2)
+
+
+def test_image_quality_and_ann(registry, ray_session):
+    """Payload-axis ops: quality stats cover every image with sane ranges;
+    image-embedding ANN must rank each planted near-duplicate (idx%16==15
+    is a noisy copy of idx-1) as its source's TOP-1 neighbor."""
+    q = to_df(registry["image_quality"][0](SF))
+    assert len(q) == 256 and q["image_id"].is_unique
+    assert q["rms_contrast"].between(0, 128).all()
+    assert q["mean_luma"].between(0, 255).all()
+    assert (q["grad_energy"] > 0).all()  # sinusoidal fixtures are never flat
+
+    ann = to_df(registry["image_ann_topk"][0](SF))
+    assert set(ann["rank"]) == {1, 2, 3, 4, 5}
+    # query img00000014's planted copy is img00000015 → top-1
+    top1 = ann[(ann.query_id == "img00000014") & (ann["rank"] == 1)]
+    assert len(top1) == 1
+    assert top1["neighbor_id"].iloc[0] == "img00000015"
+    assert top1["sim"].iloc[0] > 0.98
