@@ -485,3 +485,47 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
          "neighbor_id": pa.array(out_n, pa.string()),
          "sim": pa.array(out_s, pa.float64())}
     )
+
+
+def image_curation(images_parquet: str, max_hamming: int = 8):
+    """Final image curation decision — the composite the payload axis
+    feeds into dataset building: `keep = near-dup-cluster keeper AND
+    passes quality flags`. phash keep-list ⨝ quality stats via a native
+    hash join on image_id (string key, both sides scale with the corpus).
+    Deterministic; rows-only oracle with invariant tests."""
+    import ray
+
+    keep = image_keeplist(images_parquet, max_hamming=max_hamming)
+    quality = image_quality(images_parquet)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id_q": t.column("image_id"),
+            "low_contrast": t.column("low_contrast"),
+            "bad_exposure": t.column("bad_exposure"),
+        })
+
+    q = quality.map_batches(rename, batch_format="pyarrow", **remote_kwargs())
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
+    joined = keep.join(q, join_type="inner", num_partitions=n_parts,
+                       on=("image_id",), right_on=("image_id_q",))
+
+    def decide(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        quality_ok = pc.and_(
+            pc.invert(t.column("low_contrast")),
+            pc.invert(t.column("bad_exposure")),
+        )
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "cluster_rep": t.column("cluster_rep"),
+                "is_cluster_keeper": t.column("keep"),
+                "quality_ok": quality_ok,
+                "keep": pc.and_(t.column("keep"), quality_ok),
+            }
+        )
+
+    return joined.map_batches(decide, batch_format="pyarrow",
+                              **remote_kwargs()).sort("image_id")

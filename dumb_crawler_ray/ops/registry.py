@@ -235,6 +235,10 @@ def image_quality_q(sf_dir: str):
     return multimodal.image_quality(f"{_fixture_dir()}/images.parquet")
 
 
+def image_curation_q(sf_dir: str):
+    return multimodal.image_curation(f"{_fixture_dir()}/images.parquet")
+
+
 def image_ann_topk_q(sf_dir: str):
     # 16 queries so the planted near-dup pair (img14 → img15) is included
     return multimodal.image_ann_topk(f"{_fixture_dir()}/images.parquet",
@@ -652,6 +656,7 @@ def build_registry() -> dict[str, tuple]:
     reg["image_keeplist"] = (image_keeplist_q, None)
     reg["image_quality"] = (image_quality_q, None)
     reg["image_ann_topk"] = (image_ann_topk_q, None)
+    reg["image_curation"] = (image_curation_q, None)
     reg["image_resize_meta"] = (image_resize_meta, None)
     reg["image_features"] = (image_features_q, None)
     reg["image_embeddings"] = (image_embeddings_q, None)

@@ -525,7 +525,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "curated_corpus",
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
-        "image_quality", "image_ann_topk",
+        "image_quality", "image_ann_topk", "image_curation",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
@@ -592,3 +592,16 @@ def test_image_quality_and_ann(registry, ray_session):
     assert len(top1) == 1
     assert top1["neighbor_id"].iloc[0] == "img00000015"
     assert top1["sim"].iloc[0] > 0.98
+
+
+def test_image_curation(registry, ray_session):
+    """keep = cluster keeper AND quality flags; reconciles with the
+    keeplist and quality views row-for-row."""
+    cur = to_df(registry["image_curation"][0](SF)).set_index("image_id")
+    keep = to_df(registry["image_keeplist"][0](SF)).set_index("image_id")
+    q = to_df(registry["image_quality"][0](SF)).set_index("image_id")
+    assert len(cur) == 256
+    assert (cur["is_cluster_keeper"] == keep["keep"]).all()
+    expected_quality = ~(q["low_contrast"] | q["bad_exposure"])
+    assert (cur["quality_ok"] == expected_quality).all()
+    assert (cur["keep"] == (cur["is_cluster_keeper"] & cur["quality_ok"])).all()
