@@ -21,7 +21,8 @@ the synthetic web emits (FIXTURES.md §2) and ordinary well-formed pages.
 use for ``validationSelectors`` / ``CONTAINSELEMENT``
 (J/services/ContentValidator.java:29-47): compound simple selectors
 (``tag``/``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=v]``,
-``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, ``[attr~=v]``), descendant
+``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, and Jsoup's
+``[attr~=regex]`` — a REGEX match, not the CSS word list), descendant
 (space) and child (``>``) combinators, and ``,`` selector groups.
 Unsupported syntax (e.g. pseudo-classes) is handled gracefully: logged
 once per selector and treated as not-matching — never raised, so an exotic
@@ -65,11 +66,13 @@ def _attrs(tag_body: str) -> dict[str, str]:
     return out
 
 
-def extract_links(html: str, base_url: str) -> list[str]:
-    """Absolute http(s) outlinks in document order, first occurrence only."""
+def extract_links(html: str, base_url: str, pre_cleaned: bool = False) -> list[str]:
+    """Absolute http(s) outlinks in document order, first occurrence only.
+    ``pre_cleaned=True`` skips comment/script stripping when the caller
+    already ran `_clean_html` (fetch_outcome cleans once per page)."""
     seen = set()
     out = []
-    for m in _LINK_TAG.finditer(_clean_html(html)):
+    for m in _LINK_TAG.finditer(html if pre_cleaned else _clean_html(html)):
         attrs = _attrs(m.group(2))
         href = attrs.get("href")
         if href is None:
@@ -131,8 +134,15 @@ def _parse_compound(src: str):
         elif sm.group("id"):
             preds.append(("id", sm.group("id"), None))
         else:
-            preds.append(("attr", sm.group("attr").lower(),
-                          (sm.group("op"), sm.group("val"))))
+            op, val = sm.group("op"), sm.group("val")
+            if op == "~=":
+                # Jsoup semantics: [attr~=regex] is a REGEX match
+                # (org.jsoup.select.Selector), not the CSS word list
+                try:
+                    val = re.compile(val)
+                except re.error:
+                    raise _UnsupportedSelector(src)
+            preds.append(("attr", sm.group("attr").lower(), (op, val)))
     return preds
 
 
@@ -214,7 +224,7 @@ def _compound_matches(preds, name: str, attrs: dict) -> bool:
                 return False
             if op == "*=" and want not in val:
                 return False
-            if op == "~=" and want not in val.split():
+            if op == "~=" and not want.search(val):  # Jsoup: regex match
                 return False
     return True
 
@@ -238,10 +248,11 @@ def _chain_matches(chain, lineage) -> bool:
     return rec(len(chain) - 1, len(lineage) - 1)
 
 
-def css_select_exists(html: str, selector: str) -> bool:
+def css_select_exists(html: str, selector: str, pre_cleaned: bool = False) -> bool:
     """Jsoup-subset existence check (see module docstring for the grammar).
     Unsupported selectors log once and return False instead of raising —
-    a config typo must not kill the fetch stage."""
+    a config typo must not kill the fetch stage. ``pre_cleaned=True``
+    skips the comment/script strip for callers that cleaned once."""
     parsed = _SEL_CACHE.get(selector)
     if parsed is None:
         try:
@@ -257,7 +268,7 @@ def css_select_exists(html: str, selector: str) -> bool:
         return False
     # single pass over the tag stream with an open-element stack
     stack: list[tuple[str, dict]] = []
-    for m in _ANY_TAG.finditer(_clean_html(html)):
+    for m in _ANY_TAG.finditer(html if pre_cleaned else _clean_html(html)):
         closing, name, body = m.group(1), m.group(2).lower(), m.group(3)
         if closing:
             for j in range(len(stack) - 1, -1, -1):

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..rayutil import actor_pool_size, remote_kwargs
+from .vecutil import embedding_matrix
 
 from ..functions import codec
 
@@ -430,7 +431,7 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
     for b in emb.iter_batches(batch_format="pyarrow", batch_size=None):
         ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
         order = np.argsort(ids)[:n_queries]
-        m = np.asarray(b.column("embedding").to_pylist(), dtype=np.float32)
+        m = embedding_matrix(b.column("embedding"), dtype=np.float32)
         first.append((ids[order], m[order]))
     if not first:
         return pa.table({"query_id": pa.array([], pa.string()),
@@ -446,7 +447,7 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
     def partial(t: pa.Table) -> pa.Table:
         ids_q, qm = ray.get(q_ref)
         vids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+        mat = embedding_matrix(t.column("embedding"), dtype=np.float32)
         sims = qm @ mat.T
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])
@@ -490,29 +491,22 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
 def image_curation(images_parquet: str, max_hamming: int = 8):
     """Final image curation decision — the composite the payload axis
     feeds into dataset building: `keep = near-dup-cluster keeper AND
-    passes quality flags`. phash keep-list ⨝ quality stats via a native
-    hash join on image_id (string key, both sides scale with the corpus).
+    passes quality flags`. Both inputs are sorted by the SAME unique key
+    (image_id), so they combine with a positional `Dataset.zip` — a
+    co-sort merge rather than a hash join (Ray's join cannot finalize
+    empty hash partitions, which small shards guarantee). An in-block
+    key-equality assertion guards the alignment invariant.
     Deterministic; rows-only oracle with invariant tests."""
-    import ray
-
     keep = image_keeplist(images_parquet, max_hamming=max_hamming)
-    quality = image_quality(images_parquet)
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "image_id_q": t.column("image_id"),
-            "low_contrast": t.column("low_contrast"),
-            "bad_exposure": t.column("bad_exposure"),
-        })
-
-    q = quality.map_batches(rename, batch_format="pyarrow", **remote_kwargs())
-    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
-    joined = keep.join(q, join_type="inner", num_partitions=n_parts,
-                       on=("image_id",), right_on=("image_id_q",))
+    quality = image_quality(images_parquet)  # also sorted by image_id
+    zipped = keep.zip(quality)
 
     def decide(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # zip suffixes the right side's duplicate columns with _1
+        assert pc.all(pc.equal(t.column("image_id"),
+                               t.column("image_id_1"))).as_py() in (True, None)
         quality_ok = pc.and_(
             pc.invert(t.column("low_contrast")),
             pc.invert(t.column("bad_exposure")),
@@ -527,5 +521,5 @@ def image_curation(images_parquet: str, max_hamming: int = 8):
             }
         )
 
-    return joined.map_batches(decide, batch_format="pyarrow",
+    return zipped.map_batches(decide, batch_format="pyarrow",
                               **remote_kwargs()).sort("image_id")

@@ -13,20 +13,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def embedding_matrix(col) -> np.ndarray:
-    """(n, dim) float64 matrix from a fixed-width list<float> column.
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a fixed-width list<float> column.
 
-    Zero-copy from the Arrow buffer where dtypes allow; assumes no nulls
-    and uniform row length (embedding tables guarantee both).
+    Zero-copy from the Arrow buffer where dtypes allow (pass the column's
+    own value dtype to avoid the cast copy); assumes no nulls and uniform
+    row length (embedding tables guarantee both).
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
-        return np.empty((0, 0), dtype=np.float64)
+        return np.empty((0, 0), dtype=dtype)
     flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     dim = len(flat) // n
-    return flat.reshape(n, dim).astype(np.float64, copy=False)
+    return flat.reshape(n, dim).astype(dtype, copy=False)
 
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:

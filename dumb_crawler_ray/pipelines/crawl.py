@@ -280,8 +280,12 @@ class CrawlPipeline:
         import ray
 
         if getattr(self, "_images_ref", None) is None:
-            tbl = pq.read_table(os.path.join(self.fixture_dir, "images.parquet"))
-            self._images_ref = ray.put(tbl)
+            path = os.path.join(self.fixture_dir, "images.parquet")
+            if not os.path.exists(path):
+                # http fetcher mode may run without a local image table;
+                # FetchWorker's lazy path handles images_ref=None
+                return None
+            self._images_ref = ray.put(pq.read_table(path))
         return self._images_ref
 
     def _worker_kwargs(self) -> dict:

@@ -27,10 +27,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..ops.text import TOKEN_REGEX  # the SQL-oracle-checked definition
 from ..rayutil import remote_kwargs
 
 _TAG_RE = r"<[^>]*>"
-TOKEN_REGEX = r"[A-Za-z0-9]+"
 
 
 def extract_text_expr(html_col) -> pa.Array:

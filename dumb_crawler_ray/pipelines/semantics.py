@@ -45,7 +45,7 @@ import numpy as np
 
 from ..config import JobConfig
 from ..functions import codec
-from ..functions.links import css_select_exists, extract_links
+from ..functions.links import _clean_html, css_select_exists, extract_links
 from ..functions.tagging import LinkFilter, LinkPrioritizer, UrlTagger
 from ..functions.urlhash import UrlHasher
 from ..functions.urlparts import split_one
@@ -115,11 +115,16 @@ class CrawlComponents:
         html = "".join(resp.html.splitlines())
         if not html.strip():
             return "EMPTY_RESPONSE_BODY", [], ""
+        # strip comments/script/style ONCE per page; validation selectors
+        # and link extraction share the cleaned form (the stored html stays
+        # the raw newline-stripped body)
+        cleaned = _clean_html(html)
         for tag in tags:
             selector = self.validators.get(tag)
-            if selector is not None and not css_select_exists(html, selector):
+            if selector is not None and not css_select_exists(
+                    cleaned, selector, pre_cleaned=True):
                 return f"CONTENT_VALIDATION_ERROR_{tag}", [], html
-        return None, extract_links(html, url), html
+        return None, extract_links(cleaned, url, pre_cleaned=True), html
 
     def should_store(self, tags: list[str]) -> bool:
         """Tag gate (AbstractStorageManager.java:29-41): any-tag-in-order."""

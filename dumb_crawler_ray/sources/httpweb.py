@@ -62,16 +62,20 @@ class HttpWeb:
         )
         try:
             resp = self._opener.open(req, timeout=self.timeout_s)
+            status = int(getattr(resp, "status", 200))
+            if status != 200:
+                return FetchResponse(status, "", [])
+            charset = None
+            headers = getattr(resp, "headers", None)
+            if headers is not None:
+                charset = headers.get_content_charset()
+            raw = resp.read()  # read timeout / reset raises HERE, not open()
         except urllib.error.HTTPError as e:  # non-2xx with a status line
             return FetchResponse(int(e.code), "", [])
-        except Exception as e:  # DNS / refused / timeout / TLS
+        except Exception as e:  # DNS / refused / timeout / reset / TLS
             raise FetchTransportError(str(e)) from e
-        status = int(getattr(resp, "status", 200))
-        if status != 200:
-            return FetchResponse(status, "", [])
-        charset = None
-        headers = getattr(resp, "headers", None)
-        if headers is not None:
-            charset = headers.get_content_charset()
-        body = resp.read().decode(charset or "ISO-8859-1", errors="replace")
+        try:
+            body = raw.decode(charset or "ISO-8859-1", errors="replace")
+        except LookupError:  # server sent an unknown charset token
+            body = raw.decode("ISO-8859-1", errors="replace")
         return FetchResponse(200, body, [])

@@ -88,7 +88,10 @@ def parse_http_response(block: bytes) -> tuple[int, str] | None:
         low = line.decode("utf-8", "replace").lower()
         if low.startswith("content-type:") and "charset=" in low:
             charset = low.split("charset=", 1)[1].split(";")[0].strip()
-    return status, body.decode(charset, "replace")
+    try:
+        return status, body.decode(charset, "replace")
+    except LookupError:  # unknown charset token: stay lenient, don't abort
+        return status, body.decode("utf-8", "replace")
 
 
 def iter_warc_pages(src: str):

@@ -307,3 +307,13 @@ def test_extract_links_ignores_comments_and_scripts():
     assert links == ["https://keep.test/a", "https://keep.test/b"]
     # selector matching also ignores commented-out markup
     assert not css_select_exists("<!-- <div class='x'></div> -->", "div.x")
+
+
+def test_attr_tilde_is_jsoup_regex_match():
+    """Jsoup's [attr~=x] is a REGEX match (org.jsoup.select.Selector),
+    not the CSS whitespace word list."""
+    html = '<a href="https://site.test/item-12345">x</a>'
+    assert css_select_exists(html, r"[href~=\d{5}]")
+    assert not css_select_exists(html, r"[href~=\d{9}]")
+    # invalid regex degrades to unsupported (logged, False), never raises
+    assert not css_select_exists(html, "[href~=(unclosed]")

@@ -198,3 +198,35 @@ def test_warc_reader_skips_non_response_records(tmp_path):
     p = tmp_path / "mix.warc"
     p.write_bytes(info + resp)
     assert list(iter_warc_pages(str(p))) == [("https://a.test/", "hi")]
+
+
+def test_body_read_failure_maps_to_transport_error():
+    """A stall/reset during resp.read() (after a successful open) must
+    surface as FetchTransportError, not a raw socket exception."""
+    class _StallResp(_Resp):
+        def read(self):
+            raise TimeoutError("read timed out")
+
+    with pytest.raises(FetchTransportError):
+        HttpWeb(opener=_Opener(_StallResp(200))).fetch("https://x.test/")
+
+
+def test_unknown_charset_falls_back():
+    resp = HttpWeb(opener=_Opener(_Resp(200, b"ok", charset="bogus-enc"))
+                   ).fetch("https://x.test/")
+    assert resp.status_code == 200 and resp.html == "ok"
+
+
+def test_warc_unknown_charset_is_lenient(tmp_path):
+    from dumb_crawler_ray.sources.warc import iter_warc_pages
+
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html;charset=bogus-enc"
+            b"\r\nContent-Length: 2\r\n\r\nhi")
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://a.test/\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    p = tmp_path / "x.warc"
+    p.write_bytes(rec)
+    assert list(iter_warc_pages(str(p))) == [("https://a.test/", "hi")]
