@@ -584,6 +584,22 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["events_sliding_window"] = (
+        relational.events_sliding_window,
+        """
+        WITH e AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * INTERVAL '15 minutes' AS ws,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_value_cents
+        FROM e GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     reg["high_value_week"] = (
         relational.high_value_week,
         """

@@ -331,6 +331,45 @@ def events_hourly_window(sf_dir: str):
     ).sort(["window_start", "event_type"])
 
 
+def events_sliding_window(sf_dir: str, window_min: int = 60,
+                          slide_min: int = 15):
+    """SLIDING windowed aggregate (1 h window every 15 min) — completes
+    the window repertoire next to the tumbling (`events_hourly_window`)
+    and session (`user_sessions`) forms. Each event EXPLODES to the
+    window/slide = 4 windows containing it inside `map_batches`
+    (embarrassingly parallel), then the partial-aggregate combiner —
+    shuffle volume is windows × distinct keys, never events × 4."""
+    import numpy as np
+
+    k = window_min // slide_min
+    slide_us = np.int64(slide_min) * 60 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        cents = _cents(t.column("value")).to_numpy()
+        base = (ts // slide_us) * slide_us  # floor to the slide grid
+        starts = (base[:, None]
+                  - (np.arange(k, dtype=np.int64) * slide_us)[None, :]).ravel()
+        rep_cents = np.repeat(cents, k)
+        iso = np.datetime_as_string(
+            starts.view("datetime64[us]").astype("datetime64[s]"), unit="s")
+        iso = np.char.replace(iso, "T", " ")
+        return pa.table(
+            {
+                "window_start": pa.array(iso.tolist(), pa.string()),
+                "value_cents": pa.array(rep_cents, pa.int64()),
+            }
+        )
+
+    return partial_aggregate(
+        _read(sf_dir, "events", columns=["ts", "value"]),
+        ["window_start"],
+        [("value_cents", "count", "n"),
+         ("value_cents", "sum", "sum_value_cents")],
+        derive=explode,
+    ).sort("window_start")
+
+
 def props_k_stats(sf_dir: str):
     """Scalar-function pipeline: regex-extract the JSON `k` field from the
     props string (the expression-DSL EXTRACT pattern, SURVEY.md M3) and

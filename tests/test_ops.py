@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "order_size_distribution", "purchase_click_asof",
     "event_value_quantiles", "supplier_nation_stats", "word_frequencies",
     "doc_sample", "heavy_hitters_users", "event_funnel", "high_value_week",
+    "events_sliding_window",
 ]
 
 
