@@ -666,6 +666,7 @@ def build_registry() -> dict[str, tuple]:
     reg["embedding_kmeans"] = (ann.embedding_kmeans, None)
     reg["lang_id"] = (text.lang_id, None)
     reg["approx_distinct_users"] = (text.approx_distinct_users, None)
+    reg["approx_daily_active_users"] = (text.approx_daily_active_users, None)
     reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)
     reg["image_decode_stats"] = (image_decode_stats, None)
     reg["image_phash_near_dups"] = (image_phash_near_dups, None)

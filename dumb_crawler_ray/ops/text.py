@@ -523,6 +523,51 @@ class _HLL:
         return float(est)
 
 
+def approx_daily_active_users(sf_dir: str):
+    """GROUPED HLL — the sketch as a first-class mergeable aggregate:
+    map_batches emits one (day, sketch) row per day per batch (partial
+    sketches), groupby(day).map_groups merges by register-max and
+    estimates. The shuffle moves 4 KiB sketches per (block, day), never
+    user ids — the approximate dual of `daily_active_users`' exact
+    two-stage distinct; accuracy vs exact asserted in tests."""
+    import pandas as pd
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        day = pc.utf8_slice_codeunits(
+            pc.strftime(t.column("ts"), format="%Y-%m-%d"), 0, 10
+        ).to_numpy(zero_copy_only=False)
+        ids = t.column("user_id").to_numpy(zero_copy_only=False).astype(object)
+        hs = pd.util.hash_array(ids, categorize=False)
+        days, rows = np.unique(day), []
+        for d in days:
+            rows.append(_HLL.sketch(hs[day == d]).tobytes())
+        return pa.table(
+            {"day": pa.array(list(days), pa.string()),
+             "sketch": pa.array(rows, pa.binary())}
+        )
+
+    def merge_day(g: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << _HLL.P, dtype=np.uint8)
+        for raw in g.column("sketch").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
+        return pa.table(
+            {"day": g.column("day").slice(0, 1),
+             "approx_users": pa.array([int(round(_HLL.estimate(merged)))],
+                                      pa.int64())}
+        )
+
+    import ray
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "user_id"])
+        .map_batches(sketch_batch, batch_format="pyarrow", **remote_kwargs())
+        .groupby("day")
+        .map_groups(merge_day, batch_format="pyarrow", **remote_kwargs())
+        .sort("day")
+    )
+
+
 def approx_distinct_users(sf_dir: str):
     """HLL distinct-user estimate: one sketch per batch (map_batches),
     register-max merge of the tiny sketches, one output row

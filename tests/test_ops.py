@@ -606,3 +606,21 @@ def test_image_curation(registry, ray_session):
     expected_quality = ~(q["low_contrast"] | q["bad_exposure"])
     assert (cur["quality_ok"] == expected_quality).all()
     assert (cur["keep"] == (cur["is_cluster_keeper"] & cur["quality_ok"])).all()
+
+
+def test_grouped_hll_accuracy(registry, ray_session):
+    """Per-day HLL estimates track the exact per-day distinct counts
+    within the sketch's error band."""
+    import duckdb as _dd
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        est = to_df(registry["approx_daily_active_users"][0](sf)).set_index("day")
+        exact = _dd.sql(
+            f"SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            f"count(DISTINCT user_id) AS n "
+            f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).df().set_index("day")
+        assert set(est.index) == set(exact.index)
+        for day in exact.index:
+            e, x = int(est.loc[day, "approx_users"]), int(exact.loc[day, "n"])
+            assert abs(e - x) <= max(2, 0.05 * x), (sf, day, e, x)
