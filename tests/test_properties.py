@@ -114,3 +114,47 @@ def test_quantile_histogram_equals_sorted_rank(vals, q):
     got = int(v[np.searchsorted(cum, rank)])
     want = int(np.sort(arr)[max(0, int(np.ceil(q * len(arr))) - 1)])
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=80), st.text(max_size=300))
+def test_css_select_never_raises(selector, html):
+    """The validator contract: ANY selector string against ANY html either
+    matches or doesn't — it must never raise (a config typo cannot be
+    allowed to kill the fetch stage)."""
+    from dumb_crawler_ray.functions.links import css_select_exists
+
+    assert css_select_exists(html, selector) in (True, False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=200))
+def test_extract_links_never_raises(html):
+    from dumb_crawler_ray.functions.links import extract_links
+
+    links = extract_links(html, "https://base.test/")
+    assert isinstance(links, list)
+    assert all(l.startswith(("http://", "https://")) for l in links)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.from_regex(r"https://[a-z]{1,8}\.test/[a-z0-9/]{0,20}",
+                      fullmatch=True),
+        st.text(max_size=200),
+    ),
+    min_size=0, max_size=5,
+))
+def test_warc_round_trip_property(pages):
+    """write_warc → iter_warc_pages is lossless for arbitrary unicode
+    bodies (modulo nothing — urls and html round-trip exactly)."""
+    import tempfile, os
+
+    from dumb_crawler_ray.sources.warc import iter_warc_pages, write_warc
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.warc")
+    write_warc(pages, p)
+    got = list(iter_warc_pages(p))
+    assert got == [(u, h) for u, h in pages]
