@@ -80,7 +80,10 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])
         for qi in range(len(ids_q)):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            # lexsort, not argpartition: exact-tie candidates at the cutoff
+            # must break by ascending id or the candidate set depends on
+            # block splits (duplicate vectors make exact ties real)
+            idx = np.lexsort((vids, -sims[qi]))[:kk]
             for j in idx:
                 out_q.append(int(ids_q[qi]))
                 out_n.append(int(vids[j]))
@@ -256,7 +259,7 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
             sims = qn[qi] @ mat[mask].T
             sub_ids = vids[mask]
             kk = min(k + 1, len(sub_ids))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            idx = np.lexsort((sub_ids, -sims))[:kk]  # pinned tie-break
             for j in idx:
                 out_q.append(int(ids_q[qi]))
                 out_n.append(int(sub_ids[j]))

@@ -452,7 +452,11 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])
         for qi in range(len(ids_q)):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            # DETERMINISTIC partial top-k: ties at the cutoff break by
+            # ascending neighbor id (argpartition's arbitrary tie choice
+            # would make the candidate set depend on block splits —
+            # rounded embeddings make exact sim ties real)
+            idx = np.lexsort((vids, -sims[qi]))[:kk]
             for j in idx:
                 out_q.append(str(ids_q[qi]))
                 out_n.append(str(vids[j]))

@@ -512,6 +512,14 @@ class _HLL:
         return regs
 
     @classmethod
+    def merge(cls, raw_sketches) -> "np.ndarray":
+        """Register-max merge of serialized sketches (the HLL monoid)."""
+        merged = np.zeros(1 << cls.P, dtype=np.uint8)
+        for raw in raw_sketches:
+            merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
+        return merged
+
+    @classmethod
     def estimate(cls, regs: "np.ndarray") -> float:
         m = float(1 << cls.P)
         est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(
@@ -533,9 +541,8 @@ def approx_daily_active_users(sf_dir: str):
     import pandas as pd
 
     def sketch_batch(t: pa.Table) -> pa.Table:
-        day = pc.utf8_slice_codeunits(
-            pc.strftime(t.column("ts"), format="%Y-%m-%d"), 0, 10
-        ).to_numpy(zero_copy_only=False)
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d").to_numpy(
+            zero_copy_only=False)
         ids = t.column("user_id").to_numpy(zero_copy_only=False).astype(object)
         hs = pd.util.hash_array(ids, categorize=False)
         days, rows = np.unique(day), []
@@ -547,9 +554,7 @@ def approx_daily_active_users(sf_dir: str):
         )
 
     def merge_day(g: pa.Table) -> pa.Table:
-        merged = np.zeros(1 << _HLL.P, dtype=np.uint8)
-        for raw in g.column("sketch").to_pylist():
-            merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
+        merged = _HLL.merge(g.column("sketch").to_pylist())
         return pa.table(
             {"day": g.column("day").slice(0, 1),
              "approx_users": pa.array([int(round(_HLL.estimate(merged)))],
@@ -586,12 +591,11 @@ def approx_distinct_users(sf_dir: str):
     sketches = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id"]
     ).map_batches(sketch_batch, batch_format="pyarrow", **remote_kwargs())
-    merged = np.zeros(1 << _HLL.P, dtype=np.uint8)
-    n_sketches = 0
-    for b in sketches.iter_batches(batch_format="pyarrow", batch_size=None):
-        for raw in b.column("sketch").to_pylist():
-            merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
-            n_sketches += 1
+    raws = [raw for b in sketches.iter_batches(batch_format="pyarrow",
+                                                batch_size=None)
+            for raw in b.column("sketch").to_pylist()]
+    merged = _HLL.merge(raws)
+    n_sketches = len(raws)
     return pa.table(
         {
             "estimate": pa.array([int(round(_HLL.estimate(merged)))], pa.int64()),

@@ -62,17 +62,20 @@ class HttpWeb:
         )
         try:
             resp = self._opener.open(req, timeout=self.timeout_s)
-            status = int(getattr(resp, "status", 200))
-            if status != 200:
-                return FetchResponse(status, "", [])
-            charset = None
-            headers = getattr(resp, "headers", None)
-            if headers is not None:
-                charset = headers.get_content_charset()
-            raw = resp.read()  # read timeout / reset raises HERE, not open()
         except urllib.error.HTTPError as e:  # non-2xx with a status line
             return FetchResponse(int(e.code), "", [])
-        except Exception as e:  # DNS / refused / timeout / reset / TLS
+        except Exception as e:  # DNS / refused / timeout / TLS
+            raise FetchTransportError(str(e)) from e
+        status = int(getattr(resp, "status", 200))
+        if status != 200:
+            return FetchResponse(status, "", [])
+        charset = None
+        headers = getattr(resp, "headers", None)
+        if headers is not None and hasattr(headers, "get_content_charset"):
+            charset = headers.get_content_charset()
+        try:
+            raw = resp.read()  # read timeout / reset raises HERE, not open()
+        except Exception as e:  # stall / reset / incomplete read mid-body
             raise FetchTransportError(str(e)) from e
         try:
             body = raw.decode(charset or "ISO-8859-1", errors="replace")

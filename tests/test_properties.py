@@ -153,8 +153,8 @@ def test_warc_round_trip_property(pages):
 
     from dumb_crawler_ray.sources.warc import iter_warc_pages, write_warc
 
-    d = tempfile.mkdtemp()
-    p = os.path.join(d, "t.warc")
-    write_warc(pages, p)
-    got = list(iter_warc_pages(p))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.warc")
+        write_warc(pages, p)
+        got = list(iter_warc_pages(p))
     assert got == [(u, h) for u, h in pages]
