@@ -426,22 +426,29 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
 
     emb = image_embeddings(images_parquet, dim=dim).materialize()
 
-    # queries: first n by image_id (tiny driver merge of per-batch mins)
-    first = []
-    for b in emb.iter_batches(batch_format="pyarrow", batch_size=None):
-        ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
-        order = np.argsort(ids)[:n_queries]
-        m = embedding_matrix(b.column("embedding"), dtype=np.float32)
-        first.append((ids[order], m[order]))
+    # queries: first n by image_id — a DISTRIBUTED partial-min (mirrors
+    # ann._load_queries): each worker batch keeps only its n smallest ids
+    # inside map_batches, so the driver merges ≤ n·n_blocks tiny rows
+    # instead of streaming the whole embedding table over its NIC.
+    def partial_min(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        keep = np.argsort(ids)[:n_queries]
+        return t.take(keep)
+
+    first = list(
+        emb.map_batches(partial_min, batch_format="pyarrow", **remote_kwargs())
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
     if not first:
         return pa.table({"query_id": pa.array([], pa.string()),
                          "rank": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.string()),
                          "sim": pa.array([], pa.float64())})
-    all_ids = np.concatenate([i for i, _ in first])
-    all_m = np.concatenate([m for _, m in first])
+    cand_q = pa.concat_tables(first)
+    all_ids = np.asarray(cand_q.column("image_id").to_pylist(), dtype=object)
     order = np.argsort(all_ids)[:n_queries]
-    qids, qm = all_ids[order], all_m[order]
+    qids = all_ids[order]
+    qm = embedding_matrix(cand_q.column("embedding"), dtype=np.float32)[order]
     q_ref = ray.put((qids, qm))
 
     def partial(t: pa.Table) -> pa.Table:

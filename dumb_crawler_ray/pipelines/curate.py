@@ -6,13 +6,19 @@ quality-filtered corpus table.
 Stages (all streaming Ray Data, no driver materialization):
 
   read_parquet(ckpt/pages)        partitioned per-round fragments
-  groupby(url_hash).map_groups    latest-version-wins (max round, then
-                                  max rank) — the S7 re-crawl semantics
+  repartition(keys=[url_hash])    latest-version-wins (max round, then
+  + block-local segment scan      max rank) — the S7 re-crawl semantics,
+                                  as ONE vectorized pass per block instead
+                                  of a per-URL map_groups dispatch (at
+                                  10^9 stored pages ~every group is one
+                                  row; a sort-shuffle + per-group Python
+                                  UDD would be the bottleneck)
   map_batches(extract_text)       strip tags/entities from the stored
                                   html (vectorized regex)
   map_batches(quality)            n_chars / n_tokens + keep flag
-  groupby(fingerprint)            exact dedup: md5(normalized text),
-  .map_groups(keep-min)           one survivor per content fingerprint
+  repartition(keys=[fingerprint]) exact dedup: md5(normalized text),
+  + block-local segment scan      one survivor (min url_hash) per
+                                  content fingerprint
   sort(url_hash)                  pinned output order
 
 Output columns: url_hash, url, round, n_chars, n_tokens, fingerprint,
@@ -43,24 +49,31 @@ def extract_text_expr(html_col) -> pa.Array:
     return pc.utf8_trim_whitespace(collapsed)
 
 
+def _segment_bounds(inv: np.ndarray):
+    """Start/end indices of equal-key runs in a key-sorted inverse array."""
+    starts = np.flatnonzero(np.concatenate([[True], inv[1:] != inv[:-1]]))
+    ends = np.concatenate([starts[1:], [len(inv)]])
+    return starts, ends
+
+
 def curate_corpus(ckpt_dir: str, min_chars: int = 20):
     """Run the curation pipeline over a crawl checkpoint's pages table.
     Returns a Dataset of curated (deduplicated, quality-flagged) docs."""
     import ray
 
-    pages = ray.data.read_parquet(
-        f"{ckpt_dir}/pages", columns=["url_hash", "url", "html", "round", "rank"]
-    )
-
-    def latest_version(g: pa.Table) -> pa.Table:
-        rounds = g.column("round").to_numpy()
-        ranks = g.column("rank").to_numpy()
-        i = int(np.lexsort((ranks, rounds))[-1])  # max round, then max rank
-        return g.slice(i, 1)
-
-    latest = pages.groupby("url_hash").map_groups(
-        latest_version, batch_format="pyarrow", **remote_kwargs()
-    )
+    def latest_in_block(b: pa.Table) -> pa.Table:
+        """One keyed-repartition block holds EVERY stored version of its
+        url_hashes, so latest-wins is a block-local lexsort segment scan
+        (the `ngram_jaccard_pairs` shape) — no per-URL UDF dispatch."""
+        if len(b) == 0:
+            return b
+        hashes = np.asarray(b.column("url_hash").to_pylist(), dtype=object)
+        # np.lexsort rejects object arrays → integer codes via np.unique
+        _, inv = np.unique(hashes, return_inverse=True)
+        order = np.lexsort((b.column("rank").to_numpy(),
+                            b.column("round").to_numpy(), inv))
+        _, ends = _segment_bounds(inv[order])
+        return b.take(order[ends - 1])  # last of each run = max round, rank
 
     def text_and_quality(t: pa.Table) -> pa.Table:
         text = extract_text_expr(
@@ -85,17 +98,46 @@ def curate_corpus(ckpt_dir: str, min_chars: int = 20):
             }
         )
 
-    scored = latest.map_batches(text_and_quality, batch_format="pyarrow",
-                                **remote_kwargs())
+    def keep_one_in_block(b: pa.Table) -> pa.Table:
+        """Fingerprint-keyed block → one survivor (pinned min url_hash)
+        per fingerprint segment, with the segment length as n_dups."""
+        if len(b) == 0:
+            return b.append_column("n_dups", pa.array([], pa.int64()))
+        fps = np.asarray(b.column("fingerprint").to_pylist(), dtype=object)
+        hashes = np.asarray(b.column("url_hash").to_pylist(), dtype=object)
+        _, fp_inv = np.unique(fps, return_inverse=True)
+        _, h_inv = np.unique(hashes, return_inverse=True)
+        order = np.lexsort((h_inv, fp_inv))
+        starts, ends = _segment_bounds(fp_inv[order])
+        out = b.take(order[starts])  # first of each run = min url_hash
+        return out.append_column(
+            "n_dups", pa.array((ends - starts).astype(np.int64), pa.int64()))
 
-    def keep_one(g: pa.Table) -> pa.Table:
-        hashes = np.asarray(g.column("url_hash").to_pylist(), dtype=object)
-        i = int(np.argsort(hashes)[0])  # pinned survivor: min url_hash
-        out = g.slice(i, 1)
-        return out.append_column("n_dups", pa.array([len(g)], pa.int64()))
-
-    return (
-        scored.groupby("fingerprint")
-        .map_groups(keep_one, batch_format="pyarrow", **remote_kwargs())
-        .sort("url_hash")
-    )
+    # keyed hash repartition needs HASH_SHUFFLE; datasets capture their
+    # DataContext at creation, so the whole chain (read included) is built
+    # under a scoped override, materialized, then rebuilt from its plasma
+    # blocks so the final sort plans under the restored default strategy.
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        curated_mat = (
+            ray.data.read_parquet(
+                f"{ckpt_dir}/pages",
+                columns=["url_hash", "url", "html", "round", "rank"],
+            )
+            .repartition(n_parts, keys=["url_hash"])
+            .map_batches(latest_in_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .map_batches(text_and_quality, batch_format="pyarrow",
+                         **remote_kwargs())
+            .repartition(n_parts, keys=["fingerprint"])
+            .map_batches(keep_one_in_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(
+        list(curated_mat.to_arrow_refs())).sort("url_hash")
