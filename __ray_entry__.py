@@ -45,8 +45,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from dumb_crawler_ray.ops.registry import build_registry
+    from dumb_crawler_ray.ops.registry import build_registry, ensure_oracle_inputs
 
+    # the phash-pairs oracle reads the fixture parquet by path; make sure
+    # it exists even if the DuckDB side runs before the Ray side
+    ensure_oracle_inputs()
     return {
         name: sql for name, (_fn, sql) in build_registry().items() if sql is not None
     }

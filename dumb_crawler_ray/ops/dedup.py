@@ -11,7 +11,9 @@ the large-scale training-data cleaners.
 
 Scale shape: every stage is a `map_batches` or a single `groupby` on a
 precomputed key; pairwise work only ever happens INSIDE a bucket/group
-(never all-pairs). Shingle/token signatures use pandas' siphash64
+(never all-pairs). SimHash token hashes are md5-derived so the DuckDB
+oracle can recompute signatures exactly; shingle signatures use pandas'
+siphash64
 (`pd.util.hash_array`, fixed default key — process-independent, never
 Python's salted `hash`) so results are identical across processes and
 cluster sizes; persisted signature compatibility depends on pandas
@@ -335,16 +337,31 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 # ---------------------------------------------------------------- simhash
 
+def _md5_64_batch(toks: list[str]) -> np.ndarray:
+    """First 64 bits of md5 per token — chosen over siphash HERE because
+    DuckDB can recompute it exactly (`('0x' || substr(md5(tok),1,16))::
+    UBIGINT`), which makes the simhash ops rows+schema+hash SQL-checkable.
+    Hashes unique tokens once (md5 is the cost; docs repeat words)."""
+    arr = np.asarray(toks, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+         for t in uniq),
+        dtype=np.uint64, count=len(uniq),
+    )
+    return hs[inv]
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (stable md5 token hashes).
-    Vectorized: one (n_tokens, 64) bit matrix per doc, not a per-token
-    numpy call."""
+    """64-bit SimHash over word tokens (stable md5 token hashes, exactly
+    replicable in the DuckDB oracle). Vectorized: one (n_tokens, 64) bit
+    matrix per doc, not a per-token numpy call."""
     import re
 
     toks = re.findall(TOKEN_REGEX, text.lower())
     if not toks:
         return 0
-    hs = _stable64_batch(toks)
+    hs = _md5_64_batch(toks)
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out_bits = (acc > 0).astype(np.uint64)
@@ -363,7 +380,90 @@ def simhash_signatures(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )
+
+
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-duplicate doc pairs by SimHash distance, fully distributed:
+    each signature explodes into its four 16-bit band buckets, in-bucket
+    vectorized hamming, groupby(a, b) dedupes pairs found in several
+    bands. With `max_hamming < 4` the 4-band blocking is EXACT by
+    pigeonhole (≤3 differing bits can't touch all 4 bands), so the DuckDB
+    brute-force `bit_count(xor(..)) <= 3` self-join is a complete oracle —
+    no recall caveat."""
+    import ray
+    from ray.data.aggregate import Min
+
+    if max_hamming >= 4:
+        raise ValueError("4-band blocking is only exact for max_hamming < 4")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sigs = t.column("simhash").to_numpy()
+        u = sigs.view(np.uint64)
+        keys, oids, osig = [], [], []
+        for band in range(4):
+            band_vals = ((u >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            keys.extend((band_vals + (band << 16)).tolist())
+            oids.extend(ids.tolist())
+            osig.extend(sigs.tolist())
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(oids, pa.int64()),
+                "simhash": pa.array(osig, pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if len(g) < 2:
+            return empty
+        ids = g.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        u = g.column("simhash").to_numpy()[order].view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), 1)
+        d = np.unpackbits((u[ii] ^ u[jj]).view(np.uint8).reshape(-1, 8),
+                          axis=1).sum(axis=1)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[ii[keep]], pa.int64()),
+                "b": pa.array(ids[jj[keep]], pa.int64()),
+                "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def sig(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "simhash": pa.array(
+                    [simhash64(s) for s in t.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sig, batch_format="pyarrow", **remote_kwargs())
+        .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+        .groupby("band_key")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["a", "b"])
+    )
 
 
 # ------------------------------------------------- near-dup clustering

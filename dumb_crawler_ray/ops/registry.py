@@ -41,6 +41,14 @@ def _fixture_dir() -> str:
     )
 
 
+def ensure_oracle_inputs() -> None:
+    """Materialize the fixture parquet the image_phash_near_dups oracle
+    SQL reads by path — the driver may run the DuckDB side before (or
+    without) the Ray query that would otherwise create it. Memoized by
+    write_fixture's meta.json, so repeat calls are a stat check."""
+    _fixture_dir()
+
+
 def _crawl_result():
     """Run (and memoize) the flagship crawl at the fixture scale."""
     global _CRAWL_CACHE
@@ -657,10 +665,85 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # simhash token hashes are md5-derived precisely so DuckDB can
+    # recompute the signatures bit-for-bit (first 8 md5 bytes big-endian
+    # == ('0x' || substr(md5(tok),1,16))::UBIGINT); the signed int64 is
+    # reassembled with an explicit sign-bit term to dodge UBIGINT→BIGINT
+    # overflow.
+    _SIMHASH_SIGS_CTE = """
+        tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+            FROM tok
+        ), bits AS (
+            SELECT doc_id, j,
+                   sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+            GROUP BY doc_id, j
+        ), sigs AS (
+            SELECT d.doc_id,
+                   COALESCE(sum(CASE WHEN b.acc > 0 THEN
+                       CASE WHEN b.j = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << b.j) END
+                   ELSE 0 END), 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN bits b USING (doc_id)
+            GROUP BY d.doc_id
+        )
+    """
+
+    reg["simhash_signatures"] = (
+        dedup.simhash_signatures,
+        f"WITH {_SIMHASH_SIGS_CTE} SELECT doc_id, simhash FROM sigs ORDER BY doc_id",
+    )
+
+    # 4×16-bit band blocking is EXACT for hamming ≤ 3 (pigeonhole), so the
+    # brute-force SQL self-join is a complete oracle for the banded op.
+    reg["simhash_near_dup_pairs"] = (
+        dedup.simhash_near_dup_pairs,
+        f"""
+        WITH {_SIMHASH_SIGS_CTE}
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        ORDER BY a, b
+        """,
+    )
+
+    # The phash column lives in the deterministic synthetic-web fixture
+    # parquet (not a driver-registered view) → read_parquet by path. The
+    # op's documented blocking contract is "hamming ≤ 8 AND ≥1 exact
+    # 16-bit band" (4 bands can miss an ≤8-bit pair that touches all
+    # four), so the oracle states BOTH predicates; band-k-clean is
+    # xor & band_mask = 0, with the top mask written as its signed value.
+    # images.parquet is a DIRECTORY of part files (sharded for read
+    # parallelism) → DuckDB needs the glob form
+    _IMAGES_PQ = f"/tmp/dcr_fixtures/sf{_FIXTURE_SCALE}/images.parquet/*.parquet"
+    reg["image_phash_near_dups"] = (
+        image_phash_near_dups,
+        f"""
+        WITH imgs AS (
+            SELECT image_id, phash FROM read_parquet('{_IMAGES_PQ}')
+        ), d AS (
+            SELECT x.image_id AS a, y.image_id AS b,
+                   xor(x.phash, y.phash) AS xo
+            FROM imgs x JOIN imgs y ON x.image_id < y.image_id
+        )
+        SELECT a, b, bit_count(xo) AS hamming FROM d
+        WHERE bit_count(xo) <= 8
+          AND ((xo & 65535) = 0 OR (xo & 4294901760) = 0
+               OR (xo & 281470681743360) = 0
+               OR (xo & -281474976710656) = 0)
+        ORDER BY a, b
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
     reg["near_dup_clusters"] = (dedup.near_dup_clusters, None)
-    reg["simhash_signatures"] = (dedup.simhash_signatures, None)
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["embedding_kmeans"] = (ann.embedding_kmeans, None)
@@ -669,7 +752,6 @@ def build_registry() -> dict[str, tuple]:
     reg["approx_daily_active_users"] = (text.approx_daily_active_users, None)
     reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)
     reg["image_decode_stats"] = (image_decode_stats, None)
-    reg["image_phash_near_dups"] = (image_phash_near_dups, None)
     reg["image_keeplist"] = (image_keeplist_q, None)
     reg["image_quality"] = (image_quality_q, None)
     reg["image_ann_topk"] = (image_ann_topk_q, None)

@@ -80,8 +80,21 @@ SQL_CHECKED = [
     "order_size_distribution", "purchase_click_asof",
     "event_value_quantiles", "supplier_nation_stats", "word_frequencies",
     "doc_sample", "heavy_hitters_users", "event_funnel", "high_value_week",
-    "events_sliding_window",
+    "events_sliding_window", "simhash_signatures", "simhash_near_dup_pairs",
+    "image_phash_near_dups",
 ]
+
+
+def test_simhash_pairs_nonvacuous_at_sf001(registry, ray_session):
+    """sf0.001 may have no hamming≤3 pairs; the driver-scale table (sf0.01)
+    must produce >0 so the oracle comparison is non-vacuous, and every
+    reported pair must respect the threshold."""
+    fn, sql = registry["simhash_near_dup_pairs"]
+    df = to_df(fn("/root/testdata/sf0.01"))
+    assert len(df) > 0
+    assert (df["hamming"] <= 3).all()
+    compare("simhash_near_dup_pairs[sf0.01]", df, sql,
+            sf_dir="/root/testdata/sf0.01")
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
@@ -367,13 +380,14 @@ def test_simhash_matches_independent_reimplementation(ray_session):
     from dumb_crawler_ray.ops.text import TOKEN_REGEX
 
     def simhash_ref(text):
+        import hashlib
+
         toks = re.findall(TOKEN_REGEX, text.lower())
         if not toks:
             return 0
         counts = [0] * 64
         for tok in toks:
-            h = int(pd.util.hash_array(np.array([tok], dtype=object),
-                                       categorize=False)[0])
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
             for b in range(64):
                 counts[b] += 1 if (h >> b) & 1 else -1
         val = 0
