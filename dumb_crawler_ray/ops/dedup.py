@@ -469,38 +469,28 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
 # ------------------------------------------------- near-dup clustering
 
 def near_dup_clusters(sf_dir: str, threshold: float = 0.5,
-                      concurrency: int | None = None):
+                      concurrency: int | None = None,
+                      force_distributed: bool = False):
     """Connected components over the verified MinHash near-dup pairs →
     one row per clustered doc with its cluster representative (min doc_id)
     and cluster size, plus `keep` (rep only) — the training-data keep-list
     finisher.
 
-    The component pass is driver-side union-find: the input is the
-    VERIFIED pair set, which is provably tiny relative to the corpus
-    (near-dups only — everything upstream of it is distributed). At a
-    scale where even that set outgrows the driver, swap in min-label
-    propagation (a few groupby(min) rounds over the same pairs).
+    The component pass is `cc.component_reps`: driver union-find while the
+    VERIFIED pair set fits (provably tiny relative to the corpus), gated
+    to distributed min-label propagation above CC_DRIVER_PAIR_LIMIT —
+    both paths produce identical assignments (equivalence-tested).
     Deterministic; rows-only oracle."""
+    import ray
+
+    from .cc import component_reps
+
     pairs = minhash_near_dup_pairs(sf_dir, threshold=threshold,
                                    concurrency=concurrency)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by MIN id so the representative is deterministic
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    members = sorted(parent)
-    reps = [find(m) for m in members]
+    reps_map = component_reps(ray.data.from_arrow(pairs),
+                              force_distributed=force_distributed)
+    members = sorted(reps_map)
+    reps = [reps_map[m] for m in members]
     sizes: dict[int, int] = {}
     for r in reps:
         sizes[r] = sizes.get(r, 0) + 1

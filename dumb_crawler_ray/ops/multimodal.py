@@ -310,34 +310,22 @@ def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8):
     )
 
 
-def image_keeplist(images_parquet: str, max_hamming: int = 8):
+def image_keeplist(images_parquet: str, max_hamming: int = 8,
+                   force_distributed: bool = False):
     """Composite crawl→dedup finisher: phash near-dup pairs (distributed,
-    see `phash_near_dup_pairs`) → connected components (min-id union-find
-    over the verified pair set — provably tiny relative to the corpus) →
-    one row per image with its cluster representative and the `keep` flag
+    see `phash_near_dup_pairs`) → connected components via
+    `cc.component_reps` (driver union-find while the verified pair set
+    fits, distributed min-label propagation above the gate) → one row per
+    image with its cluster representative and the `keep` flag
     (representative only). The image-side analogue of
     `dedup.near_dup_clusters`; the training-data keep-list a crawl feeds
     into dataset curation. Deterministic; rows-only oracle."""
     import ray
 
+    from .cc import component_reps
+
     pairs = phash_near_dup_pairs(images_parquet, max_hamming=max_hamming)
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
-        for a, bb in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
-            parent.setdefault(a, a)
-            parent.setdefault(bb, bb)
-            ra, rb = find(a), find(bb)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-    reps = {m: find(m) for m in parent}
+    reps = component_reps(pairs, force_distributed=force_distributed)
     reps_ref = ray.put(reps)
 
     def annotate(t: pa.Table) -> pa.Table:

@@ -85,6 +85,46 @@ SQL_CHECKED = [
 ]
 
 
+def test_component_reps_chain_vs_unionfind(ray_session):
+    """Distributed min-label propagation must agree with driver union-find
+    on a graph that needs MANY propagation rounds (a long chain) plus
+    disjoint components and string ids."""
+    import pyarrow as pa
+    import ray
+
+    from dumb_crawler_ray.ops import cc
+
+    # chain 0-1-...-11 (diameter 11 → exercises the convergence loop),
+    # a separate triangle, and an isolated pair
+    a = list(range(11)) + [100, 100, 101] + [200]
+    b = list(range(1, 12)) + [101, 102, 102] + [201]
+    pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    uf = cc.components_unionfind([pairs])
+    dist = cc.component_reps(ray.data.from_arrow(pairs), force_distributed=True)
+    assert uf == dist
+    assert all(v == 0 for k, v in uf.items() if k <= 11)
+
+    sa = [f"img{i:03d}" for i in (1, 2, 5)]
+    sb = [f"img{i:03d}" for i in (2, 3, 6)]
+    spairs = pa.table({"a": pa.array(sa), "b": pa.array(sb)})
+    assert cc.components_unionfind([spairs]) == cc.component_reps(
+        ray.data.from_arrow(spairs), force_distributed=True)
+
+
+def test_keeplist_paths_equivalent(registry, ray_session):
+    """image_keeplist via the driver union-find and via distributed
+    min-label propagation must produce identical keep-lists."""
+    from dumb_crawler_ray.ops import multimodal
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+
+    imgs = f"{_fixture_dir()}/images.parquet"
+    small = to_df(multimodal.image_keeplist(imgs)).reset_index(drop=True)
+    big = to_df(multimodal.image_keeplist(imgs, force_distributed=True)
+                ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, big)
+    assert small["keep"].sum() < len(small)  # planted dups actually cluster
+
+
 def test_simhash_pairs_nonvacuous_at_sf001(registry, ray_session):
     """sf0.001 may have no hamming≤3 pairs; the driver-scale table (sf0.01)
     must produce >0 so the oracle comparison is non-vacuous, and every
