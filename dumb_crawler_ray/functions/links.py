@@ -23,10 +23,18 @@ use for ``validationSelectors`` / ``CONTAINSELEMENT``
 (``tag``/``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=v]``,
 ``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, and Jsoup's
 ``[attr~=regex]`` — a REGEX match, not the CSS word list), descendant
-(space) and child (``>``) combinators, and ``,`` selector groups.
-Unsupported syntax (e.g. pseudo-classes) is handled gracefully: logged
-once per selector and treated as not-matching — never raised, so an exotic
-config selector cannot crash the fetch stage mid-crawl.
+(space) and child (``>``) combinators, ``,`` selector groups, and the two
+Jsoup pseudo-classes real validation configs use: ``:contains(text)``
+(case-insensitive match against the element's own+descendant normalized
+text, org.jsoup.select.Evaluator$ContainsText) and ``:has(selector)``
+(element with a matching descendant; the inner selector may use the full
+supported grammar except further parenthesized pseudo-classes). Selectors
+without pseudo-classes run on the streaming single-pass matcher;
+pseudo-class selectors build a lightweight DOM tree (validation pages are
+small — the tree path is per-selector opt-in). Remaining unsupported
+syntax (``:nth-child`` etc.) is handled gracefully: logged once per
+selector and treated as not-matching — never raised, so an exotic config
+selector cannot crash the fetch stage mid-crawl.
 """
 
 from __future__ import annotations
@@ -97,17 +105,31 @@ _VOID = frozenset(
 )
 _ANY_TAG = re.compile(r"<(/?)([A-Za-z][A-Za-z0-9-]*)([^>]*)>", re.DOTALL)
 
-# one compound simple-selector: tag/* then any number of .cls #id [attr...]
+# one compound simple-selector: tag/* then any number of
+# .cls #id [attr...] :pseudo(arg)
 _COMPOUND = re.compile(
     r"(?P<tag>[A-Za-z][A-Za-z0-9-]*|\*)?"
-    r"(?P<rest>(?:\.[A-Za-z0-9_-]+|#[A-Za-z0-9_-]+|\[[^\]]+\])*)"
+    r"(?P<rest>(?:\.[A-Za-z0-9_-]+|#[A-Za-z0-9_-]+|\[[^\]]+\]"
+    r"|:[A-Za-z-]+\([^()]*\))*)"
 )
 _SIMPLE = re.compile(
     r"\.(?P<cls>[A-Za-z0-9_-]+)"
     r"|#(?P<id>[A-Za-z0-9_-]+)"
     r"|\[\s*(?P<attr>[A-Za-z][A-Za-z0-9_-]*)\s*"
     r"(?:(?P<op>[~^$*]?=)\s*(?P<q>[\"']?)(?P<val>[^\]\"']*)(?P=q)\s*)?\]"
+    r"|:(?P<pseudo>[A-Za-z-]+)\((?P<parg>[^()]*)\)"
 )
+
+
+def _is_self_closing(tag_body: str) -> bool:
+    """True only when a trailing '/' is genuine XML-style self-closing —
+    NOT when it is the last character of an unquoted attribute value
+    (``<a href=https://x.test/>`` is an OPEN tag): parsed attributes are
+    stripped first, so a value-consumed slash can't be mistaken for one."""
+    b = tag_body.rstrip()
+    if not b.endswith("/"):
+        return False
+    return _ATTR.sub("", b).rstrip().endswith("/")
 
 
 class _UnsupportedSelector(Exception):
@@ -133,6 +155,19 @@ def _parse_compound(src: str):
             preds.append(("class", sm.group("cls"), None))
         elif sm.group("id"):
             preds.append(("id", sm.group("id"), None))
+        elif sm.group("pseudo"):
+            pseudo, arg = sm.group("pseudo").lower(), sm.group("parg")
+            if pseudo == "contains":
+                # Jsoup ContainsText: lowercase containment over the
+                # element's normalized own+descendant text
+                preds.append(("contains",
+                              re.sub(r"\s+", " ", arg.strip().lower()), None))
+            elif pseudo == "has":
+                # inner selector: full grammar minus nested parens (the
+                # tokenizer rejects those → unsupported, logged no-match)
+                preds.append(("has", _parse_selector(arg), None))
+            else:
+                raise _UnsupportedSelector(src)
         else:
             op, val = sm.group("op"), sm.group("val")
             if op == "~=":
@@ -176,7 +211,7 @@ def _parse_selector(selector: str):
     return alts
 
 
-_TOKEN = re.compile(r">|(?:[A-Za-z0-9*_.#-]|\[[^\]]*\])+")
+_TOKEN = re.compile(r">|(?:[A-Za-z0-9*_.#-]|\[[^\]]*\]|:[A-Za-z-]+\([^()]*\))+")
 
 
 def _tokenize(branch: str) -> list[str]:
@@ -198,7 +233,7 @@ _SEL_CACHE: dict[str, object] = {}
 _WARNED: set[str] = set()
 
 
-def _compound_matches(preds, name: str, attrs: dict) -> bool:
+def _compound_matches(preds, name: str, attrs: dict, node=None) -> bool:
     for kind, arg, extra in preds:
         if kind == "tag":
             if name != arg:
@@ -208,6 +243,13 @@ def _compound_matches(preds, name: str, attrs: dict) -> bool:
                 return False
         elif kind == "id":
             if attrs.get("id") != arg:
+                return False
+        elif kind == "contains":
+            # tree path only (node is a _Node there, None when streaming)
+            if node is None or arg not in _node_text(node):
+                return False
+        elif kind == "has":
+            if node is None or not _subtree_exists(node, arg):
                 return False
         else:  # attr
             val = attrs.get(arg)
@@ -248,6 +290,105 @@ def _chain_matches(chain, lineage) -> bool:
     return rec(len(chain) - 1, len(lineage) - 1)
 
 
+class _Node:
+    """Lightweight DOM node for the pseudo-class (tree) match path."""
+
+    __slots__ = ("name", "attrs", "children", "texts", "_text")
+
+    def __init__(self, name: str, attrs: dict):
+        self.name = name
+        self.attrs = attrs
+        self.children: list[_Node] = []
+        self.texts: list[str] = []
+        self._text: str | None = None
+
+
+def _node_text(node: _Node) -> str:
+    """Normalized lowercase own+descendant text (Jsoup element.text()
+    shape), memoized per node."""
+    if node._text is None:
+        parts: list[str] = []
+
+        def walk(n: _Node):
+            parts.extend(n.texts)
+            for c in n.children:
+                walk(c)
+
+        walk(node)
+        node._text = re.sub(r"\s+", " ", " ".join(parts)).strip().lower()
+    return node._text
+
+
+def _build_tree(html: str) -> list[_Node]:
+    roots: list[_Node] = []
+    stack: list[_Node] = []
+    pos = 0
+    for m in _ANY_TAG.finditer(html):
+        if stack and m.start() > pos:
+            stack[-1].texts.append(html[pos:m.start()])
+        pos = m.end()
+        closing, name, body = m.group(1), m.group(2).lower(), m.group(3)
+        if closing:
+            for j in range(len(stack) - 1, -1, -1):
+                if stack[j].name == name:
+                    del stack[j:]
+                    break
+            continue
+        node = _Node(name, _attrs(body))
+        (stack[-1].children if stack else roots).append(node)
+        if name not in _VOID and not _is_self_closing(body):
+            stack.append(node)
+    if stack and pos < len(html):
+        stack[-1].texts.append(html[pos:])
+    return roots
+
+
+def _subtree_exists(node: _Node, alts) -> bool:
+    """Jsoup :has(sel): does any strict descendant of `node` match? The
+    inner selector is scoped to the subtree — lineages are relative to
+    (and exclude) `node` itself."""
+    def walk(n: _Node, lineage: list) -> bool:
+        for c in n.children:
+            entry = (c.name, c.attrs, c)
+            lineage.append(entry)
+            for chain in alts:
+                if len(chain) <= len(lineage) and _chain_matches(chain, lineage):
+                    lineage.pop()
+                    return True
+            if walk(c, lineage):
+                lineage.pop()
+                return True
+            lineage.pop()
+        return False
+
+    return walk(node, [])
+
+
+def _tree_exists(html: str, parsed) -> bool:
+    roots = _build_tree(html)
+
+    def walk(siblings: list[_Node], lineage: list) -> bool:
+        for n in siblings:
+            lineage.append((n.name, n.attrs, n))
+            for chain in parsed:
+                if len(chain) <= len(lineage) and _chain_matches(chain, lineage):
+                    lineage.pop()
+                    return True
+            if walk(n.children, lineage):
+                lineage.pop()
+                return True
+            lineage.pop()
+        return False
+
+    return walk(roots, [])
+
+
+def _needs_tree(parsed) -> bool:
+    return any(kind in ("contains", "has")
+               for chain in parsed for _, preds in chain
+               for kind, _a, _e in preds)
+
+
 def css_select_exists(html: str, selector: str, pre_cleaned: bool = False) -> bool:
     """Jsoup-subset existence check (see module docstring for the grammar).
     Unsupported selectors log once and return False instead of raising —
@@ -266,9 +407,13 @@ def css_select_exists(html: str, selector: str, pre_cleaned: bool = False) -> bo
             logger.warning("unsupported CSS selector %r: treating as no-match",
                            selector)
         return False
+    cleaned = html if pre_cleaned else _clean_html(html)
+    if _needs_tree(parsed):
+        # :contains/:has need subtree text/structure → DOM-tree path
+        return _tree_exists(cleaned, parsed)
     # single pass over the tag stream with an open-element stack
     stack: list[tuple[str, dict]] = []
-    for m in _ANY_TAG.finditer(html if pre_cleaned else _clean_html(html)):
+    for m in _ANY_TAG.finditer(cleaned):
         closing, name, body = m.group(1), m.group(2).lower(), m.group(3)
         if closing:
             for j in range(len(stack) - 1, -1, -1):
@@ -281,6 +426,6 @@ def css_select_exists(html: str, selector: str, pre_cleaned: bool = False) -> bo
         for chain in parsed:
             if len(chain) <= len(lineage) and _chain_matches(chain, lineage):
                 return True
-        if name not in _VOID and not body.rstrip().endswith("/"):
+        if name not in _VOID and not _is_self_closing(body):
             stack.append((name, attrs))
     return False

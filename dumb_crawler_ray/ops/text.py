@@ -416,9 +416,13 @@ def heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 4096):
     """Top-k most frequent users — the 2-pass heavy-hitters pattern:
 
       pass 1  map_batches → per-batch Misra-Gries summaries (≤ capacity
-              rows per batch, mergeable), driver merge + trim → a BOUNDED
-              candidate set (capacity rows max, any true count >
-              N/(capacity+1) guaranteed present)
+              rows per batch, mergeable) → groupby(user_id) SUM of the
+              partial counts (the MG merge, done IN the cluster — the
+              driver never sees per-block summaries) → one-partition
+              final MG trim on a worker → a BOUNDED candidate set
+              (capacity rows max, any true count > N/(capacity+1)
+              guaranteed present — summing partials then trimming once is
+              the standard mergeable-summary bound)
       pass 2  exact distributed recount of candidates only (broadcast the
               candidate array, filter + partial aggregate), pinned-order
               top-k
@@ -438,26 +442,28 @@ def heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 4096):
              "n_part": pa.array(counts, pa.int64())}
         )
 
-    summaries = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id"]
-    ).map_batches(summarize, batch_format="pyarrow", **remote_kwargs())
-    acc: dict[int, int] = {}
+    def final_trim(t: pa.Table) -> pa.Table:
+        items, counts = _mg_trim(t.column("user_id").to_numpy(),
+                                 t.column("n_part").to_numpy(), capacity)
+        return pa.table({"user_id": pa.array(items, pa.int64())})
 
-    def _trim_acc():
-        nonlocal acc
-        items = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-        counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
-        items, counts = _mg_trim(items, counts, capacity)
-        acc = dict(zip(items.tolist(), counts.tolist()))
-
-    for b in summaries.iter_batches(batch_format="pyarrow", batch_size=None):
-        for uid, n in zip(b.column("user_id").to_pylist(),
-                          b.column("n_part").to_pylist()):
-            acc[uid] = acc.get(uid, 0) + n
-        if len(acc) > 8 * capacity:  # keep the driver merge truly bounded
-            _trim_acc()
-    _trim_acc()
-    cand = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+    # merged summary size is ≤ capacity · n_blocks rows (each block's MG
+    # summary is ≤ capacity) — small enough for a single-partition trim
+    candidates = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(summarize, batch_format="pyarrow", **remote_kwargs())
+        .groupby("user_id")
+        .aggregate(Sum("n_part", alias_name="n_part"))
+        .repartition(1)
+        .map_batches(final_trim, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())
+    )
+    cand = np.concatenate(
+        [b.column("user_id").to_numpy()
+         for b in candidates.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)]
+        or [np.empty(0, dtype=np.int64)]
+    )
     cand_ref = ray.put(np.sort(cand))
 
     def exact_count(t: pa.Table) -> pa.Table:

@@ -79,6 +79,7 @@ class CrawlPipeline:
         fetch_delay_s: float = 0.0,
         fetch_mode: str = "actors",
         fetch_threads: int = 1,
+        stop_flag_path: str | None = None,
     ):
         self.fixture_dir = str(fixture_dir)
         self.cfg = config if isinstance(config, JobConfig) else JobConfig(config)
@@ -104,6 +105,11 @@ class CrawlPipeline:
         self.round = 0
         self.resume = resume
         self.fetch_mode = fetch_mode
+        # external stop request (reference stopCrawling semantics,
+        # J/DumbCrawler.java:252-265): when this file appears, finish the
+        # in-flight round, commit the checkpoint, and exit gracefully —
+        # a later resume=True run continues exactly where we stopped
+        self.stop_flag_path = str(stop_flag_path) if stop_flag_path else None
         self.shards = None
         self._fetch_pool = None
         # per-round per-shard lineage accumulator (north rule: per-partition
@@ -715,6 +721,12 @@ class CrawlPipeline:
         idle_timeout_s = self.cfg.task_killer_timeout_ms / 1000.0
         last_new_page_t = _time.monotonic()
         while max_rounds is None or rounds_done < max_rounds:
+            if self.stop_flag_path and os.path.exists(self.stop_flag_path):
+                # checked BETWEEN rounds: in-flight work has been harvested
+                # and committed, so the checkpoint resumes exactly
+                stop_reason = "stop_requested"
+                self.counters["STOP_REQUESTED"] += 1
+                break
             selection = self._select()
             if selection is None:
                 break

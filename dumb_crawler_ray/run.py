@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fetch-threads", type=int, default=1,
                     help="in-actor fetch threads (reference threadCount "
                          "semantics; outcomes identical at any value)")
+    ap.add_argument("--stop-flag", default=None,
+                    help="path checked between rounds: when the file "
+                         "appears, finish in-flight work, commit, exit "
+                         "(reference stopCrawling semantics)")
     args = ap.parse_args(argv)
 
     import ray
@@ -63,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         args.fixture, cfg, seed=args.seed, scale=args.scale,
         n_shards=args.shards, ckpt_dir=args.ckpt, resume=args.resume,
         fetch_concurrency=conc, fetch_delay_s=args.rtt_ms / 1000.0,
-        fetch_threads=args.fetch_threads,
+        fetch_threads=args.fetch_threads, stop_flag_path=args.stop_flag,
     ).run(max_rounds=args.max_rounds)
     wall = time.time() - t0
     print(json.dumps({

@@ -265,6 +265,26 @@ def test_conformance_with_combinator_selector(ray_session, fix4):
     assert_match(res, orc)
 
 
+def test_conformance_with_contains_selector(ray_session, fix4):
+    """`div:contains(...)` (Jsoup ContainsText) in validationSelectors —
+    the pseudo-class real configs use — must validate pages through the
+    tree-match path with identical crawl semantics (every article page
+    carries 'Article body text.' inside its article div)."""
+    import copy
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["validationSelectors"] = {"article": "div:contains(article body text)"}
+    web = SynthWeb.generate(42, 4)
+    orc_base = oracle.simulate(DEFAULT_CONFIG, web)
+    orc = oracle.simulate(cfg, web)
+    assert orc.crawl_order == orc_base.crawl_order  # selector-equivalent
+    assert orc.counters["SAVED_PAGES"] > 0
+    res = CrawlPipeline(
+        fix4, cfg, seed=42, scale=4, n_shards=4, fetch_concurrency=2
+    ).run()
+    assert_match(res, orc)
+
+
 def test_unsupported_selector_does_not_crash_crawl(ray_session, fix4):
     """An exotic (unsupported) selector degrades to no-match: every article
     fails validation, none stores, but the crawl completes."""

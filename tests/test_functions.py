@@ -286,9 +286,52 @@ def test_css_selector_combinators_and_attrs():
     # void elements don't capture children
     assert not T("input b")
     # unsupported syntax: logged, False, never raises
-    assert not T("div:has(span)")
     assert not T("p + b")
     assert not T("")
+    assert not T("div:nth-child(2)")
+
+
+def test_css_pseudo_contains_and_has():
+    """Jsoup :contains / :has truth table (the two pseudo-classes real
+    validationSelector configs use, e.g. div:contains(price))."""
+    html = (
+        '<html><body>'
+        '<div class="prod" id="d1">'
+        '  <h2>Blue Widget</h2>'
+        '  <span class="price">Price: <b>10 USD</b></span>'
+        '</div>'
+        '<div class="empty-box"><i>no cost here</i></div>'
+        '<ul><li><a href="https://x.test/">cart</a></li></ul>'
+        '</body></html>'
+    )
+    T = lambda s: css_select_exists(html, s)
+    # :contains — own + descendant text, case-insensitive, normalized
+    assert T("div:contains(price)")
+    assert T("div:contains(PRICE)")
+    assert T("span:contains(price: 10)")     # text spans a child boundary
+    assert T("b:contains(usd)")
+    assert T(":contains(blue widget)")
+    assert not T("h2:contains(price)")
+    assert not T("div:contains(gold)")
+    # :has — any strict descendant matches the inner selector
+    assert T("div:has(span)")
+    assert T("div:has(.price)")
+    assert T("div:has(span > b)")
+    assert T("body:has(div.prod)")
+    assert T("ul:has(a[href^=https])")
+    assert not T("span:has(h2)")             # sibling's child, not descendant
+    assert not T("div:has(ul)")
+    # combined and chained
+    assert T("div:has(b):contains(widget)")
+    assert T("body div:contains(price) > h2")
+    assert not T("div.empty-box:contains(price)")
+    # unquoted-attr-value trailing slash is NOT self-closing: the <a> above
+    # stays open, so its text is reachable
+    assert T("li a:contains(cart)")
+    # nested parenthesized pseudo-classes are unsupported → logged
+    # no-match, never raises
+    assert not T("ul:has(li:contains(cart))")
+    assert not T("ul:has(li:has(a))")
 
 
 def test_extract_links_ignores_comments_and_scripts():

@@ -194,3 +194,63 @@ def test_resume_with_fetch_threads(ray_session, fix4, tmp_path):
     assert res.crawl_order == orc.crawl_order
     assert res.seen_set == orc.seen_set
     assert res.counters == orc.counters
+
+
+def test_stop_request_drains_and_resumes_exactly(ray_session, fix4, tmp_path):
+    """External stop request (reference stopCrawling semantics): flipping
+    the stop flag mid-crawl finishes the in-flight round, commits, and
+    exits with stop_reason="stop_requested"; resuming without the flag
+    completes to the exact uninterrupted final state."""
+    import threading
+    import time
+
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+
+    ckpt = tmp_path / "ckpt_stop"
+    flag = tmp_path / "stop.flag"
+
+    def flip_after_first_commit():
+        order_dir = ckpt / "order"
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if order_dir.is_dir() and any(
+                n.startswith("round=000000") for n in os.listdir(order_dir)
+            ):
+                flag.touch()
+                return
+            time.sleep(0.02)
+
+    watcher = threading.Thread(target=flip_after_first_commit, daemon=True)
+    watcher.start()
+    res_stopped = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), stop_flag_path=str(flag),
+    ).run()
+    watcher.join(timeout=60)
+    assert res_stopped.stop_reason == "stop_requested"
+    assert res_stopped.counters["STOP_REQUESTED"] == 1
+    assert 0 < len(res_stopped.crawl_order) < len(orc.crawl_order)
+
+    # flag still present -> an immediate re-run stops before any new round
+    res_noop = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), resume=True,
+        stop_flag_path=str(flag),
+    ).run()
+    assert res_noop.stop_reason == "stop_requested"
+    assert res_noop.crawl_order == res_stopped.crawl_order
+
+    flag.unlink()
+    res_resumed = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), resume=True,
+        stop_flag_path=str(flag),
+    ).run()
+    assert res_resumed.stop_reason in ("drained", "idle_timeout")
+    assert res_resumed.crawl_order == orc.crawl_order
+    assert res_resumed.seen_set == orc.seen_set
+    # counters: the stopped run's STOP_REQUESTED marks are session-local
+    resumed = {k: v for k, v in res_resumed.counters.items()
+               if k != "STOP_REQUESTED"}
+    assert resumed == orc.counters
