@@ -136,6 +136,24 @@ class JobConfig:
         integration seam)."""
         return str(get_path(self.raw, "fetcher.mode", "synthetic"))
 
+    @property
+    def fetcher_user_agent(self) -> str:
+        """``fetcher.userAgent`` (reference default,
+        SimpleHttpRenderer.java:33)."""
+        return str(get_path(self.raw, "fetcher.userAgent", "Mozilla/5.0"))
+
+    @property
+    def fetcher_connect_timeout_s(self) -> float:
+        """``fetcher.connectTimeoutMs`` — the reference's 10 s connect
+        budget (SimpleHttpRenderer.java:34)."""
+        return float(get_path(self.raw, "fetcher.connectTimeoutMs", 10_000)) / 1000.0
+
+    @property
+    def fetcher_read_timeout_s(self) -> float:
+        """``fetcher.readTimeoutMs`` — the reference's 30 s read budget
+        (SimpleHttpRenderer.java:35)."""
+        return float(get_path(self.raw, "fetcher.readTimeoutMs", 30_000)) / 1000.0
+
     # --- rebuild scheduler knobs ---
     @property
     def scheduler_batch_size(self) -> int:

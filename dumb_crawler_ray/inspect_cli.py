@@ -10,7 +10,12 @@ round fragments" and the url_index lookup becomes a parquet filter.
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> page <url_hash> [out.html]
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed [round] # failed validations
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed-page <url_hash> [out.html]
-    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> import-warc <warc_file_or_dir>
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> import-warc <warc_file_or_dir> [--config cfg.json]
+
+import-warc hashes urls with the job config's idExtractorPattern, sourced
+from --config, else the checkpoint manifest's ``config`` entry, else a
+config.json in the checkpoint dir; it ERRORS if none exists (hashing with
+a different scheme than the crawl would corrupt the url_hash space).
 """
 
 from __future__ import annotations
@@ -111,12 +116,31 @@ def main(argv: list[str]) -> int:
         return dump_page(ckpt, argv[2], argv[3] if len(argv) > 3 else None,
                          table="pages_failed")
     elif cmd == "import-warc":
-        import json as _json
-
         from .sources.warc import import_warc
 
-        cfg_path = os.path.join(ckpt, "config.json")
-        cfg = _json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+        # config precedence: explicit --config path, then the crawl
+        # manifest (the checkpoint's own record of the job config), then a
+        # legacy config.json sitting in the checkpoint dir. Without ANY
+        # source we ERROR instead of silently md5-hashing urls with a
+        # different scheme (idExtractorPattern unset) than the crawl used.
+        cfg = None
+        if len(argv) > 4 and argv[3] == "--config":
+            cfg = json.load(open(argv[4]))
+        else:
+            mpath = os.path.join(ckpt, "manifest.json")
+            if os.path.exists(mpath):
+                cfg = json.load(open(mpath)).get("config")
+            if cfg is None:
+                legacy = os.path.join(ckpt, "config.json")
+                if os.path.exists(legacy):
+                    cfg = json.load(open(legacy))
+        if cfg is None:
+            print("error: no job config found (no manifest.json with a "
+                  "'config' entry and no config.json in the checkpoint); "
+                  "pass one with: import-warc <src> --config <config.json> "
+                  "— importing without the crawl's idExtractorPattern "
+                  "would produce divergent url_hashes", file=sys.stderr)
+            return 2
         n = import_warc(argv[2], ckpt, cfg)
         print(f"imported {n} pages from {argv[2]}")
     else:

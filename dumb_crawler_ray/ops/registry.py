@@ -56,13 +56,19 @@ def _crawl_result():
         return _CRAWL_CACHE
     except NameError:
         pass
+    import os
     import shutil
 
     from ..pipelines.crawl import CrawlPipeline
     from ..sources.synthweb import DEFAULT_CONFIG
 
-    ckpt = f"/tmp/dcr_fixtures/crawl_ckpt_sf{_FIXTURE_SCALE}"
+    # pid-keyed: two concurrent processes (ops_cli + bench + pytest) must
+    # not rmtree each other's live checkpoint mid-crawl
+    ckpt = f"/tmp/dcr_fixtures/crawl_ckpt_sf{_FIXTURE_SCALE}_pid{os.getpid()}"
     shutil.rmtree(ckpt, ignore_errors=True)  # fresh run, not a resume
+    import atexit
+
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     _CRAWL_CACHE = CrawlPipeline(
         _fixture_dir(), DEFAULT_CONFIG, seed=_FIXTURE_SEED, scale=_FIXTURE_SCALE,
         n_shards=4, fetch_concurrency=2, ckpt_dir=ckpt,
@@ -193,7 +199,12 @@ def embedding_near_dups_q(sf_dir: str):
     import hashlib
 
     n_plant = 8
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # tag = path + a content fingerprint (size, mtime_ns) of the source
+    # table, so a regenerated embeddings.parquet invalidates the cache
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
     out_dir = f"/tmp/dcr_fixtures/emb_neardup_{tag}"
     out_path = f"{out_dir}/embeddings.parquet"
     if not os.path.exists(out_path):

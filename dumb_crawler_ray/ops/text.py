@@ -212,10 +212,12 @@ def word_frequencies(sf_dir: str, k: int = 100):
     from ray.data.aggregate import Sum
 
     def local_counts(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        # a single findall over the space-joined batch: the separator
-        # guarantees no cross-document token merging
-        toks = re.findall(TOKEN_REGEX, " ".join(texts).lower())
+        # per-doc C-level findall (a batch-wide " ".join would transiently
+        # DOUBLE the batch's string memory; per-doc lowering keeps the
+        # transient at one document)
+        toks: list = []
+        for s in t.column("text").to_pylist():
+            toks.extend(re.findall(TOKEN_REGEX, s.lower()))
         if not toks:
             return pa.table({"word": pa.array([], pa.string()),
                              "n_part": pa.array([], pa.int64())})

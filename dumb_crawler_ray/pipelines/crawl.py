@@ -578,6 +578,10 @@ class CrawlPipeline:
             "stored_pages": self.stored_pages,
             "stored_images": self.stored_images,
             "n_shards": self.n_shards,
+            # the job config rides in the manifest so checkpoint consumers
+            # (inspect_cli import-warc) hash urls with the SAME
+            # idExtractorPattern the crawl used — no fixture-dir lookup
+            "config": self.cfg.raw,
         }
         tmp = self._ckpt_path("manifest.json.tmp")
         with open(tmp, "w") as fh:

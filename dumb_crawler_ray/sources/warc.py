@@ -15,17 +15,24 @@ directory tree for ``*.warc`` and reads records sequentially
   UrlHasher the crawl uses — imported pages are then queryable via
   inspect_cli / the url_hash→page lookup exactly like crawled ones.
 
-Parsing is deliberately lenient: records without a Content-Length or with
-a non-HTTP block are skipped, mirroring the viewer's skip-on-error loop.
+Parsing is lenient about record CONTENT (non-HTTP blocks and unknown
+charsets are skipped/decoded-with-replacement), but a record whose FRAMING
+is broken — missing/invalid Content-Length, truncated block, non-WARC
+leader — makes the rest of the file unwalkable, so reading STOPS there
+(mirroring the viewer's stop-on-error loop) and logs a warning with the
+file path and byte offset so partial imports are detectable.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+logger = logging.getLogger(__name__)
 
 IMPORT_ROUND = -2  # below any crawl round; never swept by round cleanup
 
@@ -52,21 +59,39 @@ def _read_headers(fh) -> dict[str, str] | None:
 
 
 def read_warc_records(path: str):
-    """Yield (headers, block_bytes) for each record in one .warc file."""
+    """Yield (headers, block_bytes) for each record in one .warc file.
+    Broken framing (non-WARC leader, bad Content-Length, truncated block)
+    stops the file with a logged warning — records after the break are
+    unreachable without the length chain, so they are abandoned, not
+    silently skipped."""
+    n_records = 0
     with open(path, "rb") as fh:
         while True:
+            pos = fh.tell()
             headers = _read_headers(fh)
             if headers is None:
                 return
             if not headers["__version__"].startswith("WARC/"):
-                return  # not a WARC stream; stop like the viewer's error path
+                logger.warning(
+                    "%s: non-WARC record leader %r at byte %d after %d "
+                    "record(s); abandoning the rest of the file",
+                    path, headers["__version__"][:40], pos, n_records)
+                return
             try:
                 n = int(headers.get("content-length", ""))
             except ValueError:
+                logger.warning(
+                    "%s: missing/invalid Content-Length %r at byte %d after "
+                    "%d record(s); abandoning the rest of the file",
+                    path, headers.get("content-length"), pos, n_records)
                 return
             block = fh.read(n)
             if len(block) < n:
-                return  # truncated file
+                logger.warning(
+                    "%s: truncated block (%d of %d bytes) at byte %d after "
+                    "%d record(s)", path, len(block), n, pos, n_records)
+                return
+            n_records += 1
             yield headers, block
 
 

@@ -95,7 +95,7 @@ class FetchWorker:
             # FetchTransportError per fetch in a network-less sandbox
             from ..sources.httpweb import HttpWeb
 
-            self.web = HttpWeb()
+            self.web = HttpWeb.from_config(self.cfg)
         else:
             pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
             self.web = SynthWeb(pages, seed, scale)

@@ -52,7 +52,35 @@ def test_200_body_and_headers():
     assert resp.image_ids == []
     assert op.last_request.get_header("User-agent") == "Mozilla/5.0"
     assert op.last_request.get_header("Accept-charset") == "ISO-8859-1"
-    assert op.last_timeout == 30.0
+    # open() gets the CONNECT budget (reference: 10 s); the read budget is
+    # applied to the socket after connect
+    assert op.last_timeout == 10.0
+
+
+def test_config_plumbing_and_read_timeout_escalation():
+    """fetcher.* config keys reach the transport: custom UA, connect
+    budget on open(), read budget settimeout'd on the response socket."""
+    class _Sock:
+        timeout = None
+
+        def settimeout(self, t):
+            self.timeout = t
+
+    class _Raw:
+        _sock = _Sock()
+
+    resp = _Resp(200, b"ok")
+    resp.fp = type("_Fp", (), {"raw": _Raw()})()
+    op = _Opener(resp)
+    cfg = JobConfig({"fetcher": {"mode": "http", "userAgent": "dcr-bot/1.0",
+                                 "connectTimeoutMs": 5000,
+                                 "readTimeoutMs": 20000}})
+    web = HttpWeb.from_config(cfg, opener=op)
+    r = web.fetch("https://example.test/a")
+    assert r.status_code == 200
+    assert op.last_request.get_header("User-agent") == "dcr-bot/1.0"
+    assert op.last_timeout == 5.0
+    assert resp.fp.raw._sock.timeout == 20.0
 
 
 def test_newline_strip_happens_in_fetch_outcome():
@@ -126,7 +154,7 @@ def test_fetch_worker_http_mode_maps_transport_error(tmp_path):
 def test_sandbox_http_mode_fails_cleanly():
     """In this network-less sandbox a REAL HttpWeb fetch must raise
     FetchTransportError (not hang or crash differently)."""
-    web = HttpWeb(timeout_s=2.0)
+    web = HttpWeb(connect_timeout_s=2.0, read_timeout_s=2.0)
     with pytest.raises(FetchTransportError):
         web.fetch("https://nonexistent-host.invalid/")
 
@@ -230,3 +258,76 @@ def test_warc_unknown_charset_is_lenient(tmp_path):
     p = tmp_path / "x.warc"
     p.write_bytes(rec)
     assert list(iter_warc_pages(str(p))) == [("https://a.test/", "hi")]
+
+
+def test_import_warc_cli_sources_config_from_manifest(tmp_path):
+    """The inspect_cli import-warc path must hash urls with the crawl's
+    idExtractorPattern sourced from the checkpoint manifest (a crawl never
+    writes config.json into its checkpoint), and must ERROR — not silently
+    md5-hash — when no config source exists."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    import pyarrow.dataset as pads
+
+    from dumb_crawler_ray import inspect_cli
+    from dumb_crawler_ray.sources.warc import write_warc
+
+    warc = tmp_path / "a.warc"
+    write_warc([("https://site.test/article/a-101", "<html>x</html>")],
+               str(warc))
+
+    # no manifest, no config.json, no --config → error exit
+    bare = tmp_path / "bare_ckpt"
+    bare.mkdir()
+    with redirect_stdout(io.StringIO()):
+        assert inspect_cli.main([str(bare), "import-warc", str(warc)]) == 2
+
+    # manifest with embedded config → pattern applied
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "manifest.json").write_text(json.dumps(
+        {"round": 3, "config": {"idExtractorPattern": r".*-(?<id>[0-9]+)$"}}))
+    with redirect_stdout(io.StringIO()):
+        assert inspect_cli.main([str(ckpt), "import-warc", str(warc)]) == 0
+    t = pads.dataset(str(ckpt / "pages"), format="parquet").to_table()
+    assert t.column("url_hash").to_pylist() == ["101"]
+
+    # explicit --config overrides everything
+    ckpt2 = tmp_path / "ckpt2"
+    ckpt2.mkdir()
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(json.dumps({"idExtractorPattern": r".*-(?<id>[0-9]+)$"}))
+    with redirect_stdout(io.StringIO()):
+        assert inspect_cli.main(
+            [str(ckpt2), "import-warc", str(warc), "--config", str(cfgf)]) == 0
+    t2 = pads.dataset(str(ckpt2 / "pages"), format="parquet").to_table()
+    assert t2.column("url_hash").to_pylist() == ["101"]
+
+
+def test_warc_reader_warns_and_stops_on_bad_framing(tmp_path, caplog):
+    """A record with invalid Content-Length abandons the rest of the file
+    WITH a warning naming the path (partial imports are detectable)."""
+    import logging
+
+    from dumb_crawler_ray.sources.warc import iter_warc_pages
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+    good = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://a.test/\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    bad = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://b.test/\r\n"
+        "Content-Length: not-a-number\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    p = tmp_path / "mix.warc"
+    p.write_bytes(good + bad + good)
+    with caplog.at_level(logging.WARNING, logger="dumb_crawler_ray.sources.warc"):
+        got = list(iter_warc_pages(str(p)))
+    assert got == [("https://a.test/", "hi")]  # record after the break lost
+    assert any("Content-Length" in r.message and str(p) in r.message
+               for r in caplog.records)
