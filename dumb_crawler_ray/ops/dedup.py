@@ -337,36 +337,59 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 # ---------------------------------------------------------------- simhash
 
-def _md5_64_batch(toks: list[str]) -> np.ndarray:
-    """First 64 bits of md5 per token — chosen over siphash HERE because
-    DuckDB can recompute it exactly (`('0x' || substr(md5(tok),1,16))::
-    UBIGINT`), which makes the simhash ops rows+schema+hash SQL-checkable.
-    Hashes unique tokens once (md5 is the cost; docs repeat words)."""
-    arr = np.asarray(toks, dtype=object)
-    uniq, inv = np.unique(arr, return_inverse=True)
-    hs = np.fromiter(
+def simhash64_batch(texts, dense_limit: int = 8_000_000) -> np.ndarray:
+    """64-bit SimHash per text (stable md5 token hashes, exactly
+    replicable in the DuckDB oracle), vectorized across the WHOLE batch:
+    tokens are md5-hashed once per distinct token in the batch (vocab ≪
+    token stream), the (total_tokens, 64) ±1 bit matrix is summed per doc
+    with one reduceat. Returns int64 signatures; tokenless docs get 0."""
+    import re
+
+    toks_list = [re.findall(TOKEN_REGEX, s.lower()) for s in texts]
+    lens = np.fromiter((len(t) for t in toks_list), dtype=np.int64,
+                       count=len(toks_list))
+    out = np.zeros(len(texts), dtype=np.int64)
+    nonempty = np.flatnonzero(lens)
+    if len(nonempty) == 0:
+        return out
+    flat = np.asarray([t for ts in toks_list for t in ts], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hs_u = np.fromiter(
         (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
          for t in uniq),
         dtype=np.uint64, count=len(uniq),
     )
-    return hs[inv]
+    shifts = np.arange(64, dtype=np.uint64)
+    # ±1 bit matrix only for DISTINCT tokens (vocab ≪ token stream)
+    signed_u = (2 * ((hs_u[:, None] >> shifts[None, :]) & np.uint64(1))
+                .astype(np.int64) - 1)
+    n_docs, n_uniq = len(texts), len(uniq)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    if n_docs * n_uniq <= dense_limit:
+        # dense per-doc token-count matrix → one matmul for all 64 bits
+        counts = np.bincount(doc_idx * n_uniq + inv,
+                             minlength=n_docs * n_uniq
+                             ).reshape(n_docs, n_uniq)
+        acc = counts @ signed_u  # (n_docs, 64)
+    else:
+        # bounded-memory fallback: one 1-D reduceat per bit position
+        hs_tok = hs_u[inv]
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[nonempty]
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        for j in range(64):
+            col = (2 * ((hs_tok >> np.uint64(j)) & np.uint64(1))
+                   .astype(np.int64) - 1)
+            acc[nonempty, j] = np.add.reduceat(col, starts)
+    out_bits = (acc > 0).astype(np.uint64)
+    vals = (out_bits << shifts[None, :]).sum(axis=1)
+    mask = lens > 0
+    out[mask] = vals.view(np.int64)[mask]  # uint64 bits == two's complement
+    return out
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (stable md5 token hashes, exactly
-    replicable in the DuckDB oracle). Vectorized: one (n_tokens, 64) bit
-    matrix per doc, not a per-token numpy call."""
-    import re
-
-    toks = re.findall(TOKEN_REGEX, text.lower())
-    if not toks:
-        return 0
-    hs = _md5_64_batch(toks)
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out_bits = (acc > 0).astype(np.uint64)
-    val = int((out_bits << np.arange(64, dtype=np.uint64)).sum())
-    return val - (1 << 64) if val >= (1 << 63) else val
+    """Single-doc convenience wrapper over `simhash64_batch`."""
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_signatures(sf_dir: str):
@@ -375,7 +398,7 @@ def simhash_signatures(sf_dir: str):
             {
                 "doc_id": t.column("doc_id"),
                 "simhash": pa.array(
-                    [simhash64(s) for s in t.column("text").to_pylist()], pa.int64()
+                    simhash64_batch(t.column("text").to_pylist()), pa.int64()
                 ),
             }
         )
@@ -448,8 +471,7 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
             {
                 "doc_id": t.column("doc_id"),
                 "simhash": pa.array(
-                    [simhash64(s) for s in t.column("text").to_pylist()],
-                    pa.int64(),
+                    simhash64_batch(t.column("text").to_pylist()), pa.int64()
                 ),
             }
         )

@@ -441,6 +441,16 @@ def test_simhash_matches_independent_reimplementation(ray_session):
     for s in texts + ["", "one", "a b  c", "ümlaut ünïcode 123", "THE the The"]:
         assert simhash64(s) == simhash_ref(s), repr(s[:60])
 
+    # the batched kernel's dense-matmul and reduceat-fallback paths must
+    # agree with each other and with the scalar reference
+    from dumb_crawler_ray.ops.dedup import simhash64_batch
+
+    probe = texts[:25] + ["", "one", "a b  c"]
+    dense = simhash64_batch(probe)
+    fallback = simhash64_batch(probe, dense_limit=0)
+    assert list(dense) == list(fallback)
+    assert list(dense) == [simhash_ref(s) for s in probe]
+
 
 def test_winnowed_matches_independent_reimplementation(registry, ray_session):
     """Naive per-window polynomial hashing (no rolling update) must produce
