@@ -758,7 +758,59 @@ def build_registry() -> dict[str, tuple]:
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["embedding_kmeans"] = (ann.embedding_kmeans, None)
-    reg["lang_id"] = (text.lang_id, None)
+
+    # lang_id: full heuristic recompute in SQL — per-language stopword hit
+    # counts over unnested tokens, score = hits::DOUBLE / GREATEST(1, n)
+    # (IEEE division, bit-identical to the worker's numpy/python division,
+    # so no rounding pact), winner by (score DESC, language ASC) matching
+    # the worker's strict-> over sorted profiles; CJK docs short-circuit
+    # to zh exactly like the worker's codepoint test.
+    reg["lang_id"] = (
+        text.lang_id,
+        """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents
+        ), agg AS (
+            SELECT doc_id, count(*) AS n,
+                sum(CASE WHEN tok IN ('the','and','of','to','a','in','is',
+                                      'it','that','for')
+                    THEN 1 ELSE 0 END) AS hits_en,
+                sum(CASE WHEN tok IN ('el','la','de','que','y','en','un',
+                                      'los','se','por')
+                    THEN 1 ELSE 0 END) AS hits_es,
+                sum(CASE WHEN tok IN ('der','die','und','das','in','von',
+                                      'zu','mit','den','ist')
+                    THEN 1 ELSE 0 END) AS hits_de,
+                sum(CASE WHEN tok IN ('le','la','de','et','les','des','en',
+                                      'un','du','que')
+                    THEN 1 ELSE 0 END) AS hits_fr
+            FROM tok GROUP BY doc_id
+        ), scores AS (
+            SELECT d.doc_id, d.lang, l.lang_cand,
+                   COALESCE(CASE l.lang_cand
+                            WHEN 'de' THEN a.hits_de WHEN 'en' THEN a.hits_en
+                            WHEN 'es' THEN a.hits_es WHEN 'fr' THEN a.hits_fr
+                            END, 0)::DOUBLE
+                       / GREATEST(1, COALESCE(a.n, 0)) AS score
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            CROSS JOIN (SELECT unnest(['de','en','es','fr']) AS lang_cand) l
+            WHERE NOT regexp_matches(d.text, '[一-鿿]')
+        ), picked AS (
+            SELECT doc_id, lang, lang_cand AS lang_pred, score,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, lang_cand) AS rn
+            FROM scores
+        )
+        SELECT doc_id, lang, lang_pred, score FROM picked WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, lang, 'zh' AS lang_pred, 1.0 AS score
+        FROM documents WHERE regexp_matches(text, '[一-鿿]')
+        ORDER BY doc_id
+        """,
+    )
     reg["approx_distinct_users"] = (text.approx_distinct_users, None)
     reg["approx_daily_active_users"] = (text.approx_daily_active_users, None)
     reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)

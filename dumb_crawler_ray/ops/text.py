@@ -115,7 +115,11 @@ class LangIdWorker:
     """Stateful language-ID stage: stopword profiles compiled once per actor
     (`__init__`), batches scored in `__call__` — the actor-pool pattern for
     model-ish stages. Heuristic: stopword hits per language + a CJK
-    codepoint test for zh. Not SQL-expressible → rows-only oracle."""
+    codepoint test for zh. Scores are RAW IEEE divisions (hits / tokens) —
+    bit-identical to the DuckDB oracle's DOUBLE division, so the op is
+    rows+schema+hash SQL-checkable with no rounding pact. Winner =
+    max score, ties broken by lexicographically smallest language (the
+    strict `>` over sorted profiles)."""
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in STOPWORDS.items()}
@@ -137,7 +141,7 @@ class LangIdWorker:
                 if score > best:
                     best, best_lang = score, lang
             preds.append(best_lang)
-            scores.append(round(best, 4))
+            scores.append(best)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -154,7 +158,7 @@ def lang_id(sf_dir: str, concurrency: int | None = None):
     return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         LangIdWorker, batch_format="pyarrow", concurrency=concurrency,
         **remote_kwargs(),
-    )
+    ).sort("doc_id")
 
 
 def rolling_fingerprints(text: str, window: int = 32, base: int = 257,

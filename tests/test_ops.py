@@ -81,7 +81,7 @@ SQL_CHECKED = [
     "event_value_quantiles", "supplier_nation_stats", "word_frequencies",
     "doc_sample", "heavy_hitters_users", "event_funnel", "high_value_week",
     "events_sliding_window", "simhash_signatures", "simhash_near_dup_pairs",
-    "image_phash_near_dups",
+    "image_phash_near_dups", "lang_id",
 ]
 
 
@@ -688,3 +688,34 @@ def test_grouped_hll_accuracy(registry, ray_session):
         for day in exact.index:
             e, x = int(est.loc[day, "approx_users"]), int(exact.loc[day, "n"])
             assert abs(e - x) <= max(2, 0.05 * x), (sf, day, e, x)
+
+
+def test_lang_id_oracle_covers_cjk_and_empty(registry, ray_session):
+    """The SQL oracle's zh short-circuit and empty-doc tie-break must
+    match the worker on a constructed table (testdata has no CJK docs)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    for tbl in TABLES:  # run_oracle registers every view; others empty
+        src = pq.read_table(f"{SF}/{tbl}.parquet")
+        pq.write_table(src.slice(0, 0), os.path.join(d, f"{tbl}.parquet"))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["zh", "en", "xx", "es"], pa.string()),
+        "text": pa.array([
+            "机器学习 models the 世界",         # CJK → zh, score 1.0
+            "the cat and the dog of it",        # en stopwords
+            "",                                  # no tokens → tie → 'de'
+            "el que la de un en los por se y",  # es stopwords
+        ], pa.string()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    fn, sql = registry["lang_id"]
+    df = to_df(fn(d))
+    assert list(df["lang_pred"]) == ["zh", "en", "de", "es"]
+    assert df["score"].iloc[0] == 1.0
+    compare("lang_id[constructed]", df, sql, sf_dir=d)
