@@ -526,6 +526,37 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.5,
     )
 
 
+def jaccard_clusters(sf_dir: str, threshold_num: int = 1,
+                     threshold_den: int = 20,
+                     force_distributed: bool = False):
+    """Connected components over the EXACT n-gram Jaccard pair set —
+    the fully SQL-checkable cluster pipeline: the pair stage is the
+    oracle-green `ngram_jaccard_pairs` and the component stage has a
+    DuckDB recursive-CTE transitive-closure oracle, so the WHOLE
+    dedup-cluster composition (including `cc.component_reps`' gated
+    union-find / min-label-propagation paths) is verified rows+schema+
+    hash against SQL. Output: one row per clustered doc with its
+    component-min representative, cluster size, and keep flag."""
+    from .cc import component_reps
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold_num, threshold_den)
+    reps_map = component_reps(pairs, force_distributed=force_distributed)
+    members = sorted(reps_map)
+    reps = [reps_map[m] for m in members]
+    sizes: dict = {}
+    for r in reps:
+        sizes[r] = sizes.get(r, 0) + 1
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_rep": pa.array(reps, pa.int64()),
+            "cluster_size": pa.array([sizes[r] for r in reps], pa.int64()),
+            "keep": pa.array([m == r for m, r in zip(members, reps)],
+                             pa.bool_()),
+        }
+    )
+
+
 # ------------------------------------------------------ embedding near-dup
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,

@@ -517,10 +517,9 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
-    reg["ngram_jaccard_pairs"] = (
-        dedup.ngram_jaccard_pairs,
-        """
-        WITH toks AS (
+    # shared by ngram_jaccard_pairs and jaccard_clusters (CTE body)
+    _NGRAM_PAIRS_CTES = """
+        toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
             FROM documents
         ), sh3 AS (
@@ -536,18 +535,50 @@ def build_registry() -> dict[str, tuple]:
             FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh_small)
         ), sizes AS (
             SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        ), pairs AS (
+        ), cand AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
             FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
             GROUP BY 1, 2
+        ), qpairs AS (
+            SELECT p.a, p.b, p.inter,
+                   sa.n + sb.n - p.inter AS union_n
+            FROM cand p
+            JOIN sizes sa ON sa.doc_id = p.a
+            JOIN sizes sb ON sb.doc_id = p.b
+            WHERE 20 * p.inter >= (sa.n + sb.n - p.inter)
         )
-        SELECT p.a, p.b, p.inter,
-               sa.n + sb.n - p.inter AS union_n
-        FROM pairs p
-        JOIN sizes sa ON sa.doc_id = p.a
-        JOIN sizes sb ON sb.doc_id = p.b
-        WHERE 20 * p.inter >= (sa.n + sb.n - p.inter)
-        ORDER BY p.a, p.b
+    """
+
+    reg["ngram_jaccard_pairs"] = (
+        dedup.ngram_jaccard_pairs,
+        f"WITH {_NGRAM_PAIRS_CTES} "
+        "SELECT a, b, inter, union_n FROM qpairs ORDER BY a, b",
+    )
+
+    # connected components over the SAME qualifying pair set — a
+    # recursive-CTE transitive closure with min-reachable representative,
+    # making the cluster stage (cc.component_reps) itself oracle-checked
+    reg["jaccard_clusters"] = (
+        dedup.jaccard_clusters,
+        f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT a AS u, b AS v FROM qpairs
+            UNION ALL SELECT b, a FROM qpairs
+        ), reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), reps AS (
+            SELECT r.u AS node, LEAST(r.u, MIN(r.v)) AS rep
+            FROM reach r GROUP BY r.u
+        ), sized AS (
+            SELECT rep, count(*) AS cluster_size FROM reps GROUP BY rep
+        )
+        SELECT p.node AS doc_id, p.rep AS cluster_rep, s.cluster_size,
+               p.node = p.rep AS keep
+        FROM reps p JOIN sized s ON p.rep = s.rep
+        ORDER BY doc_id
         """,
     )
 

@@ -158,3 +158,42 @@ def test_warc_round_trip_property(pages):
         write_warc(pages, p)
         got = list(iter_warc_pages(p))
     assert got == [(u, h) for u, h in pages]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=60))
+def test_unionfind_matches_bfs_components(edges):
+    """components_unionfind (the small-side CC path) must assign every
+    node its component-min representative — checked against a naive BFS
+    on random graphs with self-loops and duplicate edges."""
+    import pyarrow as pa
+
+    from dumb_crawler_ray.ops.cc import components_unionfind
+
+    pairs = pa.table({
+        "a": pa.array([a for a, _ in edges], pa.int64()),
+        "b": pa.array([b for _, b in edges], pa.int64()),
+    })
+    got = components_unionfind([pairs])
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    for start in adj:
+        if start in want:
+            continue
+        comp = {start}
+        frontier = [start]
+        while frontier:
+            x = frontier.pop()
+            for y in adj[x]:
+                if y not in comp:
+                    comp.add(y)
+                    frontier.append(y)
+        rep = min(comp)
+        for m in comp:
+            want[m] = rep
+    assert got == want
