@@ -169,20 +169,22 @@ def _min_label_propagation(pairs, n_parts: int):
         f"min-label propagation did not converge in {_MAX_ITERS} rounds")
 
 
-def component_reps(pairs, *, force_distributed: bool = False,
-                   n_parts: int | None = None) -> dict:
-    """{node: representative (component-min id)} for every node in `pairs`
-    (a Ray Dataset with columns a, b). Gate: driver union-find below
-    CC_DRIVER_PAIR_LIMIT pairs, min-label propagation above it. The result
-    map is bounded by CLUSTERED nodes (pair members), not the corpus."""
+def _default_parts() -> int:
     import ray
 
-    n_pairs = pairs.count()
-    if not force_distributed and n_pairs <= CC_DRIVER_PAIR_LIMIT:
-        return components_unionfind(
-            pairs.iter_batches(batch_format="pyarrow", batch_size=None))
+    return max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
+
+
+def component_labels(pairs, n_parts: int | None = None):
+    """Distributed path as a DATASET: min-label propagation over `pairs`
+    (Ray Dataset, columns a/b) → materialized Dataset (node, label,
+    changed) that never touches the driver. Use when even the clustered
+    node set outgrows driver memory; `component_reps` is the dict
+    convenience over this."""
+    import ray
+
     if n_parts is None:
-        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
+        n_parts = _default_parts()
     ctx = ray.data.DataContext.get_current()
     prev = ctx.shuffle_strategy
     ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
@@ -192,10 +194,26 @@ def component_reps(pairs, *, force_distributed: bool = False,
         pairs_scoped = ray.data.from_arrow_refs(
             list(pairs.materialize().to_arrow_refs()))
         labels = _min_label_propagation(pairs_scoped, n_parts)
-        out: dict = {}
-        for b in labels.iter_batches(batch_format="pyarrow", batch_size=None):
-            out.update(zip(b.column("node").to_pylist(),
-                           b.column("label").to_pylist()))
-        return out
     finally:
         ctx.shuffle_strategy = prev
+    # rebuild outside the scope so downstream consumers plan under the
+    # restored default shuffle strategy
+    return ray.data.from_arrow_refs(list(labels.to_arrow_refs()))
+
+
+def component_reps(pairs, *, force_distributed: bool = False,
+                   n_parts: int | None = None) -> dict:
+    """{node: representative (component-min id)} for every node in `pairs`
+    (a Ray Dataset with columns a, b). Gate: driver union-find below
+    CC_DRIVER_PAIR_LIMIT pairs, min-label propagation above it. The result
+    map is bounded by CLUSTERED nodes (pair members), not the corpus."""
+    n_pairs = pairs.count()
+    if not force_distributed and n_pairs <= CC_DRIVER_PAIR_LIMIT:
+        return components_unionfind(
+            pairs.iter_batches(batch_format="pyarrow", batch_size=None))
+    labels = component_labels(pairs, n_parts)
+    out: dict = {}
+    for b in labels.iter_batches(batch_format="pyarrow", batch_size=None):
+        out.update(zip(b.column("node").to_pylist(),
+                       b.column("label").to_pylist()))
+    return out

@@ -313,38 +313,107 @@ def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8):
 def image_keeplist(images_parquet: str, max_hamming: int = 8,
                    force_distributed: bool = False):
     """Composite crawl→dedup finisher: phash near-dup pairs (distributed,
-    see `phash_near_dup_pairs`) → connected components via
-    `cc.component_reps` (driver union-find while the verified pair set
-    fits, distributed min-label propagation above the gate) → one row per
+    see `phash_near_dup_pairs`) → connected components → one row per
     image with its cluster representative and the `keep` flag
-    (representative only). The image-side analogue of
-    `dedup.near_dup_clusters`; the training-data keep-list a crawl feeds
-    into dataset curation. Deterministic; rows-only oracle."""
+    (representative only). Size-gated end to end: below
+    CC_DRIVER_PAIR_LIMIT the component pass is driver union-find with a
+    broadcast rep map; above it (or `force_distributed`) labels stay a
+    DATASET through min-label propagation and the annotate is a
+    keyed-repartition co-location — no driver dict, no broadcast, so the
+    path holds even when the clustered set outgrows one machine. Both
+    paths produce identical output (equivalence-tested). The image-side
+    analogue of `dedup.near_dup_clusters`; deterministic; rows-only
+    oracle."""
     import ray
 
-    from .cc import component_reps
+    from .cc import CC_DRIVER_PAIR_LIMIT, component_labels, components_unionfind
 
     pairs = phash_near_dup_pairs(images_parquet, max_hamming=max_hamming)
-    reps = component_reps(pairs, force_distributed=force_distributed)
-    reps_ref = ray.put(reps)
+    n_pairs = pairs.count()
 
-    def annotate(t: pa.Table) -> pa.Table:
-        r = ray.get(reps_ref)
-        ids = t.column("image_id").to_pylist()
-        rep = [r.get(i, i) for i in ids]
+    if not force_distributed and n_pairs <= CC_DRIVER_PAIR_LIMIT:
+        # small side: driver union-find + broadcast rep map (one ray.put,
+        # zero-copy read per task; map bounded by CLUSTERED images)
+        reps = components_unionfind(
+            pairs.iter_batches(batch_format="pyarrow", batch_size=None))
+        reps_ref = ray.put(reps)
+
+        def annotate(t: pa.Table) -> pa.Table:
+            r = ray.get(reps_ref)
+            ids = t.column("image_id").to_pylist()
+            rep = [r.get(i, i) for i in ids]
+            return pa.table(
+                {
+                    "image_id": t.column("image_id"),
+                    "cluster_rep": pa.array(rep, pa.string()),
+                    "keep": pa.array([i == x for i, x in zip(ids, rep)],
+                                     pa.bool_()),
+                }
+            )
+
+        return (
+            ray.data.read_parquet(images_parquet, columns=["image_id"])
+            .map_batches(annotate, batch_format="pyarrow", **remote_kwargs())
+            .sort("image_id")
+        )
+
+    # scale path: labels stay a DATASET end-to-end — min-label propagation
+    # → keyed-repartition co-location of image ids with their label rows
+    # (no driver dict, no broadcast; unlabeled images are their own rep)
+    labels = component_labels(pairs)
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "label": t.column("label"),
+                         "is_img": pa.array([0] * len(t), pa.int8())})
+
+    def img_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id")
+        return pa.table({"node": ids, "label": ids,
+                         "is_img": pa.array([1] * len(t), pa.int8())})
+
+    def attach(b: pa.Table) -> pa.Table:
+        empty = pa.table({"image_id": pa.array([], pa.string()),
+                          "cluster_rep": pa.array([], pa.string()),
+                          "keep": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        nodes = np.asarray(b.column("node").to_pylist(), dtype=object)
+        labs = np.asarray(b.column("label").to_pylist(), dtype=object)
+        is_img = b.column("is_img").to_numpy().astype(bool)
+        lookup = dict(zip(nodes[~is_img], labs[~is_img]))
+        ids = nodes[is_img]
+        rep = [lookup.get(i, i) for i in ids]
         return pa.table(
             {
-                "image_id": t.column("image_id"),
+                "image_id": pa.array(ids, pa.string()),
                 "cluster_rep": pa.array(rep, pa.string()),
-                "keep": pa.array([i == x for i, x in zip(ids, rep)], pa.bool_()),
+                "keep": pa.array([i == x for i, x in zip(ids, rep)],
+                                 pa.bool_()),
             }
         )
 
-    return (
-        ray.data.read_parquet(images_parquet, columns=["image_id"])
-        .map_batches(annotate, batch_format="pyarrow", **remote_kwargs())
-        .sort("image_id")
-    )
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4) / 2)))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        lab = ray.data.from_arrow_refs(
+            list(labels.materialize().to_arrow_refs())
+        ).map_batches(label_rows, batch_format="pyarrow", **remote_kwargs())
+        imgs = ray.data.read_parquet(
+            images_parquet, columns=["image_id"]
+        ).map_batches(img_rows, batch_format="pyarrow", **remote_kwargs())
+        annotated = (
+            imgs.union(lab)
+            .repartition(n_parts, keys=["node"])
+            .map_batches(attach, batch_format="pyarrow", batch_size=None,
+                         **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(
+        list(annotated.to_arrow_refs())).sort("image_id")
 
 
 class ImageQualityWorker:
