@@ -211,9 +211,9 @@ def run_queries() -> dict:
 
 
 def run_queries_extra() -> dict:
-    """Round-2 operators, timed under a separate key so the headline
+    """Round-2/3 operators, timed under a separate key so the headline
     `value` stays comparable across rounds."""
-    from dumb_crawler_ray.ops import ann, relational, text
+    from dumb_crawler_ray.ops import ann, dedup, relational, text
 
     def consume(result):
         if hasattr(result, "iter_batches"):
@@ -230,6 +230,10 @@ def run_queries_extra() -> dict:
         "event_funnel": lambda: relational.event_funnel(SF_DIR),
         "high_value_week": lambda: relational.high_value_week(SF_DIR),
         "supplier_nation_stats": lambda: relational.supplier_nation_stats(SF_DIR),
+        # round 3: SQL-oracle'd simhash pairs / CC clusters / language-ID
+        "simhash_near_dup_pairs": lambda: dedup.simhash_near_dup_pairs(SF_DIR),
+        "jaccard_clusters": lambda: dedup.jaccard_clusters(SF_DIR),
+        "lang_id": lambda: text.lang_id(SF_DIR),
     }
     timings = {}
     for name, fn in suite.items():
