@@ -233,7 +233,8 @@ _SEL_CACHE: dict[str, object] = {}
 _WARNED: set[str] = set()
 
 
-def _compound_matches(preds, name: str, attrs: dict, node=None) -> bool:
+def _compound_matches(preds, name: str, attrs: dict, node=None,
+                      ctx: dict | None = None) -> bool:
     for kind, arg, extra in preds:
         if kind == "tag":
             if name != arg:
@@ -249,7 +250,7 @@ def _compound_matches(preds, name: str, attrs: dict, node=None) -> bool:
             if node is None or arg not in _node_text(node):
                 return False
         elif kind == "has":
-            if node is None or not _subtree_exists(node, arg):
+            if node is None or not _subtree_exists(node, arg, ctx):
                 return False
         else:  # attr
             val = attrs.get(arg)
@@ -271,14 +272,14 @@ def _compound_matches(preds, name: str, attrs: dict, node=None) -> bool:
     return True
 
 
-def _chain_matches(chain, lineage) -> bool:
+def _chain_matches(chain, lineage, ctx: dict | None = None) -> bool:
     """lineage: [(name, attrs), ...] root→self. chain is right-to-left:
     chain[-1] must match lineage[-1]; walk leftward with child/descendant
     semantics (descendant backtracks over any ancestor depth)."""
 
     def rec(ci: int, li: int) -> bool:
         comb, preds = chain[ci]
-        if not _compound_matches(preds, *lineage[li]):
+        if not _compound_matches(preds, *lineage[li], ctx=ctx):
             return False
         if ci == 0:
             return True
@@ -291,30 +292,35 @@ def _chain_matches(chain, lineage) -> bool:
 
 
 class _Node:
-    """Lightweight DOM node for the pseudo-class (tree) match path."""
+    """Lightweight DOM node for the pseudo-class (tree) match path.
+    `content` interleaves text chunks and child nodes in DOCUMENT order
+    (so `:contains` sees text across child boundaries in reading order);
+    `children` is the element-only view for structural walks."""
 
-    __slots__ = ("name", "attrs", "children", "texts", "_text")
+    __slots__ = ("name", "attrs", "children", "content", "_text")
 
     def __init__(self, name: str, attrs: dict):
         self.name = name
         self.attrs = attrs
         self.children: list[_Node] = []
-        self.texts: list[str] = []
+        self.content: list = []  # str | _Node, document order
         self._text: str | None = None
 
 
 def _node_text(node: _Node) -> str:
     """Normalized lowercase own+descendant text (Jsoup element.text()
-    shape), memoized per node."""
+    shape) in document order, memoized per node. Iterative walk —
+    pathological nesting depth must not raise (the never-raises
+    fetch-stage contract)."""
     if node._text is None:
         parts: list[str] = []
-
-        def walk(n: _Node):
-            parts.extend(n.texts)
-            for c in n.children:
-                walk(c)
-
-        walk(node)
+        stack = list(reversed(node.content))
+        while stack:
+            item = stack.pop()
+            if isinstance(item, str):
+                parts.append(item)
+            else:
+                stack.extend(reversed(item.content))
         node._text = re.sub(r"\s+", " ", " ".join(parts)).strip().lower()
     return node._text
 
@@ -325,7 +331,7 @@ def _build_tree(html: str) -> list[_Node]:
     pos = 0
     for m in _ANY_TAG.finditer(html):
         if stack and m.start() > pos:
-            stack[-1].texts.append(html[pos:m.start()])
+            stack[-1].content.append(html[pos:m.start()])
         pos = m.end()
         closing, name, body = m.group(1), m.group(2).lower(), m.group(3)
         if closing:
@@ -335,52 +341,145 @@ def _build_tree(html: str) -> list[_Node]:
                     break
             continue
         node = _Node(name, _attrs(body))
-        (stack[-1].children if stack else roots).append(node)
+        if stack:
+            stack[-1].children.append(node)
+            stack[-1].content.append(node)
+        else:
+            roots.append(node)
         if name not in _VOID and not _is_self_closing(body):
             stack.append(node)
     if stack and pos < len(html):
-        stack[-1].texts.append(html[pos:])
+        stack[-1].content.append(html[pos:])
     return roots
 
 
-def _subtree_exists(node: _Node, alts) -> bool:
+def _walk_exists(siblings: list, alts, ctx: dict | None = None) -> bool:
+    """Iterative document-order DFS: does any node under `siblings` match
+    one of the selector chains? (Iterative so pathological nesting can't
+    blow the recursion limit — the fetch stage must never raise.)"""
+    lineage: list = []
+    stack = [(n, 0) for n in reversed(siblings)]
+    while stack:
+        n, depth = stack.pop()
+        del lineage[depth:]
+        lineage.append((n.name, n.attrs, n))
+        for chain in alts:
+            if len(chain) <= len(lineage) and _chain_matches(chain, lineage,
+                                                             ctx):
+                return True
+        stack.extend((c, depth + 1) for c in reversed(n.children))
+    return False
+
+
+def _has_matchmap(roots: list, alts) -> dict:
+    """{id(node): True} for every node X whose STRICT subtree contains a
+    full embedding of some chain in `alts` (Jsoup :has semantics) —
+    computed in ONE pass instead of re-walking each candidate's subtree
+    (which is O(n²) on pathological nesting).
+
+    DP: for each node d and chain position ci, F(d, ci) = the DEEPEST
+    possible depth of the chain's topmost element over embeddings of
+    chain[0..ci] ending at d ('child' looks at the parent's F(ci-1),
+    'desc' at the running ancestor max). An embedding lies inside X's
+    strict subtree iff its topmost element is strictly deeper than X, so
+    has(X) ⟺ max over X's children's subtrees of F(d, last) > depth(X).
+    Inner selectors are purely structural (nested parenthesized
+    pseudo-classes are rejected at parse time), so no recursion here."""
+    NEG = -1
+    m_per = [len(chain) for chain in alts]
+    order: list = []          # preorder (node, depth)
+    dfull: dict = {}          # id(node) -> max topmost depth of a full match
+    # stacks aligned to the current path: per chain, per ci
+    anc_F: list = []          # anc_F[t][j][ci]
+    anc_run: list = []        # prefix max over path of F(·, ci)
+    stack = [(n, 0) for n in reversed(roots)]
+    while stack:
+        n, t = stack.pop()
+        del anc_F[t:], anc_run[t:]
+        order.append((n, t))
+        Fs, runs = [], []
+        best_full = NEG
+        for j, chain in enumerate(alts):
+            m = m_per[j]
+            Fv = [NEG] * m
+            for ci in range(m):
+                comb, preds = chain[ci]
+                if not _compound_matches(preds, n.name, n.attrs):
+                    continue
+                if ci == 0:
+                    Fv[0] = t
+                elif chain[ci][0] == "child":
+                    Fv[ci] = anc_F[t - 1][j][ci - 1] if t >= 1 else NEG
+                else:  # descendant
+                    Fv[ci] = anc_run[t - 1][j][ci - 1] if t >= 1 else NEG
+            Fs.append(Fv)
+            prev = anc_run[t - 1][j] if t >= 1 else [NEG] * m
+            runs.append([max(a, b) for a, b in zip(prev, Fv)])
+            if Fv[m - 1] > best_full:
+                best_full = Fv[m - 1]
+        anc_F.append(Fs)
+        anc_run.append(runs)
+        dfull[id(n)] = best_full
+        stack.extend((c, t + 1) for c in reversed(n.children))
+    # bottom-up subtree max (reversed preorder: children before parents)
+    smax: dict = {}
+    for n, _t in reversed(order):
+        s = dfull[id(n)]
+        for c in n.children:
+            s = max(s, smax[id(c)])
+        smax[id(n)] = s
+    out: dict = {}
+    for n, t in order:
+        child_best = max((smax[id(c)] for c in n.children), default=NEG)
+        if child_best > t:
+            out[id(n)] = True
+    return out
+
+
+def _subtree_exists(node: _Node, alts, ctx: dict | None = None) -> bool:
     """Jsoup :has(sel): does any strict descendant of `node` match? The
     inner selector is scoped to the subtree — lineages are relative to
-    (and exclude) `node` itself."""
-    def walk(n: _Node, lineage: list) -> bool:
-        for c in n.children:
-            entry = (c.name, c.attrs, c)
-            lineage.append(entry)
-            for chain in alts:
-                if len(chain) <= len(lineage) and _chain_matches(chain, lineage):
-                    lineage.pop()
-                    return True
-            if walk(c, lineage):
-                lineage.pop()
-                return True
-            lineage.pop()
-        return False
+    (and exclude) `node` itself. Uses the precomputed per-document
+    matchmap when available (linear), subtree walk otherwise."""
+    if ctx is not None:
+        cache = ctx.get(id(alts))
+        if cache is not None:
+            return id(node) in cache
+    return _walk_exists(node.children, alts)
 
-    return walk(node, [])
+
+def _precompute_texts(roots: list) -> None:
+    """Fill every node's `_text` in ONE bottom-up pass (children first via
+    reversed preorder), reusing child caches — without this, matching
+    `:contains` against each node of a deep chain recomputes overlapping
+    subtree text, O(n²) on pathological nesting. Substituting a child's
+    normalized text for its raw chunks is safe: the final collapse/strip/
+    lower is idempotent over it."""
+    order: list = []
+    stack = list(roots)
+    while stack:
+        n = stack.pop()
+        order.append(n)
+        stack.extend(n.children)
+    for n in reversed(order):  # every child precedes its parent here
+        parts = [it if isinstance(it, str) else it._text for it in n.content]
+        n._text = re.sub(r"\s+", " ", " ".join(parts)).strip().lower()
 
 
 def _tree_exists(html: str, parsed) -> bool:
     roots = _build_tree(html)
-
-    def walk(siblings: list[_Node], lineage: list) -> bool:
-        for n in siblings:
-            lineage.append((n.name, n.attrs, n))
-            for chain in parsed:
-                if len(chain) <= len(lineage) and _chain_matches(chain, lineage):
-                    lineage.pop()
-                    return True
-            if walk(n.children, lineage):
-                lineage.pop()
-                return True
-            lineage.pop()
-        return False
-
-    return walk(roots, [])
+    needs_text = False
+    ctx: dict = {}
+    for chain in parsed:
+        for _comb, preds in chain:
+            for kind, arg, _extra in preds:
+                if kind == "contains":
+                    needs_text = True
+                elif kind == "has" and id(arg) not in ctx:
+                    ctx[id(arg)] = _has_matchmap(roots, arg)
+    if needs_text:
+        _precompute_texts(roots)
+    return _walk_exists(roots, parsed, ctx)
 
 
 def _needs_tree(parsed) -> bool:

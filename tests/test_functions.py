@@ -360,3 +360,31 @@ def test_attr_tilde_is_jsoup_regex_match():
     assert not css_select_exists(html, r"[href~=\d{9}]")
     # invalid regex degrades to unsupported (logged, False), never raises
     assert not css_select_exists(html, "[href~=(unclosed]")
+
+
+def test_css_tree_path_linear_on_pathological_nesting():
+    """20k-deep nesting and 20k-wide sibling lists must neither raise
+    (iterative walks — never blow the recursion limit mid-crawl) nor go
+    quadratic (:contains text and :has subtree matches are precomputed
+    in one linear pass per document)."""
+    import time
+
+    t0 = time.time()
+    deep = "<div>" * 20000 + "needle text" + "</div>" * 20000
+    assert css_select_exists(deep, "div:contains(needle)") is True
+    assert css_select_exists(deep, "div:has(span)") is False
+    assert css_select_exists(deep, "div:has(div > div)") is True
+    wide = ("<body>" + "".join(f"<p><b>x{i}</b></p>" for i in range(20000))
+            + "</body>")
+    assert css_select_exists(wide, "body:has(p > b)")
+    assert not css_select_exists(wide, "body:has(span)")
+    assert time.time() - t0 < 30  # quadratic versions took minutes
+
+
+def test_css_contains_sees_document_order_text():
+    """:contains matches Jsoup element.text() — text interleaved across
+    child boundaries in READING order, not own-text-then-children."""
+    html = "<span>alpha <b>beta</b> gamma</span>"
+    assert css_select_exists(html, "span:contains(alpha beta gamma)")
+    assert css_select_exists(html, "span:contains(beta gamma)")
+    assert not css_select_exists(html, "span:contains(alpha gamma)")
