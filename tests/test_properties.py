@@ -127,6 +127,25 @@ def test_css_select_never_raises(selector, html):
     assert css_select_exists(html, selector) in (True, False)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.from_regex(
+        r"(div|p|\*)?(\.[a-z]{1,4}|#[a-z]{1,4})?"
+        r":(contains|has|nope)\([a-z >.()]{0,12}\)"
+        r"( > (span|b)| (span|b))?",
+        fullmatch=True,
+    ),
+    st.text(alphabet="<>/abdiv spn.\"'=x", max_size=300),
+)
+def test_css_pseudo_selectors_never_raise(selector, html):
+    """Fuzz the TREE match path specifically: pseudo-class selectors
+    (valid, nested-paren-invalid, unknown) against tag-soup html must
+    never raise."""
+    from dumb_crawler_ray.functions.links import css_select_exists
+
+    assert css_select_exists(html, selector) in (True, False)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.text(max_size=200))
 def test_extract_links_never_raises(html):
