@@ -796,14 +796,12 @@ def build_registry() -> dict[str, tuple]:
     # so no rounding pact), winner by (score DESC, language ASC) matching
     # the worker's strict-> over sorted profiles; CJK docs short-circuit
     # to zh exactly like the worker's codepoint test.
-    reg["lang_id"] = (
-        text.lang_id,
-        """
-        WITH tok AS (
+    _LANG_CTES = """
+        ltok AS (
             SELECT doc_id,
                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
             FROM documents
-        ), agg AS (
+        ), lagg AS (
             SELECT doc_id, count(*) AS n,
                 sum(CASE WHEN tok IN ('the','and','of','to','a','in','is',
                                       'it','that','for')
@@ -817,8 +815,8 @@ def build_registry() -> dict[str, tuple]:
                 sum(CASE WHEN tok IN ('le','la','de','et','les','des','en',
                                       'un','du','que')
                     THEN 1 ELSE 0 END) AS hits_fr
-            FROM tok GROUP BY doc_id
-        ), scores AS (
+            FROM ltok GROUP BY doc_id
+        ), lscores AS (
             SELECT d.doc_id, d.lang, l.lang_cand,
                    COALESCE(CASE l.lang_cand
                             WHEN 'de' THEN a.hits_de WHEN 'en' THEN a.hits_en
@@ -826,20 +824,46 @@ def build_registry() -> dict[str, tuple]:
                             END, 0)::DOUBLE
                        / GREATEST(1, COALESCE(a.n, 0)) AS score
             FROM documents d
-            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN lagg a USING (doc_id)
             CROSS JOIN (SELECT unnest(['de','en','es','fr']) AS lang_cand) l
             WHERE NOT regexp_matches(d.text, '[一-鿿]')
-        ), picked AS (
+        ), lpicked AS (
             SELECT doc_id, lang, lang_cand AS lang_pred, score,
                    row_number() OVER (PARTITION BY doc_id
                        ORDER BY score DESC, lang_cand) AS rn
-            FROM scores
+            FROM lscores
+        ), lang_result AS (
+            SELECT doc_id, lang, lang_pred, score FROM lpicked WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, lang, 'zh' AS lang_pred, 1.0 AS score
+            FROM documents WHERE regexp_matches(text, '[一-鿿]')
         )
-        SELECT doc_id, lang, lang_pred, score FROM picked WHERE rn = 1
-        UNION ALL
-        SELECT doc_id, lang, 'zh' AS lang_pred, 1.0 AS score
-        FROM documents WHERE regexp_matches(text, '[一-鿿]')
-        ORDER BY doc_id
+    """
+
+    reg["lang_id"] = (
+        text.lang_id,
+        f"WITH {_LANG_CTES} SELECT doc_id, lang, lang_pred, score "
+        "FROM lang_result ORDER BY doc_id",
+    )
+
+    # per-language corpus report: doc/token/short counts + EXACT distinct
+    # content fingerprints — the lang CTE shared verbatim with lang_id
+    reg["corpus_stats"] = (
+        text.corpus_stats,
+        f"""
+        WITH {_LANG_CTES},
+        feat AS (
+            SELECT d.doc_id, p.lang_pred,
+                   len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS n_tokens,
+                   md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   CASE WHEN length(d.text) < 100 THEN 1 ELSE 0 END AS is_short
+            FROM documents d JOIN lang_result p USING (doc_id)
+        )
+        SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+               sum(is_short) AS n_short,
+               count(DISTINCT fingerprint) AS distinct_fingerprints
+        FROM feat GROUP BY lang_pred ORDER BY lang_pred
         """,
     )
     reg["approx_distinct_users"] = (text.approx_distinct_users, None)

@@ -161,6 +161,66 @@ def lang_id(sf_dir: str, concurrency: int | None = None):
     ).sort("doc_id")
 
 
+def corpus_stats(sf_dir: str, short_chars: int = 100,
+                 concurrency: int | None = None):
+    """Per-language corpus report — the 'dataset card' aggregate every
+    training-data pipeline publishes: document count, token volume,
+    short-doc count, and EXACT distinct content fingerprints, grouped by
+    predicted language. One per-doc actor-pool pass (language profiles in
+    `__init__`) feeds a two-stage aggregate: groupby (lang, fingerprint)
+    collapses duplicates first (the X20 exact-distinct shape — the second
+    shuffle then carries one row per distinct content), so no stage ever
+    holds per-group sets. Fully SQL-checkable (lang CTE + md5 + count
+    distinct)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if concurrency is None:
+        concurrency = actor_pool_size()
+
+    class Worker(LangIdWorker):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lang = super().__call__(t)
+            text = t.column("text")
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+            n_tokens = pc.cast(
+                pc.count_substring_regex(text, pattern=TOKEN_REGEX), pa.int64()
+            )
+            norm = normalize_expr(text).to_pylist()
+            fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+            return pa.table(
+                {
+                    "lang_pred": lang.column("lang_pred"),
+                    "fingerprint": pa.array(fps, pa.string()),
+                    "n_tokens": n_tokens,
+                    "is_short": pc.cast(
+                        pc.less(n_chars, pa.scalar(short_chars, pa.int64())),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    per_doc = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        Worker, batch_format="pyarrow", concurrency=concurrency,
+        **remote_kwargs(),
+    )
+    per_fp = per_doc.groupby(["lang_pred", "fingerprint"]).aggregate(
+        Count(alias_name="n_dup"),
+        Sum("n_tokens", alias_name="tok_sum"),
+        Sum("is_short", alias_name="short_sum"),
+    )
+    return (
+        per_fp.groupby("lang_pred")
+        .aggregate(
+            Sum("n_dup", alias_name="n_docs"),
+            Sum("tok_sum", alias_name="total_tokens"),
+            Sum("short_sum", alias_name="n_short"),
+            Count(alias_name="distinct_fingerprints"),
+        )
+        .sort("lang_pred")
+    )
+
+
 def rolling_fingerprints(text: str, window: int = 32, base: int = 257,
                          mod: int = (1 << 61) - 1) -> list[int]:
     """Rabin-Karp rolling hashes over character windows — the winnowing

@@ -82,6 +82,7 @@ SQL_CHECKED = [
     "doc_sample", "heavy_hitters_users", "event_funnel", "high_value_week",
     "events_sliding_window", "simhash_signatures", "simhash_near_dup_pairs",
     "image_phash_near_dups", "lang_id", "jaccard_clusters",
+    "corpus_stats",
 ]
 
 
