@@ -11,13 +11,13 @@ the large-scale training-data cleaners.
 
 Scale shape: every stage is a `map_batches` or a single `groupby` on a
 precomputed key; pairwise work only ever happens INSIDE a bucket/group
-(never all-pairs). SimHash token hashes are md5-derived so the DuckDB
-oracle can recompute signatures exactly; shingle signatures use pandas'
-siphash64
-(`pd.util.hash_array`, fixed default key — process-independent, never
-Python's salted `hash`) so results are identical across processes and
-cluster sizes; persisted signature compatibility depends on pandas
-keeping `hash_array` stable across versions.
+(never all-pairs). SimHash token hashes AND MinHash shingle base hashes
+are md5-derived so the DuckDB oracle can recompute both signature kinds
+exactly (`('0x'||substr(md5(s),1,16))::UBIGINT`); the n-gram inverted
+index — where the hash is only a shingle IDENTITY, never part of the
+output — keeps pandas' faster siphash64 (`pd.util.hash_array`, fixed
+default key — process-independent, never Python's salted `hash`) so
+results are identical across processes and cluster sizes.
 """
 
 from __future__ import annotations
@@ -102,12 +102,29 @@ def _shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+def _md5_64_batch(strs) -> np.ndarray:
+    """Stable 64-bit string hash = first 8 bytes of md5, big-endian —
+    chosen (over the faster siphash in `_stable64_batch`) because DuckDB
+    recomputes it exactly: `('0x'||substr(md5(s),1,16))::UBIGINT`. Used
+    where the hash VALUE flows into oracle-checked output (minhash
+    signatures); identity-only hashing keeps siphash."""
+    ss = list(strs)
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+         for s in ss),
+        dtype=np.uint64, count=len(ss),
+    )
+
+
 class _MinHasher:
     """64 universal-hash permutations h_i(x) = (a_i·x + b_i) mod p.
 
     Fully vectorized in uint64: a,b,x < 2^32 so a·x + b < 2^64 never
     wraps and the mod is exact — one (n_perm, n_shingles) broadcast +
-    min per doc instead of a Python loop over permutations."""
+    min per doc instead of a Python loop over permutations. Base hashes
+    are md5-derived (`_md5_64_batch`) and a/b come from a seeded
+    generator, so the DuckDB oracle replays the whole signature with the
+    same 64 (a, b) constants interpolated into the SQL."""
 
     def __init__(self, seed: int = 1234):
         rng = np.random.default_rng(seed)
@@ -117,7 +134,7 @@ class _MinHasher:
     def signature(self, shingle_set: set[str]) -> np.ndarray:
         if not shingle_set:
             return np.full(N_PERM, _MERSENNE, dtype=np.int64)
-        xs = _stable64_batch(shingle_set) & np.uint64(0xFFFFFFFF)
+        xs = _md5_64_batch(shingle_set) & np.uint64(0xFFFFFFFF)
         hashed = (self.a[:, None] * xs[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return hashed.min(axis=1).astype(np.int64)
 
@@ -245,12 +262,17 @@ def _gather_texts(sf_dir: str, ids) -> dict[int, str]:
     return out
 
 
-def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
+def minhash_near_dup_pairs(sf_dir: str, threshold_num: int = 1,
+                           threshold_den: int = 2,
                            concurrency: int | None = None):
     """LSH candidate generation (numeric band keys, keyed-repartition
     pair machinery) + exact shingle-Jaccard verification. Returns
-    (a, b, jaccard) pairs with a < b, sorted — deterministic. Rows-only
-    oracle (not SQL-expressible)."""
+    (a, b, inter, union_n) pairs with a < b and
+    den·inter ≥ num·union_n, sorted — deterministic. The threshold is a
+    FRACTION and the verify is integer arithmetic, so no float rounding
+    boundary can disagree with the DuckDB oracle, which replays the md5
+    base hashes, the 64 (a,b) permutation constants, the per-band
+    all-rows-agree candidate predicate, and the exact verify in SQL."""
     import ray
 
     def explode(t: pa.Table) -> pa.Table:
@@ -296,35 +318,37 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5,
 
     def verify(t: pa.Table) -> pa.Table:
         tm = ray.get(text_ref)
-        keep_a, keep_b, jac = [], [], []
+        keep_a, keep_b, inters, unions = [], [], [], []
         cache: dict[int, set] = {}
         pairs_np = t.column("pair").to_numpy()
         for a, b in zip((pairs_np >> 32).tolist(),
                         (pairs_np & 0x7FFFFFFF).tolist()):
             sa = cache.setdefault(a, _shingles(tm[a]))
             sb = cache.setdefault(b, _shingles(tm[b]))
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 0.0
-            if j >= threshold:
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if threshold_den * inter >= threshold_num * union and union:
                 keep_a.append(a)
                 keep_b.append(b)
-                jac.append(round(j, 4))
+                inters.append(inter)
+                unions.append(union)
         return pa.table(
             {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64()),
-             "jaccard": pa.array(jac, pa.float64())}
+             "inter": pa.array(inters, pa.int64()),
+             "union_n": pa.array(unions, pa.int64())}
         )
 
     verified = cand.map_batches(verify, batch_format="pyarrow", **remote_kwargs())
     batches = list(verified.iter_batches(batch_format="pyarrow",
                                          batch_size=None))
-    out = pa.concat_tables(batches) if batches else pa.table(
+    empty = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())}
+         "inter": pa.array([], pa.int64()), "union_n": pa.array([], pa.int64())}
     )
+    out = pa.concat_tables(batches) if batches else empty
     if len(out) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return out.select(["a", "b", "jaccard"]).sort_by(
+        return empty
+    return out.select(["a", "b", "inter", "union_n"]).sort_by(
         [("a", "ascending"), ("b", "ascending")]
     )
 
@@ -490,7 +514,8 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 # ------------------------------------------------- near-dup clustering
 
-def near_dup_clusters(sf_dir: str, threshold: float = 0.5,
+def near_dup_clusters(sf_dir: str, threshold_num: int = 1,
+                      threshold_den: int = 2,
                       concurrency: int | None = None,
                       force_distributed: bool = False):
     """Connected components over the verified MinHash near-dup pairs →
@@ -502,12 +527,14 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.5,
     VERIFIED pair set fits (provably tiny relative to the corpus), gated
     to distributed min-label propagation above CC_DRIVER_PAIR_LIMIT —
     both paths produce identical assignments (equivalence-tested).
-    Deterministic; rows-only oracle."""
+    Deterministic; SQL oracle = recursive-CTE transitive closure over the
+    minhash pair CTE chain (same shape as `jaccard_clusters`)."""
     import ray
 
     from .cc import component_reps
 
-    pairs = minhash_near_dup_pairs(sf_dir, threshold=threshold,
+    pairs = minhash_near_dup_pairs(sf_dir, threshold_num=threshold_num,
+                                   threshold_den=threshold_den,
                                    concurrency=concurrency)
     reps_map = component_reps(ray.data.from_arrow(pairs),
                               force_distributed=force_distributed)

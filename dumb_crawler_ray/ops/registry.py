@@ -517,8 +517,11 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
-    # shared by ngram_jaccard_pairs and jaccard_clusters (CTE body)
-    _NGRAM_PAIRS_CTES = """
+    # distinct 3-word shingles per doc + per-doc set sizes — the shared
+    # prefix of every shingle-based dedup oracle (exact replay of
+    # dedup._shingles: lowercase [a-z0-9]+ tokens, space-joined trigrams,
+    # whole-token-string fallback below 3 tokens)
+    _SHINGLE_CTES = """
         toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
             FROM documents
@@ -535,7 +538,12 @@ def build_registry() -> dict[str, tuple]:
             FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh_small)
         ), sizes AS (
             SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        ), cand AS (
+        )
+    """
+
+    # shared by ngram_jaccard_pairs and jaccard_clusters (CTE body)
+    _NGRAM_PAIRS_CTES = _SHINGLE_CTES + """
+        , cand AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
             FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
             GROUP BY 1, 2
@@ -578,6 +586,83 @@ def build_registry() -> dict[str, tuple]:
         SELECT p.node AS doc_id, p.rep AS cluster_rep, s.cluster_size,
                p.node = p.rep AS keep
         FROM reps p JOIN sized s ON p.rep = s.rep
+        ORDER BY doc_id
+        """,
+    )
+
+    # MinHash+LSH oracle: the SAME 64 (a,b) permutation constants the Ray
+    # actors draw (seeded rng), md5-derived base hashes (DuckDB replays
+    # them bit-exactly), candidate = all ROWS_PER_BAND signature rows of
+    # some band agree (band-fold equality in the Ray path is implied by
+    # row equality and collision-free in 63 bits the other way), then the
+    # SAME integer-arithmetic exact-Jaccard verify as the ngram oracle.
+    _mh = dedup._MinHasher(seed=1234)
+    _perm_rows = ", ".join(
+        f"({i}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(_mh.a, _mh.b))
+    )
+    _MINHASH_PAIRS_CTES = _SHINGLE_CTES + f"""
+        , xs AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 16))::UBIGINT
+                       % 4294967296::UBIGINT AS x
+            FROM sh
+        ), perms(i, pa, pb) AS (
+            VALUES {_perm_rows}
+        ), sig AS (
+            SELECT xs.doc_id, perms.i,
+                   min((perms.pa * xs.x + perms.pb)
+                       % {dedup._MERSENNE}::UBIGINT) AS v
+            FROM xs CROSS JOIN perms GROUP BY 1, 2
+        ), mh_cand AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT s1.doc_id AS a, s2.doc_id AS b
+                FROM sig s1 JOIN sig s2
+                  ON s1.i = s2.i AND s1.v = s2.v AND s1.doc_id < s2.doc_id
+                GROUP BY s1.doc_id, s2.doc_id, s1.i // {dedup.ROWS_PER_BAND}
+                HAVING count(*) = {dedup.ROWS_PER_BAND}
+            )
+        ), mh_inter AS (
+            SELECT c.a, c.b, count(*) AS inter
+            FROM mh_cand c
+            JOIN sh sa ON sa.doc_id = c.a
+            JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ), mh_pairs AS (
+            SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS union_n
+            FROM mh_inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE 2 * i.inter >= sa.n + sb.n - i.inter
+        )
+    """
+
+    reg["minhash_near_dup_pairs"] = (
+        dedup.minhash_near_dup_pairs,
+        f"WITH {_MINHASH_PAIRS_CTES} "
+        "SELECT a, b, inter, union_n FROM mh_pairs ORDER BY a, b",
+    )
+
+    reg["near_dup_clusters"] = (
+        dedup.near_dup_clusters,
+        f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        mh_edges AS (
+            SELECT a AS u, b AS v FROM mh_pairs
+            UNION ALL SELECT b, a FROM mh_pairs
+        ), mh_reach(u, v) AS (
+            SELECT u, v FROM mh_edges
+            UNION
+            SELECT r.u, e.v FROM mh_reach r JOIN mh_edges e ON r.v = e.u
+        ), mh_reps AS (
+            SELECT r.u AS node, LEAST(r.u, MIN(r.v)) AS rep
+            FROM mh_reach r GROUP BY r.u
+        ), mh_sized AS (
+            SELECT rep, count(*) AS cluster_size FROM mh_reps GROUP BY rep
+        )
+        SELECT p.node AS doc_id, p.rep AS cluster_rep, s.cluster_size,
+               p.node = p.rep AS keep
+        FROM mh_reps p JOIN mh_sized s ON p.rep = s.rep
         ORDER BY doc_id
         """,
     )
@@ -784,8 +869,6 @@ def build_registry() -> dict[str, tuple]:
     )
 
     # --- not SQL-expressible (driver records rows-only checks) ---
-    reg["minhash_near_dup_pairs"] = (dedup.minhash_near_dup_pairs, None)
-    reg["near_dup_clusters"] = (dedup.near_dup_clusters, None)
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["embedding_kmeans"] = (ann.embedding_kmeans, None)

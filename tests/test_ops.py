@@ -180,10 +180,12 @@ def test_minhash_finds_near_dups_and_is_exactly_verified(ray_session):
         }
     )
     pq.write_table(t2, os.path.join(d, "documents.parquet"))
-    pairs = minhash_near_dup_pairs(d, threshold=0.5).to_pylist()
+    pairs = minhash_near_dup_pairs(d).to_pylist()
     planted = [p for p in pairs if p["a"] == ids[0] and p["b"] == 99999]
     assert planted, f"planted near-dup not found in {len(pairs)} pairs"
-    assert planted[0]["jaccard"] == round(ngram_jaccard(texts[0], near), 4)
+    got_j = planted[0]["inter"] / planted[0]["union_n"]
+    assert abs(got_j - ngram_jaccard(texts[0], near)) < 1e-12
+    assert 2 * planted[0]["inter"] >= planted[0]["union_n"]
 
 
 def test_ann_ivf_recall_vs_bruteforce(registry, ray_session):
