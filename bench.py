@@ -213,7 +213,7 @@ def run_queries() -> dict:
 def run_queries_extra() -> dict:
     """Round-2/3 operators, timed under a separate key so the headline
     `value` stays comparable across rounds."""
-    from dumb_crawler_ray.ops import ann, dedup, relational, text
+    from dumb_crawler_ray.ops import ann, dedup, filters, relational, text
 
     def consume(result):
         if hasattr(result, "iter_batches"):
@@ -234,6 +234,11 @@ def run_queries_extra() -> dict:
         "simhash_near_dup_pairs": lambda: dedup.simhash_near_dup_pairs(SF_DIR),
         "jaccard_clusters": lambda: dedup.jaccard_clusters(SF_DIR),
         "lang_id": lambda: text.lang_id(SF_DIR),
+        # round 3: quality-filter family (ops/filters.py)
+        "gopher_quality_flags": lambda: filters.gopher_quality_flags(SF_DIR),
+        "pii_scrub_stats": lambda: filters.pii_scrub_stats(SF_DIR, inject=True),
+        "contamination_overlap": lambda: filters.contamination_overlap(SF_DIR),
+        "line_dedup_stats": lambda: filters.line_dedup_stats(SF_DIR, chunk=64),
     }
     timings = {}
     for name, fn in suite.items():

@@ -1,0 +1,466 @@
+"""Corpus quality-filter family over the `documents` table — the
+C4/Gopher-style cleaning stages a large-scale training-data pipeline runs
+between crawling and dedup (cf. Gopher rules, Rae et al. 2021; C4,
+Raffel et al. 2020):
+
+- `gopher_quality_flags` — per-doc rule features + keep decision
+  (word-count band, mean-word-length band, bullet/ellipsis line
+  fractions, alpha-word fraction, stopword hits)
+- `pii_scrub_stats`     — email/phone detection + redaction accounting
+- `contamination_overlap` — k-gram overlap of every corpus doc against a
+  held-out benchmark subset (decontamination check)
+- `line_dedup_stats`    — per-doc duplicated-line fraction against the
+  GLOBAL line frequency table (boilerplate detector)
+
+Every rule is INTEGER arithmetic and every regex is RE2-compatible
+(pyarrow.compute and DuckDB both run RE2), so each op has an exact
+rows+schema+hash DuckDB oracle — no float rounding boundary, no
+engine-specific regex dialect.
+
+Scale shape: the first two are single `map_batches` passes (stateless,
+vectorized Arrow kernels — zero shuffle). The last two are the
+inverted-index shape shared with `ops/dedup.py`: explode to
+(unit-hash, doc) rows, ONE keyed hash-repartition co-locates every
+instance of a unit, block-local segment scans compute global unit
+frequencies with per-block partial aggregation, and a final small
+groupby-sum lands one row per doc. Nothing materializes the corpus on
+the driver; shuffle volume is one row per (block, doc) partial — not
+per token.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..rayutil import remote_kwargs
+from .dedup import _hash_partition_count, _shingles, _stable64_batch
+from .text import TOKEN_REGEX
+
+
+def _docs(sf_dir: str, columns):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------ gopher rules
+
+STOP_RE = r"\b(the|and|of|to|a|in|is|it|that|for)\b"
+NUMERIC_WORD_RE = r"\b[0-9]+\b"
+BULLET_RE = r"(?m)^[-*•]"
+ELLIPSIS_RE = r"(?m)(\.\.\.|…)$"
+
+# integer rule constants (mirrored verbatim in the SQL oracle)
+MIN_WORDS, MAX_WORDS = 40, 100_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 3, 10          # 3·w ≤ chars ≤ 10·w
+MAX_BULLET_NUM, MAX_BULLET_DEN = 9, 10      # bullet lines < 90%
+MAX_ELLIPSIS_NUM, MAX_ELLIPSIS_DEN = 3, 10  # ellipsis lines < 30%
+MIN_ALPHA_NUM, MIN_ALPHA_DEN = 4, 5         # alpha words ≥ 80%
+MIN_STOP_HITS = 2
+
+
+def gopher_quality_flags(sf_dir: str):
+    """Gopher-style per-document quality features and keep decision.
+
+    One stateless vectorized `map_batches` pass — every feature is one
+    RE2 kernel over the batch, every threshold is integer arithmetic
+    (`3·n_words ≤ n_token_chars` instead of a float mean), so the DuckDB
+    oracle reproduces the keep column bit-exactly."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_words = pc.cast(pc.count_substring_regex(text, pattern=TOKEN_REGEX),
+                          pa.int64())
+        n_token_chars = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(
+                text, pattern=r"[^A-Za-z0-9]", replacement="")),
+            pa.int64(),
+        )
+        n_newlines = pc.cast(pc.count_substring(text, pattern="\n"), pa.int64())
+        n_lines = pc.add(n_newlines, 1)
+        n_bullet = pc.cast(pc.count_substring_regex(text, pattern=BULLET_RE),
+                           pa.int64())
+        n_ellipsis = pc.cast(pc.count_substring_regex(text, pattern=ELLIPSIS_RE),
+                             pa.int64())
+        n_numeric = pc.cast(pc.count_substring_regex(text, pattern=NUMERIC_WORD_RE),
+                            pa.int64())
+        n_alpha = pc.subtract(n_words, n_numeric)
+        n_stop = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(text), pattern=STOP_RE),
+            pa.int64(),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n_words, MIN_WORDS),
+                        pc.less_equal(n_words, MAX_WORDS)),
+                pc.and_(
+                    pc.less_equal(pc.multiply(pa.scalar(MIN_MEAN_LEN, pa.int64()),
+                                              n_words), n_token_chars),
+                    pc.less_equal(n_token_chars,
+                                  pc.multiply(pa.scalar(MAX_MEAN_LEN, pa.int64()),
+                                              n_words)),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less_equal(pc.multiply(pa.scalar(MAX_BULLET_DEN, pa.int64()),
+                                              n_bullet),
+                                  pc.multiply(pa.scalar(MAX_BULLET_NUM, pa.int64()),
+                                              n_lines)),
+                    pc.less_equal(pc.multiply(pa.scalar(MAX_ELLIPSIS_DEN, pa.int64()),
+                                              n_ellipsis),
+                                  pc.multiply(pa.scalar(MAX_ELLIPSIS_NUM, pa.int64()),
+                                              n_lines)),
+                ),
+                pc.and_(
+                    pc.greater_equal(pc.multiply(pa.scalar(MIN_ALPHA_DEN, pa.int64()),
+                                                 n_alpha),
+                                     pc.multiply(pa.scalar(MIN_ALPHA_NUM, pa.int64()),
+                                                 n_words)),
+                    pc.greater_equal(n_stop, MIN_STOP_HITS),
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": n_words,
+                "n_token_chars": n_token_chars,
+                "n_lines": n_lines,
+                "n_bullet_lines": n_bullet,
+                "n_ellipsis_lines": n_ellipsis,
+                "n_alpha_words": n_alpha,
+                "n_stop_hits": n_stop,
+                "keep": keep,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", **remote_kwargs()
+    ).sort("doc_id")
+
+
+# ------------------------------------------------------------- PII scrub
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9\-\s()]{5,}[0-9]"
+
+
+def pii_scrub_stats(sf_dir: str, inject: bool = False):
+    """Email/phone detection + redaction accounting per document.
+
+    Phones are counted on the email-REDACTED text (fixed order in both
+    engines, so a digit-bearing email local part can never double-count
+    as a phone). `inject=True` deterministically appends synthetic PII
+    (doc_id % 7 → an email, doc_id % 11 → a phone) IN-FLIGHT before
+    scrubbing — the registry uses it because the synthetic corpus
+    contains no real PII, and the same concat expression runs in the SQL
+    oracle, so the evidence is non-vacuous without any derived fixture."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if inject:
+            ids_np = t.column("doc_id").to_numpy()
+            ids_s = pc.cast(t.column("doc_id"), pa.string())
+            email_part = pc.if_else(
+                pa.array(ids_np % 7 == 0),
+                pc.binary_join_element_wise(
+                    pa.array([" contact user"] * len(t)), ids_s,
+                    pa.array(["@mail.example.com now"] * len(t)), ""),
+                pa.scalar(""),
+            )
+            phone_part = pc.if_else(
+                pa.array(ids_np % 11 == 0),
+                pa.scalar(" call +1 555-0199 today"),
+                pa.scalar(""),
+            )
+            text = pc.binary_join_element_wise(text, email_part, phone_part, "")
+        n_emails = pc.cast(pc.count_substring_regex(text, pattern=EMAIL_RE),
+                           pa.int64())
+        no_email = pc.replace_substring_regex(text, pattern=EMAIL_RE,
+                                              replacement="<EMAIL>")
+        n_phones = pc.cast(pc.count_substring_regex(no_email, pattern=PHONE_RE),
+                           pa.int64())
+        redacted = pc.replace_substring_regex(no_email, pattern=PHONE_RE,
+                                              replacement="<PHONE>")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "redacted_len": pc.cast(pc.utf8_length(redacted), pa.int64()),
+                "has_pii": pc.greater(pc.add(n_emails, n_phones), 0),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", **remote_kwargs()
+    ).sort("doc_id")
+
+
+# ------------------------------------------------- benchmark contamination
+
+CONTAM_K = 8          # k-gram width of the overlap check
+BENCH_MOD = 10        # doc_id % BENCH_MOD == 0 → held-out benchmark doc
+CONTAM_NUM, CONTAM_DEN = 1, 10  # contaminated when n_shared/n_shingles ≥ 10%
+
+
+def contamination_overlap(sf_dir: str, n_partitions: int | None = None):
+    """Benchmark-contamination check: for every NON-benchmark document,
+    how many of its distinct `CONTAM_K`-token shingles also appear in ANY
+    benchmark document (the held-out subset doc_id % BENCH_MOD == 0), and
+    a ≥10% overlap flag — the decontamination pass a training corpus runs
+    against its eval suites.
+
+    Shape: explode (shingle-hash, doc, is_bench) rows → ONE keyed
+    hash-repartition on the shingle → block-local segment scan emits a
+    per-(block, doc) PARTIAL count of shingles that co-locate with a
+    benchmark row → groupby(doc).sum. A parallel base pass emits
+    (doc, n_shingles, 0) so zero-overlap docs keep a row. Shingle TEXT
+    never shuffles (64-bit identity hashes), the benchmark set is never
+    broadcast, and the driver never sees more than the final one-row-per-
+    doc table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh_col, id_col, bench_col = [], [], []
+        for doc_id, text_ in zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist()):
+            hs = _shingles(text_, CONTAM_K)
+            is_bench = doc_id % BENCH_MOD == 0
+            if not hs:
+                continue
+            vals = (_stable64_batch(hs) & np.uint64((1 << 63) - 1)).tolist()
+            sh_col.extend(vals)
+            id_col.extend([doc_id] * len(vals))
+            bench_col.extend([is_bench] * len(vals))
+        return pa.table(
+            {
+                "sh": pa.array(sh_col, pa.int64()),
+                "doc_id": pa.array(id_col, pa.int64()),
+                "is_bench": pa.array(bench_col, pa.bool_()),
+            }
+        )
+
+    def shared_in_block(b: pa.Table) -> pa.Table:
+        """Every row of a shingle is co-located here: mark non-bench rows
+        whose segment contains ≥1 bench row, pre-aggregate per doc."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "shared_part": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        sh = b.column("sh").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        bench = b.column("is_bench").to_numpy(zero_copy_only=False)
+        o = np.argsort(sh, kind="stable")
+        sh, ids, bench = sh[o], ids[o], bench[o]
+        seg_id = np.cumsum(np.concatenate([[False], sh[1:] != sh[:-1]]))
+        seg_has_bench = np.zeros(seg_id[-1] + 1 if len(seg_id) else 0, dtype=bool)
+        np.logical_or.at(seg_has_bench, seg_id, bench)
+        hit = seg_has_bench[seg_id] & ~bench
+        if not hit.any():
+            return empty
+        u, cnt = np.unique(ids[hit], return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(u, pa.int64()),
+             "shared_part": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for doc_id, text_ in zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist()):
+            if doc_id % BENCH_MOD != 0:
+                ids.append(doc_id)
+                ns.append(len(_shingles(text_, CONTAM_K)))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_part": pa.array(ns, pa.int64()),
+             "shared_part": pa.array([0] * len(ids), pa.int64())}
+        )
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    # keyed repartition needs the scoped HASH_SHUFFLE strategy; the
+    # downstream groupby must NOT inherit it (200-partition aggregator
+    # actors deadlock small clusters) — materialize inside the scope and
+    # rebuild from plasma blocks outside (the ops/cc.py pattern)
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        shared_mat = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["sh"])
+            .map_batches(shared_in_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .map_batches(
+                lambda b: b.append_column(
+                    "n_part", pa.array([0] * len(b), pa.int64())),
+                batch_format="pyarrow", **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    shared = ray.data.from_arrow_refs(list(shared_mat.to_arrow_refs()))
+    base = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        base_rows, batch_format="pyarrow", **remote_kwargs())
+    agg = (
+        base.union(shared.select_columns(["doc_id", "n_part", "shared_part"]))
+        .groupby("doc_id")
+        .aggregate(Sum("n_part", alias_name="n_shingles"),
+                   Sum("shared_part", alias_name="n_shared"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_shingles")
+        s = t.column("n_shared")
+        contaminated = pc.and_(
+            pc.greater(n, 0),
+            pc.greater_equal(pc.multiply(pa.scalar(CONTAM_DEN, pa.int64()), s),
+                             pc.multiply(pa.scalar(CONTAM_NUM, pa.int64()), n)),
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_shingles": n,
+             "n_shared": s, "contaminated": contaminated}
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )
+
+
+# ------------------------------------------------------ line-level dedup
+
+LINE_STRIP = " \t\r"  # explicit strip set — DuckDB trim() mirrors it exactly
+BOILER_NUM, BOILER_DEN = 1, 2  # boilerplate when dup lines ≥ half
+
+
+def _doc_lines(text: str, chunk: int) -> list[str]:
+    if chunk > 0:
+        return [text[i:i + chunk] for i in range(0, len(text), chunk)]
+    out = []
+    for ln in text.split("\n"):
+        ln = ln.strip(LINE_STRIP)
+        if ln:
+            out.append(ln)
+    return out
+
+
+def line_dedup_stats(sf_dir: str, chunk: int = 0,
+                     n_partitions: int | None = None):
+    """Per-document duplicated-line fraction against the GLOBAL line
+    frequency table — the C4-style boilerplate detector (a line instance
+    is `dup` when the whole corpus contains it ≥2 times).
+
+    `chunk > 0` switches the unit from newline-split lines to fixed
+    `chunk`-character windows — the mode the registry query uses because
+    the synthetic corpus is single-line (near-duplicate docs then share
+    aligned windows, keeping the evidence non-vacuous); production text
+    uses the default newline mode.
+
+    Shape: identical to `contamination_overlap` — explode line-hash
+    rows, one keyed repartition co-locates all instances of a line,
+    block-local segment totals mark dup instances with per-(block, doc)
+    partial counts, a final groupby-sum lands one row per doc. Line TEXT
+    never shuffles; global line counts are never collected anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        h_col, id_col = [], []
+        for doc_id, text_ in zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist()):
+            lines = _doc_lines(text_, chunk)
+            if lines:
+                h_col.extend(
+                    (_stable64_batch(lines) & np.uint64((1 << 63) - 1)).tolist()
+                )
+                id_col.extend([doc_id] * len(lines))
+        return pa.table(
+            {"lh": pa.array(h_col, pa.int64()),
+             "doc_id": pa.array(id_col, pa.int64())}
+        )
+
+    def dup_in_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "dup_part": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        lh = b.column("lh").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        o = np.argsort(lh, kind="stable")
+        lh, ids = lh[o], ids[o]
+        seg_id = np.cumsum(np.concatenate([[False], lh[1:] != lh[:-1]]))
+        seg_len = np.bincount(seg_id)
+        dup = seg_len[seg_id] >= 2
+        if not dup.any():
+            return empty
+        u, cnt = np.unique(ids[dup], return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(u, pa.int64()),
+             "dup_part": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        ns = [len(_doc_lines(s, chunk)) for s in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "lines_part": pa.array(ns, pa.int64()),
+             "dup_part": pa.array([0] * len(ids), pa.int64())}
+        )
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    # same scoped-shuffle / rebuild-outside shape as contamination_overlap
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        dups_mat = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["lh"])
+            .map_batches(dup_in_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .map_batches(
+                lambda b: b.append_column(
+                    "lines_part", pa.array([0] * len(b), pa.int64())),
+                batch_format="pyarrow", **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    dups = ray.data.from_arrow_refs(list(dups_mat.to_arrow_refs()))
+    base = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        base_rows, batch_format="pyarrow", **remote_kwargs())
+    agg = (
+        base.union(dups.select_columns(["doc_id", "lines_part", "dup_part"]))
+        .groupby("doc_id")
+        .aggregate(Sum("lines_part", alias_name="n_lines"),
+                   Sum("dup_part", alias_name="n_dup_lines"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_lines")
+        d = t.column("n_dup_lines")
+        boiler = pc.and_(
+            pc.greater(n, 0),
+            pc.greater_equal(pc.multiply(pa.scalar(BOILER_DEN, pa.int64()), d),
+                             pc.multiply(pa.scalar(BOILER_NUM, pa.int64()), n)),
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_lines": n,
+             "n_dup_lines": d, "boilerplate": boiler}
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )

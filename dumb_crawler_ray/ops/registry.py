@@ -13,7 +13,7 @@ import pyarrow as pa
 from ..rayutil import remote_kwargs
 import pyarrow.compute as pc
 
-from . import ann, dedup, media, multimodal, relational, text
+from . import ann, dedup, filters, media, multimodal, relational, text
 
 _FIXTURE_SCALE = 4
 _FIXTURE_SEED = 42
@@ -868,6 +868,151 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # --- quality-filter family (ops/filters.py) — every rule is integer
+    # arithmetic over RE2 kernels, so all four are fully SQL-checked ---
+
+    reg["gopher_quality_flags"] = (
+        filters.gopher_quality_flags,
+        f"""
+        WITH f AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                   length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                       AS n_token_chars,
+                   length(text) - length(replace(text, chr(10), '')) + 1
+                       AS n_lines,
+                   len(regexp_extract_all(text, '{filters.BULLET_RE}'))
+                       AS n_bullet_lines,
+                   len(regexp_extract_all(text, '{filters.ELLIPSIS_RE}'))
+                       AS n_ellipsis_lines,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                     - len(regexp_extract_all(text, '{filters.NUMERIC_WORD_RE}'))
+                       AS n_alpha_words,
+                   len(regexp_extract_all(lower(text), '{filters.STOP_RE}'))
+                       AS n_stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_token_chars, n_lines, n_bullet_lines,
+               n_ellipsis_lines, n_alpha_words, n_stop_hits,
+               (n_words >= {filters.MIN_WORDS} AND n_words <= {filters.MAX_WORDS}
+                AND {filters.MIN_MEAN_LEN} * n_words <= n_token_chars
+                AND n_token_chars <= {filters.MAX_MEAN_LEN} * n_words
+                AND {filters.MAX_BULLET_DEN} * n_bullet_lines
+                    <= {filters.MAX_BULLET_NUM} * n_lines
+                AND {filters.MAX_ELLIPSIS_DEN} * n_ellipsis_lines
+                    <= {filters.MAX_ELLIPSIS_NUM} * n_lines
+                AND {filters.MIN_ALPHA_DEN} * n_alpha_words
+                    >= {filters.MIN_ALPHA_NUM} * n_words
+                AND n_stop_hits >= {filters.MIN_STOP_HITS}) AS keep
+        FROM f ORDER BY doc_id
+        """,
+    )
+
+    # synthetic-PII injection happens IN-FLIGHT with the identical concat
+    # expression on both sides (the corpus itself contains no PII, which
+    # would make the scrub evidence vacuous)
+    reg["pii_scrub_stats"] = (
+        lambda sf: filters.pii_scrub_stats(sf, inject=True),
+        f"""
+        WITH t2 AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || doc_id
+                                || '@mail.example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' call +1 555-0199 today' ELSE '' END AS text
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{filters.EMAIL_RE}'))
+                       AS n_emails,
+                   regexp_replace(text, '{filters.EMAIL_RE}', '<EMAIL>', 'g')
+                       AS no_email
+            FROM t2
+        )
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(no_email, '{filters.PHONE_RE}'))
+                   AS n_phones,
+               length(regexp_replace(no_email, '{filters.PHONE_RE}',
+                                     '<PHONE>', 'g')) AS redacted_len,
+               (n_emails + len(regexp_extract_all(no_email,
+                                                  '{filters.PHONE_RE}'))) > 0
+                   AS has_pii
+        FROM r ORDER BY doc_id
+        """,
+    )
+
+    reg["contamination_overlap"] = (
+        filters.contamination_overlap,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ), sh8 AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(tk) - {filters.CONTAM_K - 2}),
+                           i -> array_to_string(
+                               tk[i:i+{filters.CONTAM_K - 1}], ' '))) AS shingle
+                FROM toks WHERE len(tk) >= {filters.CONTAM_K}
+                UNION ALL
+                SELECT doc_id, array_to_string(tk, ' ')
+                FROM toks
+                WHERE len(tk) < {filters.CONTAM_K} AND len(tk) > 0)
+        ), bench AS (
+            SELECT DISTINCT shingle FROM sh8
+            WHERE doc_id % {filters.BENCH_MOD} = 0
+        ), nsh AS (
+            SELECT doc_id, count(*) AS n FROM sh8
+            WHERE doc_id % {filters.BENCH_MOD} <> 0 GROUP BY 1
+        ), shared AS (
+            SELECT s.doc_id, count(*) AS n_shared
+            FROM sh8 s JOIN bench b USING (shingle)
+            WHERE s.doc_id % {filters.BENCH_MOD} <> 0 GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(nsh.n, 0) AS n_shingles,
+               coalesce(sh.n_shared, 0) AS n_shared,
+               (coalesce(nsh.n, 0) > 0
+                AND {filters.CONTAM_DEN} * coalesce(sh.n_shared, 0)
+                    >= {filters.CONTAM_NUM} * coalesce(nsh.n, 0))
+                   AS contaminated
+        FROM documents d
+        LEFT JOIN nsh USING (doc_id) LEFT JOIN shared sh USING (doc_id)
+        WHERE d.doc_id % {filters.BENCH_MOD} <> 0 ORDER BY doc_id
+        """,
+    )
+
+    # chunk=64 character windows as the line unit: the synthetic corpus is
+    # single-line, so newline-mode global line counts would all be 1
+    # (vacuous); aligned windows of near-duplicate docs DO collide
+    reg["line_dedup_stats"] = (
+        lambda sf: filters.line_dedup_stats(sf, chunk=64),
+        """
+        WITH lines AS (
+            SELECT doc_id,
+                   unnest(list_transform(range((length(text) + 63) // 64),
+                          g -> substr(text, g * 64 + 1, 64))) AS line
+            FROM documents WHERE length(text) > 0
+        ), counts AS (
+            SELECT line, count(*) AS c FROM lines GROUP BY 1
+        ), per_doc AS (
+            SELECT l.doc_id, count(*) AS n_lines,
+                   CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_lines
+            FROM lines l JOIN counts c USING (line) GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
+               coalesce(p.n_dup_lines, 0) AS n_dup_lines,
+               (coalesce(p.n_lines, 0) > 0
+                AND 2 * coalesce(p.n_dup_lines, 0) >= coalesce(p.n_lines, 0))
+                   AS boilerplate
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY doc_id
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
@@ -951,7 +1096,67 @@ def build_registry() -> dict[str, tuple]:
     )
     reg["approx_distinct_users"] = (text.approx_distinct_users, None)
     reg["approx_daily_active_users"] = (text.approx_daily_active_users, None)
-    reg["winnowed_fingerprints"] = (text.winnowed_fingerprints, None)
+
+    # winnowed fingerprints: full SQL replay of the Rabin-Karp rolling
+    # hash (per-character polynomial terms joined to a 257^e mod p powers
+    # table, HUGEINT-exact sums), the per-stride minima, and the distinct
+    # set — exploded to (doc_id, fp) rows so the value hash sees scalars.
+    # EXACT for ASCII corpora (DuckDB ascii() == the utf-8 byte the Python
+    # side hashes iff codepoint < 128; the driver tables are pure ASCII).
+    _WIN_P = (1 << 61) - 1
+    _pow_rows = ", ".join(
+        f"({k}, {pow(257, 31 - k, _WIN_P)}::HUGEINT)" for k in range(32)
+    )
+
+    def winnowed_fp_rows(sf_dir: str):
+        import numpy as np
+
+        ds = text.winnowed_fingerprints(sf_dir)
+
+        def explode(t: pa.Table) -> pa.Table:
+            fps = t.column("fingerprints")
+            lens = pc.list_value_length(fps).to_numpy(zero_copy_only=False)
+            ids = np.repeat(t.column("doc_id").to_numpy(), lens)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "fp": pc.list_flatten(fps)})
+
+        return ds.map_batches(explode, batch_format="pyarrow",
+                              **remote_kwargs()).sort(["doc_id", "fp"])
+
+    reg["winnowed_fingerprints"] = (
+        winnowed_fp_rows,
+        f"""
+        WITH chars AS (
+            SELECT doc_id, n, pos, ascii(substr(text, pos, 1)) AS code
+            FROM (SELECT doc_id, text, length(text) AS n,
+                         unnest(range(1, length(text) + 1)) AS pos
+                  FROM documents)
+        ), powers(k, pw) AS (
+            VALUES {_pow_rows}
+        ), hashes AS (
+            SELECT c.doc_id, c.pos - p.k AS j,
+                   CAST(sum(CAST(c.code AS HUGEINT) * p.pw)
+                        % {_WIN_P} AS BIGINT) AS h
+            FROM chars c JOIN powers p
+              ON c.pos - p.k >= 1 AND c.pos - p.k <= c.n - 31
+            WHERE c.n >= 32
+            GROUP BY 1, 2
+        ), short AS (
+            SELECT c.doc_id,
+                   CAST(sum(CAST(c.code AS HUGEINT) * p.pw)
+                        % {_WIN_P} AS BIGINT) AS h
+            FROM chars c JOIN powers p ON p.k = 31 - (c.n - c.pos)
+            WHERE c.n < 32 AND c.n > 0
+            GROUP BY 1
+        ), mins AS (
+            SELECT doc_id, (j - 1) // 8 AS g, min(h) AS fp
+            FROM hashes GROUP BY 1, 2
+            UNION ALL
+            SELECT doc_id, 0, h FROM short
+        )
+        SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp
+        """,
+    )
     reg["image_decode_stats"] = (image_decode_stats, None)
     reg["image_keeplist"] = (image_keeplist_q, None)
     reg["image_quality"] = (image_quality_q, None)

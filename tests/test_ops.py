@@ -82,7 +82,9 @@ SQL_CHECKED = [
     "doc_sample", "heavy_hitters_users", "event_funnel", "high_value_week",
     "events_sliding_window", "simhash_signatures", "simhash_near_dup_pairs",
     "image_phash_near_dups", "lang_id", "jaccard_clusters",
-    "corpus_stats",
+    "corpus_stats", "minhash_near_dup_pairs", "near_dup_clusters",
+    "gopher_quality_flags", "pii_scrub_stats", "contamination_overlap",
+    "line_dedup_stats", "winnowed_fingerprints",
 ]
 
 
@@ -311,9 +313,15 @@ def test_crawl_views(registry, ray_session):
 
 
 def test_winnowed_fingerprints(registry, ray_session):
+    # registry form is exploded (doc_id, fp) rows for the SQL oracle;
+    # every doc must contribute at least one fingerprint
     df = to_df(registry["winnowed_fingerprints"][0](SF))
-    assert len(df) == 500
-    assert df["fingerprints"].map(len).min() >= 1
+    assert df["doc_id"].nunique() == 500
+    # library form keeps the per-doc sorted list
+    from dumb_crawler_ray.ops.text import winnowed_fingerprints
+
+    ldf = to_df(winnowed_fingerprints(SF))
+    assert len(ldf) == 500 and ldf["fingerprints"].map(len).min() >= 1
 
 
 def test_near_dup_clusters(registry, ray_session):
@@ -481,7 +489,9 @@ def test_winnowed_matches_independent_reimplementation(registry, ray_session):
         picked = sorted({min(hs[i:i + KEEP]) for i in range(0, len(hs), KEEP)})
         return [int(h % (1 << 62)) for h in picked]
 
-    got = to_df(registry["winnowed_fingerprints"][0](SF)).set_index("doc_id")
+    from dumb_crawler_ray.ops.text import winnowed_fingerprints
+
+    got = to_df(winnowed_fingerprints(SF)).set_index("doc_id")
     docs = pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "text"]).to_pylist()[:50]
     assert docs
@@ -722,3 +732,119 @@ def test_lang_id_oracle_covers_cjk_and_empty(registry, ray_session):
     assert list(df["lang_pred"]) == ["zh", "en", "de", "es"]
     assert df["score"].iloc[0] == 1.0
     compare("lang_id[constructed]", df, sql, sf_dir=d)
+
+
+def _write_docs(texts, ids=None):
+    """tmpdir with a documents.parquet (plus empty sibling tables so
+    run_oracle can register every view)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    for tbl in TABLES:
+        src = pq.read_table(f"{SF}/{tbl}.parquet")
+        pq.write_table(src.slice(0, 0), os.path.join(d, f"{tbl}.parquet"))
+    if ids is None:
+        ids = list(range(len(texts)))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_gopher_rules_truth_table(registry, ray_session):
+    """Hand-constructed docs exercise each Gopher rule edge, and the
+    constructed corpus also round-trips through the SQL oracle."""
+    from dumb_crawler_ray.ops import filters
+
+    good = ("the cat and dog ran over all fine hills today " * 5).strip()
+    too_short = "the cat sat"
+    numeric = " ".join(str(i) for i in range(60)) + " the and word here also"
+    bullets = "\n".join(f"- {w}" for w in ["the cat and dog ran fast"] * 19) + \
+        "\nplain tail line of the day"
+    d = _write_docs([good, too_short, numeric, bullets])
+    fn, sql = registry["gopher_quality_flags"]
+    df = to_df(fn(d))
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert bool(by[0].keep)                   # passes every band
+    assert not by[1].keep                     # word count below MIN_WORDS
+    assert not by[2].keep                     # alpha-word fraction too low
+    assert by[2].n_alpha_words == by[2].n_words - 60
+    assert by[3].n_bullet_lines == 19 and by[3].n_lines == 20
+    assert not by[3].keep                     # >90% bullet lines
+    compare("gopher[constructed]", df, sql, sf_dir=d)
+
+
+def test_pii_scrub_planted(registry, ray_session):
+    """Planted PII is counted and redacted; phones never double-count
+    email digits (phone pass runs on the email-redacted text)."""
+    from dumb_crawler_ray.ops.filters import pii_scrub_stats
+
+    texts = [
+        "write to jane.doe+x@mail.example.org or call +44 20 7946 0958 now",
+        "no pii here at all",
+        "digits 123 but not a phone",
+    ]
+    d = _write_docs(texts)
+    df = to_df(pii_scrub_stats(d))
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert by[0].n_emails == 1 and by[0].n_phones == 1 and by[0].has_pii
+    assert by[1].n_emails == 0 and by[1].n_phones == 0 and not by[1].has_pii
+    assert by[2].n_phones == 0
+    # redaction accounting: original minus matched spans plus placeholders
+    email = "jane.doe+x@mail.example.org"
+    phone = "+44 20 7946 0958"
+    want = len(texts[0]) - len(email) - len(phone) + len("<EMAIL>") + len("<PHONE>")
+    assert by[0].redacted_len == want
+    # registry mode (injection) is non-vacuous on the real corpus
+    reg_fn, _ = registry["pii_scrub_stats"]
+    rdf = to_df(reg_fn(SF))
+    assert (rdf["n_emails"] > 0).any() and (rdf["n_phones"] > 0).any()
+
+
+def test_contamination_planted(registry, ray_session):
+    """A doc that copies a benchmark doc is flagged; an unrelated doc
+    shares nothing. Benchmark docs (doc_id % BENCH_MOD == 0) are excluded
+    from the output."""
+    from dumb_crawler_ray.ops.filters import BENCH_MOD, contamination_overlap
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    copycat = bench + " tail words appended here"
+    unrelated = "one two three four five six seven eight nine ten eleven twelve"
+    d = _write_docs([bench.strip(), copycat.strip(), unrelated],
+                    ids=[0, 1, 2])  # 0 % BENCH_MOD == 0 → benchmark
+    assert 0 % BENCH_MOD == 0
+    df = to_df(contamination_overlap(d))
+    assert set(df["doc_id"]) == {1, 2}
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert by[1].n_shared > 0 and by[1].contaminated
+    assert by[2].n_shared == 0 and not by[2].contaminated
+
+
+def test_line_dedup_newline_mode(ray_session):
+    """Newline mode: whitespace-only lines drop, repeated lines across
+    (and within) docs count as dups via the GLOBAL frequency."""
+    from dumb_crawler_ray.ops.filters import line_dedup_stats
+
+    boiler = "all rights reserved"
+    texts = [
+        f"unique one\n{boiler}\n   \nunique two",
+        f"{boiler}\nanother unique line",
+        f"{boiler}\n{boiler}",
+        "totally fresh text",
+    ]
+    d = _write_docs(texts)
+    df = to_df(line_dedup_stats(d))
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert by[0].n_lines == 3 and by[0].n_dup_lines == 1
+    assert by[1].n_lines == 2 and by[1].n_dup_lines == 1
+    assert by[2].n_lines == 2 and by[2].n_dup_lines == 2 and by[2].boilerplate
+    assert by[3].n_lines == 1 and by[3].n_dup_lines == 0 and not by[3].boilerplate
