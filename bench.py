@@ -239,6 +239,8 @@ def run_queries_extra() -> dict:
         "pii_scrub_stats": lambda: filters.pii_scrub_stats(SF_DIR, inject=True),
         "contamination_overlap": lambda: filters.contamination_overlap(SF_DIR),
         "line_dedup_stats": lambda: filters.line_dedup_stats(SF_DIR, chunk=64),
+        "repetition_ratios": lambda: filters.repetition_ratios(SF_DIR),
+        "source_balanced_sample": lambda: filters.source_balanced_sample(SF_DIR),
     }
     timings = {}
     for name, fn in suite.items():

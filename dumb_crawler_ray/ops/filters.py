@@ -11,6 +11,10 @@ Raffel et al. 2020):
   held-out benchmark subset (decontamination check)
 - `line_dedup_stats`    — per-doc duplicated-line fraction against the
   GLOBAL line frequency table (boilerplate detector)
+- `repetition_ratios`   — Gopher's within-doc repetition rules (top
+  2-gram share, duplicated 3-gram share)
+- `source_balanced_sample` — deterministic token-budget rebalancing
+  across sources (hash-threshold sampling in exact integer arithmetic)
 
 Every rule is INTEGER arithmetic and every regex is RE2-compatible
 (pyarrow.compute and DuckDB both run RE2), so each op has an exact
@@ -464,3 +468,142 @@ def line_dedup_stats(sf_dir: str, chunk: int = 0,
         agg.map_batches(finish, batch_format="pyarrow", **remote_kwargs())
         .sort("doc_id")
     )
+
+
+# ------------------------------------------------- within-doc repetition
+
+TOP2_NUM, TOP2_DEN = 1, 5    # top 2-gram ≤ 20% of 2-gram instances
+DUP3_NUM, DUP3_DEN = 9, 50   # duplicated 3-gram instances ≤ 18%
+
+
+def repetition_ratios(sf_dir: str):
+    """Gopher's WITHIN-document repetition rules (the complement of the
+    cross-corpus `line_dedup_stats`): the most-frequent 2-gram's share of
+    all 2-gram instances, and the share of 3-gram instances whose gram
+    repeats inside the doc. Counts are integers and the keep rule is
+    integer arithmetic (5·top2 ≤ n2 ∧ 50·dup3 ≤ 9·n3), so the DuckDB
+    oracle replays it exactly.
+
+    One stateless map_batches pass — repetition is per-doc state, so no
+    shuffle exists anywhere; the per-doc token scan is the same
+    lowercase [a-z0-9]+ stream every shingle op uses."""
+    import re
+
+    tok_re = re.compile(TOKEN_REGEX)
+
+    def grams(toks, k):
+        return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        n2s, t2s, n3s, d3s = [], [], [], []
+        for s in t.column("text").to_pylist():
+            toks = [w.lower() for w in tok_re.findall(s)]
+            g2 = grams(toks, 2)
+            g3 = grams(toks, 3)
+            if g2:
+                _, c2 = np.unique(np.asarray(g2, dtype=object),
+                                  return_counts=True)
+                n2s.append(len(g2))
+                t2s.append(int(c2.max()))
+            else:
+                n2s.append(0)
+                t2s.append(0)
+            if g3:
+                _, c3 = np.unique(np.asarray(g3, dtype=object),
+                                  return_counts=True)
+                n3s.append(len(g3))
+                d3s.append(int(c3[c3 >= 2].sum()))
+            else:
+                n3s.append(0)
+                d3s.append(0)
+        n2 = pa.array(n2s, pa.int64())
+        t2 = pa.array(t2s, pa.int64())
+        n3 = pa.array(n3s, pa.int64())
+        d3 = pa.array(d3s, pa.int64())
+        keep = pc.and_(
+            pc.less_equal(pc.multiply(pa.scalar(TOP2_DEN, pa.int64()), t2),
+                          pc.multiply(pa.scalar(TOP2_NUM, pa.int64()), n2)),
+            pc.less_equal(pc.multiply(pa.scalar(DUP3_DEN, pa.int64()), d3),
+                          pc.multiply(pa.scalar(DUP3_NUM, pa.int64()), n3)),
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_2grams": n2, "top2_count": t2,
+             "n_3grams": n3, "dup3_count": d3, "keep": keep}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", **remote_kwargs()
+    ).sort("doc_id")
+
+
+# --------------------------------------------- source mixture rebalancing
+
+SAMPLE_SCALE = 1 << 64  # hash space; keep iff hash·total_s < min_total·2^64
+
+
+def source_balanced_sample(sf_dir: str):
+    """Deterministic mixture rebalancing: downsample every `source` to the
+    SMALLEST source's token budget, so the kept corpus is token-balanced
+    across sources. A doc is kept iff
+
+        md5_u64(text) · total_tokens(source) < min_source_total · 2^64
+
+    — i.e. hash-threshold sampling at probability min_total/total_s, in
+    EXACT integer arithmetic (Python bigints / DuckDB HUGEINT), so the
+    kept set is independent of partitioning, cluster size and run count,
+    and the DuckDB oracle reproduces it row-for-row.
+
+    Scale shape: pass 1 is a partial-aggregate combiner (per-batch
+    per-source token sums → tiny groupby — rows = sources, not docs);
+    the per-source totals map is broadcast ONCE via `ray.put`; pass 2 is
+    a stateless map_batches filter. No doc-level shuffle at all."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t.column("text"), pattern=TOKEN_REGEX),
+            pa.int64(),
+        )
+        part = pa.table({"source": t.column("source"), "n_part": n_tok})
+        agg = part.group_by("source").aggregate([("n_part", "sum")])
+        return pa.table({"source": agg.column("source"),
+                         "n_part": pc.cast(agg.column("n_part_sum"),
+                                           pa.int64())})
+
+    totals_ds = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .groupby("source")
+        .aggregate(Sum("n_part", alias_name="total"))
+    )
+    totals = {r["source"]: int(r["total"]) for r in totals_ds.take_all()}
+    min_total = min(totals.values()) if totals else 0
+    totals_ref = ray.put(totals)
+
+    def keep_fn(t: pa.Table) -> pa.Table:
+        tm = ray.get(totals_ref)
+        texts = t.column("text").to_pylist()
+        srcs = t.column("source").to_pylist()
+        n_tok = pc.cast(
+            pc.count_substring_regex(t.column("text"), pattern=TOKEN_REGEX),
+            pa.int64(),
+        )
+        mask = []
+        for s, src in zip(texts, srcs):
+            h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                               "big")
+            mask.append(h * tm[src] < min_total * SAMPLE_SCALE)
+        out = pa.table(
+            {"doc_id": t.column("doc_id"), "source": t.column("source"),
+             "n_tokens": n_tok}
+        )
+        return out.filter(pa.array(mask))
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        keep_fn, batch_format="pyarrow", **remote_kwargs()
+    ).sort("doc_id")

@@ -1013,6 +1013,71 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    reg["repetition_ratios"] = (
+        filters.repetition_ratios,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ), g2 AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM toks WHERE len(tk) >= 2
+        ), c2 AS (
+            SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+        ), s2 AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+                   CAST(max(c) AS BIGINT) AS top2
+            FROM c2 GROUP BY 1
+        ), g3 AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+            FROM toks WHERE len(tk) >= 3
+        ), c3 AS (
+            SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2
+        ), s3 AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+                   CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup3
+            FROM c3 GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(s2.n2, 0) AS n_2grams,
+               coalesce(s2.top2, 0) AS top2_count,
+               coalesce(s3.n3, 0) AS n_3grams,
+               coalesce(s3.dup3, 0) AS dup3_count,
+               ({filters.TOP2_DEN} * coalesce(s2.top2, 0)
+                    <= {filters.TOP2_NUM} * coalesce(s2.n2, 0)
+                AND {filters.DUP3_DEN} * coalesce(s3.dup3, 0)
+                    <= {filters.DUP3_NUM} * coalesce(s3.n3, 0)) AS keep
+        FROM documents d
+        LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        ORDER BY doc_id
+        """,
+    )
+
+    # hash·total < min_total·2^64 in HUGEINT — the exact integer form of
+    # per-source probability min_total/total_s (Python side uses bigints)
+    reg["source_balanced_sample"] = (
+        filters.source_balanced_sample,
+        """
+        WITH dt AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                   ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+            FROM documents
+        ), totals AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+            FROM dt GROUP BY 1
+        ), mn AS (SELECT min(total) AS m FROM totals)
+        SELECT dt.doc_id, dt.source, dt.n_tokens
+        FROM dt JOIN totals USING (source), mn
+        WHERE CAST(dt.h AS HUGEINT) * totals.total
+              < CAST(mn.m AS HUGEINT) * 18446744073709551616
+        ORDER BY doc_id
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)

@@ -84,7 +84,8 @@ SQL_CHECKED = [
     "image_phash_near_dups", "lang_id", "jaccard_clusters",
     "corpus_stats", "minhash_near_dup_pairs", "near_dup_clusters",
     "gopher_quality_flags", "pii_scrub_stats", "contamination_overlap",
-    "line_dedup_stats", "winnowed_fingerprints",
+    "line_dedup_stats", "winnowed_fingerprints", "repetition_ratios",
+    "source_balanced_sample",
 ]
 
 
@@ -848,3 +849,57 @@ def test_line_dedup_newline_mode(ray_session):
     assert by[1].n_lines == 2 and by[1].n_dup_lines == 1
     assert by[2].n_lines == 2 and by[2].n_dup_lines == 2 and by[2].boilerplate
     assert by[3].n_lines == 1 and by[3].n_dup_lines == 0 and not by[3].boilerplate
+
+
+def test_repetition_rules_truth_table(registry, ray_session):
+    """A pathologically repetitive doc fails both repetition rules; a
+    varied doc passes; the constructed corpus round-trips through SQL."""
+    spam = "spam " * 40
+    varied = "the quick brown fox jumps over one lazy dog near a calm river"
+    d = _write_docs([spam.strip(), varied])
+    fn, sql = registry["repetition_ratios"]
+    df = to_df(fn(d))
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert by[0].n_2grams == 39 and by[0].top2_count == 39 and not by[0].keep
+    assert by[0].dup3_count == by[0].n_3grams == 38
+    assert by[1].top2_count == 1 and bool(by[1].keep)
+    compare("repetition[constructed]", df, sql, sf_dir=d)
+
+
+def test_source_balanced_sample_semantics(registry, ray_session):
+    """The smallest source is kept whole (p=1); larger sources downsample
+    deterministically toward its token budget; reruns are identical."""
+    import hashlib
+
+    from dumb_crawler_ray.ops.filters import SAMPLE_SCALE
+
+    fn, _ = registry["source_balanced_sample"]
+    df = to_df(fn(SF)).reset_index(drop=True)
+    df2 = to_df(fn(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, df2)
+    # recompute the keep rule locally from the raw table
+    import pyarrow.parquet as pq
+    import re
+
+    raw = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source", "text"]).to_pylist()
+    totals: dict = {}
+    toks = {}
+    for r in raw:
+        n = len(re.findall(r"[A-Za-z0-9]+", r["text"]))
+        toks[r["doc_id"]] = n
+        totals[r["source"]] = totals.get(r["source"], 0) + n
+    m = min(totals.values())
+    want = sorted(
+        r["doc_id"] for r in raw
+        if int.from_bytes(hashlib.md5(r["text"].encode()).digest()[:8], "big")
+        * totals[r["source"]] < m * SAMPLE_SCALE
+    )
+    assert list(df["doc_id"]) == want
+    # the smallest source survives intact
+    smallest = min(totals, key=totals.get)
+    n_all = sum(1 for r in raw if r["source"] == smallest)
+    assert (df["source"] == smallest).sum() == n_all
+    # kept token mass per source lands near the smallest source's budget
+    kept = df.groupby("source")["n_tokens"].sum()
+    assert kept.max() <= 2 * m
