@@ -241,6 +241,7 @@ def run_queries_extra() -> dict:
         "line_dedup_stats": lambda: filters.line_dedup_stats(SF_DIR, chunk=64),
         "repetition_ratios": lambda: filters.repetition_ratios(SF_DIR),
         "source_balanced_sample": lambda: filters.source_balanced_sample(SF_DIR),
+        "pack_sequences": lambda: filters.pack_sequences(SF_DIR),
     }
     timings = {}
     for name, fn in suite.items():

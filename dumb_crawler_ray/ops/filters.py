@@ -15,6 +15,8 @@ Raffel et al. 2020):
   2-gram share, duplicated 3-gram share)
 - `source_balanced_sample` — deterministic token-budget rebalancing
   across sources (hash-threshold sampling in exact integer arithmetic)
+- `pack_sequences`      — greedy training-sequence packing into
+  token-budget bins, deterministic across cluster sizes
 
 Every rule is INTEGER arithmetic and every regex is RE2-compatible
 (pyarrow.compute and DuckDB both run RE2), so each op has an exact
@@ -607,3 +609,87 @@ def source_balanced_sample(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
         keep_fn, batch_format="pyarrow", **remote_kwargs()
     ).sort("doc_id")
+
+
+# ------------------------------------------------------ sequence packing
+
+PACK_BUDGET = 512   # token budget per packed training sequence
+PACK_GROUP = 256    # docs per pack group (doc_id // PACK_GROUP)
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   group: int = PACK_GROUP, n_partitions: int | None = None):
+    """Training-sequence packing: assign every document to a packed bin of
+    at most `budget` tokens (an over-budget doc gets a bin alone), packing
+    GREEDILY in doc_id order WITHIN fixed arithmetic groups
+    (doc_id // group). Because group membership and in-group order are
+    pure arithmetic — never partition boundaries — the bin assignment is
+    identical across cluster sizes, block splits and reruns, and a
+    recursive-CTE DuckDB oracle replays the greedy scan exactly.
+
+    Shape: map_batches computes (doc, n_tokens, grp) → ONE keyed
+    repartition on grp co-locates each group → block-local sort + greedy
+    cumulative scan per group segment → bin_id = grp·1000 + in-group bin.
+    Groups are small (`group` docs) so no segment scan ever sees more
+    than `group` rows; shuffle volume is one row per doc of three ints."""
+    import ray
+
+    def explode(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t.column("text"), pattern=TOKEN_REGEX),
+            pa.int64(),
+        )
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": n_tok,
+             "grp": pa.array(ids // group, pa.int64())}
+        )
+
+    def pack_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "bin_id": pa.array([], pa.int64())})
+        ids = b.column("doc_id").to_numpy()
+        toks = b.column("n_tokens").to_numpy()
+        grps = b.column("grp").to_numpy()
+        o = np.lexsort((ids, grps))
+        ids, toks, grps = ids[o], toks[o], grps[o]
+        bins = np.empty(len(ids), dtype=np.int64)
+        acc = 0
+        cur_bin = 0
+        prev_grp = None
+        for i in range(len(ids)):
+            if grps[i] != prev_grp:
+                prev_grp = grps[i]
+                acc, cur_bin = toks[i], 0
+            elif acc + toks[i] > budget:
+                acc, cur_bin = toks[i], cur_bin + 1
+            else:
+                acc += toks[i]
+            bins[i] = grps[i] * 1000 + cur_bin
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "bin_id": pa.array(bins, pa.int64())}
+        )
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        packed_mat = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["grp"])
+            .map_batches(pack_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    packed = ray.data.from_arrow_refs(list(packed_mat.to_arrow_refs()))
+    return packed.sort("doc_id")

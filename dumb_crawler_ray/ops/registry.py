@@ -1078,6 +1078,38 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # greedy packing is a cumulative scan with reset — a recursive CTE
+    # walks each group in doc_id order carrying (accumulator, bin), the
+    # exact replay of pack_block's loop; groups are ≤ PACK_GROUP docs so
+    # the recursion depth is bounded and tiny
+    reg["pack_sequences"] = (
+        filters.pack_sequences,
+        f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                   doc_id // {filters.PACK_GROUP} AS grp
+            FROM documents
+        ), seq AS (
+            SELECT doc_id, n_tokens, grp,
+                   row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+            FROM d
+        ), rec(grp, rn, doc_id, n_tokens, acc, bin) AS (
+            SELECT grp, rn, doc_id, n_tokens, n_tokens, 0
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.grp, s.rn, s.doc_id, s.n_tokens,
+                   CASE WHEN r.acc + s.n_tokens > {filters.PACK_BUDGET}
+                        THEN s.n_tokens ELSE r.acc + s.n_tokens END,
+                   CASE WHEN r.acc + s.n_tokens > {filters.PACK_BUDGET}
+                        THEN r.bin + 1 ELSE r.bin END
+            FROM rec r JOIN seq s ON s.grp = r.grp AND s.rn = r.rn + 1
+        )
+        SELECT doc_id, n_tokens, grp * 1000 + bin AS bin_id
+        FROM rec ORDER BY doc_id
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)

@@ -85,7 +85,7 @@ SQL_CHECKED = [
     "corpus_stats", "minhash_near_dup_pairs", "near_dup_clusters",
     "gopher_quality_flags", "pii_scrub_stats", "contamination_overlap",
     "line_dedup_stats", "winnowed_fingerprints", "repetition_ratios",
-    "source_balanced_sample",
+    "source_balanced_sample", "pack_sequences",
 ]
 
 
@@ -903,3 +903,30 @@ def test_source_balanced_sample_semantics(registry, ray_session):
     # kept token mass per source lands near the smallest source's budget
     kept = df.groupby("source")["n_tokens"].sum()
     assert kept.max() <= 2 * m
+
+
+def test_pack_sequences_invariants(registry, ray_session):
+    """Every bin respects the token budget (oversize docs sit alone),
+    packing is greedy in doc_id order within arithmetic groups, and an
+    over-budget doc starts its own bin without breaking neighbors."""
+    from dumb_crawler_ray.ops.filters import PACK_BUDGET, pack_sequences
+
+    fn, _ = registry["pack_sequences"]
+    df = to_df(fn(SF))
+    assert len(df) == 500
+    fills = df.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
+    over = fills[fills["sum"] > PACK_BUDGET]
+    assert (over["count"] == 1).all()  # only single oversize docs exceed
+    # bins are contiguous runs of ascending doc_id within a group
+    assert (df.sort_values("doc_id")["bin_id"].diff().fillna(0) >= 0).all()
+
+    # planted: an oversize doc between two small ones
+    small = "tok " * 10
+    huge = "tok " * (PACK_BUDGET + 5)
+    d = _write_docs([small.strip(), huge.strip(), small.strip()])
+    pdf = to_df(pack_sequences(d))
+    by = {r.doc_id: r for r in pdf.itertuples()}
+    assert by[0].bin_id == 0          # grp 0, bin 0
+    assert by[1].bin_id == 1          # oversize → its own bin
+    assert by[1].n_tokens == PACK_BUDGET + 5
+    assert by[2].bin_id == 2          # small doc after an over-full bin
