@@ -232,20 +232,21 @@ def contamination_overlap(sf_dir: str, n_partitions: int | None = None):
     from ray.data.aggregate import Sum
 
     def explode(t: pa.Table) -> pa.Table:
-        sh_col, id_col, bench_col = [], [], []
+        # ONE vectorized hash call for the whole batch's shingles (a
+        # per-doc hash_array call pays pandas dispatch ~n_docs times)
+        strs, id_col, bench_col = [], [], []
         for doc_id, text_ in zip(t.column("doc_id").to_pylist(),
                                  t.column("text").to_pylist()):
             hs = _shingles(text_, CONTAM_K)
-            is_bench = doc_id % BENCH_MOD == 0
             if not hs:
                 continue
-            vals = (_stable64_batch(hs) & np.uint64((1 << 63) - 1)).tolist()
-            sh_col.extend(vals)
-            id_col.extend([doc_id] * len(vals))
-            bench_col.extend([is_bench] * len(vals))
+            strs.extend(hs)
+            id_col.extend([doc_id] * len(hs))
+            bench_col.extend([doc_id % BENCH_MOD == 0] * len(hs))
+        vals = (_stable64_batch(strs) & np.uint64((1 << 63) - 1)).astype(np.int64)
         return pa.table(
             {
-                "sh": pa.array(sh_col, pa.int64()),
+                "sh": pa.array(vals, pa.int64()),
                 "doc_id": pa.array(id_col, pa.int64()),
                 "is_bench": pa.array(bench_col, pa.bool_()),
             }
@@ -379,17 +380,17 @@ def line_dedup_stats(sf_dir: str, chunk: int = 0,
     from ray.data.aggregate import Sum
 
     def explode(t: pa.Table) -> pa.Table:
-        h_col, id_col = [], []
+        # one batch-wide hash call (see contamination_overlap.explode)
+        strs, id_col = [], []
         for doc_id, text_ in zip(t.column("doc_id").to_pylist(),
                                  t.column("text").to_pylist()):
             lines = _doc_lines(text_, chunk)
             if lines:
-                h_col.extend(
-                    (_stable64_batch(lines) & np.uint64((1 << 63) - 1)).tolist()
-                )
+                strs.extend(lines)
                 id_col.extend([doc_id] * len(lines))
+        vals = (_stable64_batch(strs) & np.uint64((1 << 63) - 1)).astype(np.int64)
         return pa.table(
-            {"lh": pa.array(h_col, pa.int64()),
+            {"lh": pa.array(vals, pa.int64()),
              "doc_id": pa.array(id_col, pa.int64())}
         )
 
