@@ -618,6 +618,33 @@ PACK_BUDGET = 512   # token budget per packed training sequence
 PACK_GROUP = 256    # docs per pack group (doc_id // PACK_GROUP)
 
 
+def greedy_pack(ids, toks, grps, budget):
+    """Greedy bin assignment in (grp, doc_id) order — the ONLY packing
+    authority (pack_block and the tests both call it). Returns the three
+    arrays re-sorted into scan order with `bins[i] = grp·1000 + bin`.
+    Input row order is irrelevant: the lexsort makes assignment a pure
+    function of the (id, tokens, group) SET."""
+    ids = np.asarray(ids, dtype=np.int64)
+    toks = np.asarray(toks, dtype=np.int64)
+    grps = np.asarray(grps, dtype=np.int64)
+    o = np.lexsort((ids, grps))
+    ids, toks, grps = ids[o], toks[o], grps[o]
+    bins = np.empty(len(ids), dtype=np.int64)
+    acc = 0
+    cur_bin = 0
+    prev_grp = None
+    for i in range(len(ids)):
+        if grps[i] != prev_grp:
+            prev_grp = grps[i]
+            acc, cur_bin = toks[i], 0
+        elif acc + toks[i] > budget:
+            acc, cur_bin = toks[i], cur_bin + 1
+        else:
+            acc += toks[i]
+        bins[i] = grps[i] * 1000 + cur_bin
+    return ids, toks, bins
+
+
 def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
                    group: int = PACK_GROUP, n_partitions: int | None = None):
     """Training-sequence packing: assign every document to a packed bin of
@@ -652,24 +679,11 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_tokens": pa.array([], pa.int64()),
                              "bin_id": pa.array([], pa.int64())})
-        ids = b.column("doc_id").to_numpy()
-        toks = b.column("n_tokens").to_numpy()
-        grps = b.column("grp").to_numpy()
-        o = np.lexsort((ids, grps))
-        ids, toks, grps = ids[o], toks[o], grps[o]
-        bins = np.empty(len(ids), dtype=np.int64)
-        acc = 0
-        cur_bin = 0
-        prev_grp = None
-        for i in range(len(ids)):
-            if grps[i] != prev_grp:
-                prev_grp = grps[i]
-                acc, cur_bin = toks[i], 0
-            elif acc + toks[i] > budget:
-                acc, cur_bin = toks[i], cur_bin + 1
-            else:
-                acc += toks[i]
-            bins[i] = grps[i] * 1000 + cur_bin
+        ids, toks, bins = greedy_pack(
+            b.column("doc_id").to_numpy(),
+            b.column("n_tokens").to_numpy(),
+            b.column("grp").to_numpy(), budget,
+        )
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()),
              "n_tokens": pa.array(toks, pa.int64()),

@@ -216,3 +216,81 @@ def test_unionfind_matches_bfs_components(edges):
         for m in comp:
             want[m] = rep
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=2000),
+                          st.integers(min_value=0, max_value=700)),
+                min_size=1, max_size=120, unique_by=lambda x: x[0]),
+       st.integers(min_value=1, max_value=600))
+def test_greedy_pack_properties(docs, budget):
+    """Bins never exceed the budget except singleton oversize docs; the
+    assignment is invariant to input row order; within a group, bin ids
+    are non-decreasing in doc_id order."""
+    import numpy as np
+
+    from dumb_crawler_ray.ops.filters import greedy_pack
+
+    ids = np.array([d[0] for d in docs])
+    toks = np.array([d[1] for d in docs])
+    grps = ids // 16
+    a_ids, a_toks, a_bins = greedy_pack(ids, toks, grps, budget)
+    # permutation invariance
+    perm = np.random.default_rng(0).permutation(len(ids))
+    b_ids, b_toks, b_bins = greedy_pack(ids[perm], toks[perm], grps[perm],
+                                        budget)
+    assert (a_ids == b_ids).all() and (a_bins == b_bins).all()
+    # budget respected except oversize singletons
+    fills = {}
+    counts = {}
+    for b, t in zip(a_bins, a_toks):
+        fills[b] = fills.get(b, 0) + int(t)
+        counts[b] = counts.get(b, 0) + 1
+    for b, f in fills.items():
+        assert f <= budget or counts[b] == 1
+    # monotone within group
+    order = np.argsort(a_ids)
+    for i in range(1, len(order)):
+        if a_ids[order[i]] // 16 == a_ids[order[i - 1]] // 16:
+            assert a_bins[order[i]] >= a_bins[order[i - 1]]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=300), st.integers(min_value=1, max_value=80))
+def test_doc_lines_chunk_mode_partitions_text(s, chunk):
+    """Chunk mode is a partition of the text: concatenation round-trips,
+    every chunk is ≤ chunk chars, count is ceil(len/chunk)."""
+    from dumb_crawler_ray.ops.filters import _doc_lines
+
+    lines = _doc_lines(s, chunk)
+    assert "".join(lines) == s
+    assert all(1 <= len(ln) <= chunk for ln in lines)
+    assert len(lines) == (len(s) + chunk - 1) // chunk
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=300))
+def test_doc_lines_newline_mode_strips_and_drops(s):
+    from dumb_crawler_ray.ops.filters import LINE_STRIP, _doc_lines
+
+    lines = _doc_lines(s, 0)
+    for ln in lines:
+        assert ln == ln.strip(LINE_STRIP) and ln != ""
+        assert "\n" not in ln
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=300))
+def test_pii_redaction_is_idempotent_and_never_raises(s):
+    """Redacting already-redacted text changes nothing: the placeholders
+    can never re-match either pattern."""
+    import re
+
+    from dumb_crawler_ray.ops.filters import EMAIL_RE, PHONE_RE
+
+    def scrub(x):
+        x = re.sub(EMAIL_RE, "<EMAIL>", x)
+        return re.sub(PHONE_RE, "<PHONE>", x)
+
+    once = scrub(s)
+    assert scrub(once) == once
