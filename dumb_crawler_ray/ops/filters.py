@@ -67,6 +67,75 @@ MIN_ALPHA_NUM, MIN_ALPHA_DEN = 4, 5         # alpha words ≥ 80%
 MIN_STOP_HITS = 2
 
 
+def gopher_features(text) -> dict:
+    """The Gopher rule features + keep decision for a text array —
+    shared by `gopher_quality_flags` and the curate pipeline's optional
+    quality gate (`pipelines/curate.py`), so both paths apply byte-for-
+    byte identical rules. Returns the feature columns plus `keep`."""
+    n_words = pc.cast(pc.count_substring_regex(text, pattern=TOKEN_REGEX),
+                      pa.int64())
+    n_token_chars = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(
+            text, pattern=r"[^A-Za-z0-9]", replacement="")),
+        pa.int64(),
+    )
+    n_newlines = pc.cast(pc.count_substring(text, pattern="\n"), pa.int64())
+    n_lines = pc.add(n_newlines, 1)
+    n_bullet = pc.cast(pc.count_substring_regex(text, pattern=BULLET_RE),
+                       pa.int64())
+    n_ellipsis = pc.cast(pc.count_substring_regex(text, pattern=ELLIPSIS_RE),
+                         pa.int64())
+    n_numeric = pc.cast(pc.count_substring_regex(text, pattern=NUMERIC_WORD_RE),
+                        pa.int64())
+    n_alpha = pc.subtract(n_words, n_numeric)
+    n_stop = pc.cast(
+        pc.count_substring_regex(pc.utf8_lower(text), pattern=STOP_RE),
+        pa.int64(),
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(pc.greater_equal(n_words, MIN_WORDS),
+                    pc.less_equal(n_words, MAX_WORDS)),
+            pc.and_(
+                pc.less_equal(pc.multiply(pa.scalar(MIN_MEAN_LEN, pa.int64()),
+                                          n_words), n_token_chars),
+                pc.less_equal(n_token_chars,
+                              pc.multiply(pa.scalar(MAX_MEAN_LEN, pa.int64()),
+                                          n_words)),
+            ),
+        ),
+        pc.and_(
+            pc.and_(
+                pc.less_equal(pc.multiply(pa.scalar(MAX_BULLET_DEN, pa.int64()),
+                                          n_bullet),
+                              pc.multiply(pa.scalar(MAX_BULLET_NUM, pa.int64()),
+                                          n_lines)),
+                pc.less_equal(pc.multiply(pa.scalar(MAX_ELLIPSIS_DEN, pa.int64()),
+                                          n_ellipsis),
+                              pc.multiply(pa.scalar(MAX_ELLIPSIS_NUM, pa.int64()),
+                                          n_lines)),
+            ),
+            pc.and_(
+                pc.greater_equal(pc.multiply(pa.scalar(MIN_ALPHA_DEN, pa.int64()),
+                                             n_alpha),
+                                 pc.multiply(pa.scalar(MIN_ALPHA_NUM, pa.int64()),
+                                             n_words)),
+                pc.greater_equal(n_stop, MIN_STOP_HITS),
+            ),
+        ),
+    )
+    return {
+        "n_words": n_words,
+        "n_token_chars": n_token_chars,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ellipsis,
+        "n_alpha_words": n_alpha,
+        "n_stop_hits": n_stop,
+        "keep": keep,
+    }
+
+
 def gopher_quality_flags(sf_dir: str):
     """Gopher-style per-document quality features and keep decision.
 
@@ -76,72 +145,8 @@ def gopher_quality_flags(sf_dir: str):
     oracle reproduces the keep column bit-exactly."""
 
     def fn(t: pa.Table) -> pa.Table:
-        text = t.column("text")
-        n_words = pc.cast(pc.count_substring_regex(text, pattern=TOKEN_REGEX),
-                          pa.int64())
-        n_token_chars = pc.cast(
-            pc.utf8_length(pc.replace_substring_regex(
-                text, pattern=r"[^A-Za-z0-9]", replacement="")),
-            pa.int64(),
-        )
-        n_newlines = pc.cast(pc.count_substring(text, pattern="\n"), pa.int64())
-        n_lines = pc.add(n_newlines, 1)
-        n_bullet = pc.cast(pc.count_substring_regex(text, pattern=BULLET_RE),
-                           pa.int64())
-        n_ellipsis = pc.cast(pc.count_substring_regex(text, pattern=ELLIPSIS_RE),
-                             pa.int64())
-        n_numeric = pc.cast(pc.count_substring_regex(text, pattern=NUMERIC_WORD_RE),
-                            pa.int64())
-        n_alpha = pc.subtract(n_words, n_numeric)
-        n_stop = pc.cast(
-            pc.count_substring_regex(pc.utf8_lower(text), pattern=STOP_RE),
-            pa.int64(),
-        )
-        keep = pc.and_(
-            pc.and_(
-                pc.and_(pc.greater_equal(n_words, MIN_WORDS),
-                        pc.less_equal(n_words, MAX_WORDS)),
-                pc.and_(
-                    pc.less_equal(pc.multiply(pa.scalar(MIN_MEAN_LEN, pa.int64()),
-                                              n_words), n_token_chars),
-                    pc.less_equal(n_token_chars,
-                                  pc.multiply(pa.scalar(MAX_MEAN_LEN, pa.int64()),
-                                              n_words)),
-                ),
-            ),
-            pc.and_(
-                pc.and_(
-                    pc.less_equal(pc.multiply(pa.scalar(MAX_BULLET_DEN, pa.int64()),
-                                              n_bullet),
-                                  pc.multiply(pa.scalar(MAX_BULLET_NUM, pa.int64()),
-                                              n_lines)),
-                    pc.less_equal(pc.multiply(pa.scalar(MAX_ELLIPSIS_DEN, pa.int64()),
-                                              n_ellipsis),
-                                  pc.multiply(pa.scalar(MAX_ELLIPSIS_NUM, pa.int64()),
-                                              n_lines)),
-                ),
-                pc.and_(
-                    pc.greater_equal(pc.multiply(pa.scalar(MIN_ALPHA_DEN, pa.int64()),
-                                                 n_alpha),
-                                     pc.multiply(pa.scalar(MIN_ALPHA_NUM, pa.int64()),
-                                                 n_words)),
-                    pc.greater_equal(n_stop, MIN_STOP_HITS),
-                ),
-            ),
-        )
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_words": n_words,
-                "n_token_chars": n_token_chars,
-                "n_lines": n_lines,
-                "n_bullet_lines": n_bullet,
-                "n_ellipsis_lines": n_ellipsis,
-                "n_alpha_words": n_alpha,
-                "n_stop_hits": n_stop,
-                "keep": keep,
-            }
-        )
+        feats = gopher_features(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), **feats})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", **remote_kwargs()

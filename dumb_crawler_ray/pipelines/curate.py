@@ -56,9 +56,16 @@ def _segment_bounds(inv: np.ndarray):
     return starts, ends
 
 
-def curate_corpus(ckpt_dir: str, min_chars: int = 20):
+def curate_corpus(ckpt_dir: str, min_chars: int = 20,
+                  gopher_gate: bool = False):
     """Run the curation pipeline over a crawl checkpoint's pages table.
-    Returns a Dataset of curated (deduplicated, quality-flagged) docs."""
+    Returns a Dataset of curated (deduplicated, quality-flagged) docs.
+
+    `gopher_gate=True` additionally scores every extracted text against
+    the `ops/filters.py` Gopher rule set (the SAME `gopher_features`
+    kernels the oracle-checked op runs) and appends a `gopher_ok`
+    column — the crawl→filter composition a production corpus build
+    chains. Off by default so the base output stays byte-stable."""
     import ray
 
     def latest_in_block(b: pa.Table) -> pa.Table:
@@ -85,18 +92,21 @@ def curate_corpus(ckpt_dir: str, min_chars: int = 20):
         norm = pc.utf8_lower(text)
         fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
                for s in norm.to_pylist()]
-        return pa.table(
-            {
-                "url_hash": t.column("url_hash"),
-                "url": t.column("url"),
-                "round": t.column("round"),
-                "n_chars": n_chars,
-                "n_tokens": n_tokens,
-                "fingerprint": pa.array(fps, pa.string()),
-                "quality_ok": pc.greater_equal(n_chars,
-                                               pa.scalar(min_chars, pa.int64())),
-            }
-        )
+        cols = {
+            "url_hash": t.column("url_hash"),
+            "url": t.column("url"),
+            "round": t.column("round"),
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "fingerprint": pa.array(fps, pa.string()),
+            "quality_ok": pc.greater_equal(n_chars,
+                                           pa.scalar(min_chars, pa.int64())),
+        }
+        if gopher_gate:
+            from ..ops.filters import gopher_features
+
+            cols["gopher_ok"] = gopher_features(text)["keep"]
+        return pa.table(cols)
 
     def keep_one_in_block(b: pa.Table) -> pa.Table:
         """Fingerprint-keyed block → one survivor (pinned min url_hash)

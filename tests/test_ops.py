@@ -654,6 +654,27 @@ def test_curated_corpus(registry, ray_session):
     pd.testing.assert_frame_equal(df, df2)
 
 
+def test_curated_corpus_gopher_gate(registry, ray_session):
+    """The optional Gopher gate appends gopher_ok without disturbing the
+    base columns — the crawl→filter composition path."""
+    from dumb_crawler_ray.ops.registry import _crawl_result
+    from dumb_crawler_ray.pipelines.curate import curate_corpus
+
+    r = _crawl_result()
+    base = to_df(registry["curated_corpus"][0](SF))
+    gated = to_df(curate_corpus(r.ckpt_dir, gopher_gate=True))
+    assert "gopher_ok" in gated.columns and gated["gopher_ok"].dtype == bool
+    pd.testing.assert_frame_equal(
+        gated.drop(columns=["gopher_ok"]), base)
+    # word-soup pages are short relative to MIN_WORDS on some fixtures —
+    # the gate must at least be non-constant OR all-False/True with sane
+    # agreement against n_tokens (the dominant rule at this fixture size)
+    from dumb_crawler_ray.ops.filters import MIN_WORDS
+
+    too_short = gated["n_tokens"] < MIN_WORDS
+    assert not gated.loc[too_short, "gopher_ok"].any()
+
+
 def test_image_quality_and_ann(registry, ray_session):
     """Payload-axis ops: quality stats cover every image with sane ranges;
     image-embedding ANN must rank each planted near-duplicate (idx%16==15
