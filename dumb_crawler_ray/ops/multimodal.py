@@ -591,3 +591,72 @@ def image_curation(images_parquet: str, max_hamming: int = 8):
 
     return zipped.map_batches(decide, batch_format="pyarrow",
                               **remote_kwargs()).sort("image_id")
+
+
+# ----------------------------------------------- caption-pair curation
+
+CAP_MIN_TOKENS, CAP_MAX_TOKENS = 4, 64
+CAP_DISTINCT_NUM, CAP_DISTINCT_DEN = 2, 3  # distinct tokens ≥ 2/3 of tokens
+
+
+def caption_stats(images_parquet: str):
+    """Image+caption pair curation stats — the metadata/caption-side
+    quality pass of a multimodal training-data pipeline, over the exact
+    BASELINE.json input-hint schema (image_id, bytes, w, h, fmt,
+    caption): caption token/distinct counts, orientation class, payload
+    density (bytes per kilopixel), and an integer-arithmetic keep rule —
+    all SQL-replayable, so this is the image-table op with a full DuckDB
+    oracle (the bytes column is only ever length-counted, never decoded,
+    so the read stays cheap).
+
+    One stateless map_batches pass; per-caption distinct counting is
+    per-row state (same precedent as `filters.repetition_ratios`)."""
+    import re
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .text import TOKEN_REGEX
+
+    tok_re = re.compile(TOKEN_REGEX)
+
+    def fn(t: pa.Table) -> pa.Table:
+        caps = t.column("caption").to_pylist()
+        n_tok = pc.cast(
+            pc.count_substring_regex(t.column("caption"), pattern=TOKEN_REGEX),
+            pa.int64(),
+        )
+        n_distinct = pa.array(
+            [len({w.lower() for w in tok_re.findall(c)}) for c in caps],
+            pa.int64(),
+        )
+        w = pc.cast(t.column("w"), pa.int64())
+        h = pc.cast(t.column("h"), pa.int64())
+        orientation = pc.if_else(
+            pc.greater(w, h), pa.scalar("landscape"),
+            pc.if_else(pc.less(w, h), pa.scalar("portrait"),
+                       pa.scalar("square")),
+        )
+        n_bytes = pc.cast(pc.binary_length(t.column("bytes")), pa.int64())
+        kpx = pc.divide(pc.multiply(n_bytes, pa.scalar(1000, pa.int64())),
+                        pc.multiply(w, h))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_tok, CAP_MIN_TOKENS),
+                    pc.less_equal(n_tok, CAP_MAX_TOKENS)),
+            pc.greater_equal(
+                pc.multiply(pa.scalar(CAP_DISTINCT_DEN, pa.int64()), n_distinct),
+                pc.multiply(pa.scalar(CAP_DISTINCT_NUM, pa.int64()), n_tok)),
+        )
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "n_cap_tokens": n_tok,
+             "n_distinct_tokens": n_distinct,
+             "orientation": orientation,
+             "n_bytes": n_bytes,
+             "bytes_per_kpx": kpx,
+             "keep": keep}
+        )
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "caption", "w", "h", "bytes"]
+    ).map_batches(fn, batch_format="pyarrow", **remote_kwargs()).sort("image_id")

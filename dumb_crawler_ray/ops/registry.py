@@ -868,6 +868,36 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # image+caption pair curation: caption/metadata arithmetic only (the
+    # bytes column is length-counted, never decoded) → fully SQL-checked
+    # over the same fixture glob as the phash oracle
+    reg["image_caption_stats"] = (
+        lambda sf: multimodal.caption_stats(f"{_fixture_dir()}/images.parquet"),
+        f"""
+        SELECT image_id,
+               CAST(len(regexp_extract_all(caption, '[A-Za-z0-9]+'))
+                    AS BIGINT) AS n_cap_tokens,
+               CAST(len(list_distinct(
+                        regexp_extract_all(lower(caption), '[a-z0-9]+')))
+                    AS BIGINT) AS n_distinct_tokens,
+               CASE WHEN w > h THEN 'landscape'
+                    WHEN w < h THEN 'portrait'
+                    ELSE 'square' END AS orientation,
+               CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+               CAST(octet_length(bytes) AS BIGINT) * 1000
+                   // (CAST(w AS BIGINT) * h) AS bytes_per_kpx,
+               (len(regexp_extract_all(caption, '[A-Za-z0-9]+'))
+                    BETWEEN {multimodal.CAP_MIN_TOKENS}
+                        AND {multimodal.CAP_MAX_TOKENS}
+                AND {multimodal.CAP_DISTINCT_DEN} * len(list_distinct(
+                        regexp_extract_all(lower(caption), '[a-z0-9]+')))
+                    >= {multimodal.CAP_DISTINCT_NUM}
+                        * len(regexp_extract_all(caption, '[A-Za-z0-9]+')))
+                   AS keep
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
+
     # --- quality-filter family (ops/filters.py) — every rule is integer
     # arithmetic over RE2 kernels, so all four are fully SQL-checked ---
 

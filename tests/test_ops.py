@@ -85,7 +85,7 @@ SQL_CHECKED = [
     "corpus_stats", "minhash_near_dup_pairs", "near_dup_clusters",
     "gopher_quality_flags", "pii_scrub_stats", "contamination_overlap",
     "line_dedup_stats", "winnowed_fingerprints", "repetition_ratios",
-    "source_balanced_sample", "pack_sequences",
+    "source_balanced_sample", "pack_sequences", "image_caption_stats",
 ]
 
 
@@ -605,6 +605,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
+        "image_caption_stats",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
@@ -951,3 +952,40 @@ def test_pack_sequences_invariants(registry, ray_session):
     assert by[1].bin_id == 1          # oversize → its own bin
     assert by[1].n_tokens == PACK_BUDGET + 5
     assert by[2].bin_id == 2          # small doc after an over-full bin
+
+
+def test_caption_stats_truth_table(ray_session):
+    """Constructed image rows exercise each caption rule edge: a good
+    caption keeps, a 2-token caption fails the length band, a fully
+    repetitive caption fails the distinct-fraction rule, and orientation
+    classes come from (w, h)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.multimodal import caption_stats
+
+    d = tempfile.mkdtemp()
+    t = pa.table({
+        "image_id": pa.array(["a", "b", "c", "d"]),
+        "bytes": pa.array([b"x" * 100, b"y" * 50, b"z" * 10, b"w" * 8000]),
+        "w": pa.array([64, 32, 16, 100], pa.int32()),
+        "h": pa.array([32, 32, 64, 100], pa.int32()),
+        "fmt": pa.array(["png"] * 4),
+        "caption": pa.array([
+            "a quiet harbor at dawn with mist",
+            "too short",
+            "spam spam spam spam spam spam",
+            "one two three four five six seven eight",
+        ]),
+    })
+    pq.write_table(t, os.path.join(d, "part.parquet"))
+    df = to_df(caption_stats(d))
+    by = {r.image_id: r for r in df.itertuples()}
+    assert by["a"].keep and by["a"].orientation == "landscape"
+    assert not by["b"].keep and by["b"].orientation == "square"   # 2 tokens
+    assert not by["c"].keep and by["c"].orientation == "portrait" # 1 distinct
+    assert by["c"].n_distinct_tokens == 1 and by["c"].n_cap_tokens == 6
+    assert by["d"].keep and by["d"].bytes_per_kpx == 8000 * 1000 // 10000
