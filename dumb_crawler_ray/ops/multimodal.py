@@ -660,3 +660,176 @@ def caption_stats(images_parquet: str):
     return ray.data.read_parquet(
         images_parquet, columns=["image_id", "caption", "w", "h", "bytes"]
     ).map_batches(fn, batch_format="pyarrow", **remote_kwargs()).sort("image_id")
+
+
+# ------------------------------------------------- exact content dedup
+
+DEDUP_PLANT_PERIOD = 8  # every 8th image gets an in-flight exact copy
+
+
+def image_exact_dedup(images_parquet: str, n_partitions: int | None = None):
+    """Exact content dedup over the binary image column — the image-side
+    X1: group by a fingerprint of the raw encoded bytes, keep the
+    smallest image_id, count copies.
+
+    Non-vacuity: the synthetic table has no exact byte duplicates by
+    construction, so (the `pii_scrub_stats` precedent) rows whose numeric
+    id is divisible by DEDUP_PLANT_PERIOD are duplicated IN-FLIGHT under
+    `zz-<image_id>` with identical bytes; the SQL oracle applies the
+    identical UNION ALL derivation, so no derived fixture is needed and
+    the `zz-` prefix sorts after `img`, keeping originals as keepers.
+
+    Fingerprint = md5 of the lowercase hex encoding of the bytes (this
+    DuckDB has no md5(BLOB); `lower(hex(bytes))` is its bytes→text
+    bridge and `bytes.hex()` is the Python half of the pact).
+
+    Shape: fingerprint map_batches → ONE keyed repartition on
+    fingerprint co-locates every copy → block-local Arrow group_by
+    (min id, count) IS the global aggregate — no per-group UDF dispatch,
+    and the shuffle carries (32-char fp, id) rows, never bytes."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import _hash_partition_count
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        out_ids, fps = [], []
+        for iid, data in zip(t.column("image_id").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            h = hashlib.md5(data.hex().encode("ascii")).hexdigest()
+            out_ids.append(iid)
+            fps.append(h)
+            if int(iid[3:]) % DEDUP_PLANT_PERIOD == 0:
+                out_ids.append("zz-" + iid)
+                fps.append(h)
+        return pa.table({"fingerprint": pa.array(fps, pa.string()),
+                         "image_id": pa.array(out_ids, pa.string())})
+
+    def agg_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"fingerprint": pa.array([], pa.string()),
+                             "keep_id": pa.array([], pa.string()),
+                             "n_copies": pa.array([], pa.int64())})
+        g = b.group_by("fingerprint").aggregate(
+            [("image_id", "min"), ("image_id", "count")])
+        return pa.table(
+            {"fingerprint": g.column("fingerprint"),
+             "keep_id": g.column("image_id_min"),
+             "n_copies": pc.cast(g.column("image_id_count"), pa.int64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            ray.data.read_parquet(images_parquet,
+                                  columns=["image_id", "bytes"])
+            .map_batches(fp_batch, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["fingerprint"])
+            .map_batches(agg_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort("keep_id")
+
+
+# ------------------------------------- aspect-bucketed shard packing
+
+IMG_SHARD_BUDGET = 65536  # bytes per output shard (WebDataset-style)
+IMG_PACK_GROUP = 64       # arithmetic packing group (idx // 64)
+
+
+def image_shard_pack(images_parquet: str, budget: int = IMG_SHARD_BUDGET,
+                     group: int = IMG_PACK_GROUP,
+                     n_partitions: int | None = None):
+    """Aspect-bucketed training-shard packing: assign every image to an
+    output shard of at most `budget` payload bytes, packing greedily in
+    image_id order WITHIN (w, h, idx // group) — the image-side X49.
+    Aspect bucketing (all images in a shard share exact (w, h)) is the
+    standard multimodal-training batch constraint; the byte budget is the
+    WebDataset shard-size constraint. Group membership and in-group order
+    are pure arithmetic — never partition boundaries — so shard
+    assignment is identical across cluster sizes and reruns, and a
+    recursive-CTE DuckDB oracle replays the greedy scan exactly.
+
+    Shape: one map_batches computes (id, idx, w, h, n_bytes, bucket·grp
+    key) — bytes are length-counted, never shipped — → ONE keyed
+    repartition co-locates each (bucket, grp) → block-local lexsort +
+    greedy cumulative scan per segment (≤ `group` rows each). A shard is
+    identified by (w, h, bin_id) with bin_id = grp·1000 + in-group bin,
+    mirroring `filters.greedy_pack` semantics (an over-budget image gets
+    a shard alone)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import _hash_partition_count
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id")
+        idx = pa.array([int(s[3:]) for s in ids.to_pylist()], pa.int64())
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        grp = idx.to_numpy() // group
+        key = (w * 1000 + h) * 100000 + grp
+        n_bytes = pc.cast(pc.binary_length(t.column("bytes")), pa.int64())
+        return pa.table(
+            {"image_id": ids, "idx": idx,
+             "w": t.column("w"), "h": t.column("h"),
+             "n_bytes": n_bytes,
+             "grp": pa.array(grp, pa.int64()),
+             "key": pa.array(key, pa.int64())})
+
+    def pack_block(b: pa.Table) -> pa.Table:
+        schema = {"image_id": pa.string(), "w": pa.int32(), "h": pa.int32(),
+                  "n_bytes": pa.int64(), "bin_id": pa.int64()}
+        if len(b) == 0:
+            return pa.table({k: pa.array([], v) for k, v in schema.items()})
+        idx = b.column("idx").to_numpy()
+        key = b.column("key").to_numpy()
+        grp = b.column("grp").to_numpy()
+        nb = b.column("n_bytes").to_numpy()
+        o = np.lexsort((idx, key))
+        bins = np.empty(len(o), dtype=np.int64)
+        prev_key = None
+        acc = 0
+        cur = 0
+        for pos, i in enumerate(o):
+            if key[i] != prev_key:
+                prev_key, acc, cur = key[i], int(nb[i]), 0
+            elif acc + int(nb[i]) > budget:
+                acc, cur = int(nb[i]), cur + 1
+            else:
+                acc += int(nb[i])
+            bins[pos] = grp[i] * 1000 + cur
+        oi = pa.array(o)
+        return pa.table(
+            {"image_id": pc.take(b.column("image_id"), oi),
+             "w": pc.take(b.column("w"), oi),
+             "h": pc.take(b.column("h"), oi),
+             "n_bytes": pc.take(b.column("n_bytes"), oi),
+             "bin_id": pa.array(bins, pa.int64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            ray.data.read_parquet(
+                images_parquet, columns=["image_id", "w", "h", "bytes"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["key"])
+            .map_batches(pack_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort("image_id")

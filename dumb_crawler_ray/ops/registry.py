@@ -898,6 +898,66 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # image-side X1: exact byte-content dedup with in-flight planted
+    # duplicates (pii_scrub_stats precedent — the identical UNION ALL
+    # derivation in SQL, so no derived fixture); fingerprint pact is
+    # md5(lower(hex(bytes))) == hashlib.md5(bytes.hex()) (no md5(BLOB)
+    # in this DuckDB)
+    reg["image_exact_dedup"] = (
+        lambda sf: multimodal.image_exact_dedup(
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        WITH base AS (
+            SELECT image_id, bytes FROM read_parquet('{_IMAGES_PQ}')
+        ), planted AS (
+            SELECT image_id, bytes FROM base
+            UNION ALL
+            SELECT 'zz-' || image_id, bytes FROM base
+            WHERE CAST(substr(image_id, 4) AS BIGINT)
+                      % {multimodal.DEDUP_PLANT_PERIOD} = 0
+        )
+        SELECT md5(lower(hex(bytes))) AS fingerprint,
+               min(image_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM planted GROUP BY md5(lower(hex(bytes))) ORDER BY keep_id
+        """,
+    )
+
+    # image-side X49: aspect-bucketed byte-budget shard packing; the
+    # recursive CTE replays the greedy scan per (w, h, idx // group)
+    # exactly (an over-budget image starts, and may overflow, its own
+    # shard — same CASE arithmetic both sides)
+    reg["image_shard_pack"] = (
+        lambda sf: multimodal.image_shard_pack(
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        WITH RECURSIVE d AS (
+            SELECT image_id, w, h,
+                   CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+                   CAST(substr(image_id, 4) AS BIGINT)
+                       // {multimodal.IMG_PACK_GROUP} AS grp
+            FROM read_parquet('{_IMAGES_PQ}')
+        ), seq AS (
+            SELECT *, row_number() OVER (PARTITION BY w, h, grp
+                                         ORDER BY image_id) AS rn
+            FROM d
+        ), rec(w, h, grp, rn, image_id, n_bytes, acc, bin) AS (
+            SELECT w, h, grp, rn, image_id, n_bytes, n_bytes, 0
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.w, s.h, s.grp, s.rn, s.image_id, s.n_bytes,
+                   CASE WHEN r.acc + s.n_bytes > {multimodal.IMG_SHARD_BUDGET}
+                        THEN s.n_bytes ELSE r.acc + s.n_bytes END,
+                   CASE WHEN r.acc + s.n_bytes > {multimodal.IMG_SHARD_BUDGET}
+                        THEN r.bin + 1 ELSE r.bin END
+            FROM rec r JOIN seq s ON s.w = r.w AND s.h = r.h
+                                 AND s.grp = r.grp AND s.rn = r.rn + 1
+        )
+        SELECT image_id, w, h, n_bytes, grp * 1000 + bin AS bin_id
+        FROM rec ORDER BY image_id
+        """,
+    )
+
     # --- quality-filter family (ops/filters.py) — every rule is integer
     # arithmetic over RE2 kernels, so all four are fully SQL-checked ---
 

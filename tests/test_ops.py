@@ -86,6 +86,7 @@ SQL_CHECKED = [
     "gopher_quality_flags", "pii_scrub_stats", "contamination_overlap",
     "line_dedup_stats", "winnowed_fingerprints", "repetition_ratios",
     "source_balanced_sample", "pack_sequences", "image_caption_stats",
+    "image_exact_dedup", "image_shard_pack",
 ]
 
 
@@ -605,7 +606,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
-        "image_caption_stats",
+        "image_caption_stats", "image_exact_dedup", "image_shard_pack",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
@@ -989,3 +990,41 @@ def test_caption_stats_truth_table(ray_session):
     assert not by["c"].keep and by["c"].orientation == "portrait" # 1 distinct
     assert by["c"].n_distinct_tokens == 1 and by["c"].n_cap_tokens == 6
     assert by["d"].keep and by["d"].bytes_per_kpx == 8000 * 1000 // 10000
+
+
+def test_image_exact_dedup_invariants(ray_session):
+    """Planted in-flight duplicates (idx % PLANT_PERIOD == 0) form exactly
+    the 2-copy groups, every keeper is an original (zz- sorts after img),
+    and distinct source images never merge."""
+    from dumb_crawler_ray.ops.multimodal import (DEDUP_PLANT_PERIOD,
+                                                 image_exact_dedup)
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+    from dumb_crawler_ray.sources.synthweb import n_images
+
+    df = to_df(image_exact_dedup(f"{_fixture_dir()}/images.parquet"))
+    n = n_images(4)
+    assert len(df) == n                       # one group per source image
+    assert not df["keep_id"].str.startswith("zz-").any()
+    dup = df[df["n_copies"] == 2]
+    assert len(dup) == len(range(0, n, DEDUP_PLANT_PERIOD))
+    assert (dup["keep_id"].str[3:].astype(int) % DEDUP_PLANT_PERIOD == 0).all()
+    assert (df["n_copies"] <= 2).all()
+
+
+def test_image_shard_pack_invariants(ray_session):
+    """Every shard (w, h, bin_id) stays within the byte budget unless it
+    is a single over-budget image; shard membership never mixes aspect
+    buckets; assignment is partitioning-independent."""
+    from dumb_crawler_ray.ops.multimodal import (IMG_SHARD_BUDGET,
+                                                 image_shard_pack)
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+
+    imgs = f"{_fixture_dir()}/images.parquet"
+    df = to_df(image_shard_pack(imgs))
+    sizes = df.groupby(["w", "h", "bin_id"]).agg(
+        total=("n_bytes", "sum"), n=("n_bytes", "size"))
+    over = sizes[sizes["total"] > IMG_SHARD_BUDGET]
+    assert (over["n"] == 1).all()             # only lone over-budget images
+    assert (sizes["n"] >= 1).all()
+    df2 = to_df(image_shard_pack(imgs, n_partitions=2)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df.reset_index(drop=True), df2)
