@@ -213,7 +213,10 @@ def run_queries() -> dict:
 def run_queries_extra() -> dict:
     """Round-2/3 operators, timed under a separate key so the headline
     `value` stays comparable across rounds."""
-    from dumb_crawler_ray.ops import ann, dedup, filters, relational, text
+    from dumb_crawler_ray.ops import ann, dedup, filters, multimodal, relational, text
+    from dumb_crawler_ray.sources.synthweb import write_fixture
+
+    fix = write_fixture(FIXTURE_DIR, seed=42, scale=BENCH_SCALE)
 
     def consume(result):
         if hasattr(result, "iter_batches"):
@@ -242,6 +245,14 @@ def run_queries_extra() -> dict:
         "repetition_ratios": lambda: filters.repetition_ratios(SF_DIR),
         "source_balanced_sample": lambda: filters.source_balanced_sample(SF_DIR),
         "pack_sequences": lambda: filters.pack_sequences(SF_DIR),
+        "duplicated_text_share": lambda: filters.duplicated_text_share(SF_DIR),
+        # round 3: image-table curation ops (fixture-backed, SQL-checked)
+        "image_caption_stats": lambda: multimodal.caption_stats(
+            f"{fix}/images.parquet"),
+        "image_exact_dedup": lambda: multimodal.image_exact_dedup(
+            f"{fix}/images.parquet"),
+        "image_shard_pack": lambda: multimodal.image_shard_pack(
+            f"{fix}/images.parquet"),
     }
     timings = {}
     for name, fn in suite.items():

@@ -36,6 +36,8 @@ per token.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -713,3 +715,127 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
         ctx.shuffle_strategy = prev
     packed = ray.data.from_arrow_refs(list(packed_mat.to_arrow_refs()))
     return packed.sort("doc_id")
+
+
+# --------------------------------------- cross-doc duplicated-text share
+
+DUP_K = 8           # token width of the exact-substring unit
+DUP_SHARE_DEN = 5   # flag when dup positions ≥ 1/DEN of all positions
+
+
+def duplicated_text_share(sf_dir: str, n_partitions: int | None = None):
+    """Exact-substring dedup rate (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): for every document, how many of
+    its `DUP_K`-token gram POSITIONS (with multiplicity — not distinct
+    shingles) carry a gram that also occurs in at least one OTHER
+    document, plus a ≥1/DUP_SHARE_DEN share flag. Within-doc repeats do
+    NOT count (that is `repetition_ratios`); this measures cross-document
+    boilerplate — the signal substring-level dedup acts on.
+
+    Shape (the `contamination_overlap` machinery, self-join flavored):
+    explode one (gram-hash, doc, count) row per DISTINCT gram per doc —
+    multiplicity rides along as an int, gram text never shuffles — → ONE
+    keyed repartition on the hash co-locates every doc holding a gram →
+    block-local segment scan: a segment with ≥2 rows (≥2 docs) marks all
+    its rows' counts duplicated; per-(block, doc) partial sums →
+    groupby(doc).sum unioned with a (doc, n_grams, 0) base pass so
+    clean and short (< DUP_K tokens) docs keep a row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        strs, bounds = [], [0]
+        doc_ids = t.column("doc_id").to_pylist()
+        for text_ in t.column("text").to_pylist():
+            toks = re.findall(TOKEN_REGEX, text_.lower())
+            strs.extend(" ".join(toks[i:i + DUP_K])
+                        for i in range(len(toks) - DUP_K + 1))
+            bounds.append(len(strs))
+        hashed = (_stable64_batch(strs)
+                  & np.uint64((1 << 63) - 1)).astype(np.int64)
+        sh_col, id_col, cnt_col = [], [], []
+        for doc_id, lo, hi in zip(doc_ids, bounds[:-1], bounds[1:]):
+            u, c = np.unique(hashed[lo:hi], return_counts=True)
+            sh_col.append(u)
+            id_col.append(np.full(len(u), doc_id, dtype=np.int64))
+            cnt_col.append(c.astype(np.int64))
+        cat = (np.concatenate(x) if x else np.empty(0, np.int64)
+               for x in (sh_col, id_col, cnt_col))
+        sh, ids, cnt = cat
+        return pa.table({"sh": pa.array(sh, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    def dup_in_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "dup_grams": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        sh = b.column("sh").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        cnt = b.column("cnt").to_numpy()
+        o = np.argsort(sh, kind="stable")
+        sh, ids, cnt = sh[o], ids[o], cnt[o]
+        seg_id = np.cumsum(np.concatenate([[False], sh[1:] != sh[:-1]]))
+        seg_rows = np.bincount(seg_id)
+        dup = seg_rows[seg_id] >= 2  # ≥2 docs share this gram
+        if not dup.any():
+            return empty
+        u, inv = np.unique(ids[dup], return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, inv, cnt[dup])
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "dup_grams": pa.array(sums, pa.int64())})
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for doc_id, text_ in zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist()):
+            n_tok = len(re.findall(TOKEN_REGEX, text_.lower()))
+            ids.append(doc_id)
+            ns.append(max(0, n_tok - DUP_K + 1))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(ns, pa.int64()),
+                         "dup_grams": pa.array([0] * len(ids), pa.int64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        dup_mat = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["sh"])
+            .map_batches(dup_in_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .map_batches(
+                lambda b: b.append_column(
+                    "n_grams", pa.array([0] * len(b), pa.int64())),
+                batch_format="pyarrow", **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    dup = ray.data.from_arrow_refs(list(dup_mat.to_arrow_refs()))
+    base = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        base_rows, batch_format="pyarrow", **remote_kwargs())
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("sum(n_grams)")
+        d = t.column("sum(dup_grams)")
+        flag = pc.and_(
+            pc.greater(n, 0),
+            pc.greater_equal(pc.multiply(d, pa.scalar(DUP_SHARE_DEN,
+                                                      pa.int64())), n))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_grams": n, "dup_grams": d, "dup_flag": flag})
+
+    return (
+        base.union(dup.select_columns(["doc_id", "n_grams", "dup_grams"]))
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams"), Sum("dup_grams"))
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )

@@ -1200,6 +1200,46 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # cross-doc exact-substring dedup rate (Lee et al.): gram POSITIONS
+    # (with multiplicity) whose 8-gram occurs in ≥2 docs; the SQL replays
+    # every position via unnest(range) + list-slice grams, so the hash-
+    # identity Ray path is checked against the literal gram text
+    reg["duplicated_text_share"] = (
+        filters.duplicated_text_share,
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(range(1, len(ts) - {filters.DUP_K} + 2)) AS i,
+                   ts
+            FROM toks WHERE len(ts) >= {filters.DUP_K}
+        ), grams AS (
+            SELECT doc_id,
+                   array_to_string(ts[i:i+{filters.DUP_K}-1], ' ') AS g
+            FROM pos
+        ), nd AS (
+            SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g
+        ), dup AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+            FROM grams JOIN nd USING (g) WHERE ndocs >= 2 GROUP BY doc_id
+        ), base AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM grams GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(b.n_grams, 0) AS n_grams,
+               COALESCE(d.dup_grams, 0) AS dup_grams,
+               (COALESCE(b.n_grams, 0) > 0
+                AND {filters.DUP_SHARE_DEN} * COALESCE(d.dup_grams, 0)
+                    >= COALESCE(b.n_grams, 0)) AS dup_flag
+        FROM toks t
+        LEFT JOIN base b USING (doc_id) LEFT JOIN dup d USING (doc_id)
+        ORDER BY t.doc_id
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)

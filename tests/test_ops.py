@@ -86,7 +86,7 @@ SQL_CHECKED = [
     "gopher_quality_flags", "pii_scrub_stats", "contamination_overlap",
     "line_dedup_stats", "winnowed_fingerprints", "repetition_ratios",
     "source_balanced_sample", "pack_sequences", "image_caption_stats",
-    "image_exact_dedup", "image_shard_pack",
+    "image_exact_dedup", "image_shard_pack", "duplicated_text_share",
 ]
 
 
@@ -1028,3 +1028,34 @@ def test_image_shard_pack_invariants(ray_session):
     assert (sizes["n"] >= 1).all()
     df2 = to_df(image_shard_pack(imgs, n_partitions=2)).reset_index(drop=True)
     pd.testing.assert_frame_equal(df.reset_index(drop=True), df2)
+
+
+def test_duplicated_text_share_planted(ray_session):
+    """A verbatim copy of doc 0's text planted as doc 99999 must drive
+    BOTH docs to 100% duplicated positions; a unique doc stays at 0; a
+    doc shorter than DUP_K tokens gets n_grams == 0 and no flag."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.filters import DUP_K, duplicated_text_share
+
+    d = tempfile.mkdtemp()
+    copied = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi")
+    unique = ("completely different words that never repeat anywhere else "
+              "in this tiny corpus at all honestly")
+    short = "just a few tokens"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 99999], pa.int64()),
+        "text": pa.array([copied, unique, short, copied], pa.string()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    df = to_df(duplicated_text_share(d)).set_index("doc_id")
+    n0 = len(copied.split()) - DUP_K + 1
+    assert df.loc[0, "n_grams"] == n0 and df.loc[0, "dup_grams"] == n0
+    assert df.loc[99999, "dup_grams"] == n0 and bool(df.loc[99999, "dup_flag"])
+    assert df.loc[1, "dup_grams"] == 0 and not bool(df.loc[1, "dup_flag"])
+    assert df.loc[2, "n_grams"] == 0 and not bool(df.loc[2, "dup_flag"])
