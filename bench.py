@@ -246,6 +246,9 @@ def run_queries_extra() -> dict:
         "source_balanced_sample": lambda: filters.source_balanced_sample(SF_DIR),
         "pack_sequences": lambda: filters.pack_sequences(SF_DIR),
         "duplicated_text_share": lambda: filters.duplicated_text_share(SF_DIR),
+        "quality_classifier_scores": lambda: filters.quality_classifier_scores(
+            SF_DIR),
+        "doc_split": lambda: text.doc_split(SF_DIR),
         # round 3: image-table curation ops (fixture-backed, SQL-checked)
         "image_caption_stats": lambda: multimodal.caption_stats(
             f"{fix}/images.parquet"),

@@ -839,3 +839,61 @@ def duplicated_text_share(sf_dir: str, n_partitions: int | None = None):
         .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
         .sort("doc_id")
     )
+
+
+# ------------------------------------ hashed linear quality classifier
+
+QC_BUCKETS = 1 << 20   # hashed feature space (fastText-style)
+QC_MUL = 2654435761    # Knuth multiplicative constant (bucket→weight)
+QC_ADD = 97
+QC_MOD = 1000003       # prime weight range
+QC_CENTER = QC_MOD // 2  # 500001: weights land in [-500001, 500001]
+
+
+def quality_classifier_scores(sf_dir: str):
+    """fastText-SHAPED quality classifier stand-in: hashed token-bigram
+    features × a deterministic integer weight table, margin = Σ w[b] over
+    bigram positions, keep = margin ≥ 0. The real model-scoring seam is
+    the weight function — a deployment swaps in trained weights
+    (`ray.put` the array, look up per bucket) without touching the
+    pipeline shape; here weights are the pure arithmetic
+    `((b·QC_MUL + QC_ADD) mod QC_MOD) − QC_CENTER` so the ENTIRE
+    inference pass replays in DuckDB (bucket ids are md5-derived — the
+    minhash pact — and b < 2^20 keeps every product inside int64 on both
+    sides).
+
+    Zero shuffle: scoring is per-doc state, one stateless vectorized
+    map_batches pass (hash call batched across the whole block)."""
+    import ray
+
+    from .dedup import _md5_64_batch
+
+    def score(t: pa.Table) -> pa.Table:
+        strs, bounds = [], [0]
+        doc_ids = t.column("doc_id").to_pylist()
+        for text_ in t.column("text").to_pylist():
+            toks = re.findall(TOKEN_REGEX, text_.lower())
+            strs.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+            bounds.append(len(strs))
+        hashed = _md5_64_batch(strs)
+        b = (hashed % np.uint64(QC_BUCKETS)).astype(np.int64)
+        w = (b * QC_MUL + QC_ADD) % QC_MOD - QC_CENTER
+        bounds_arr = np.asarray(bounds)
+        n_feats = np.diff(bounds_arr)
+        # Σ per doc via reduceat (empty docs → 0, reduceat can't do that)
+        margins = np.zeros(len(doc_ids), dtype=np.int64)
+        nz = n_feats > 0
+        if w.size:
+            sums = np.add.reduceat(w, bounds_arr[:-1][nz])
+            margins[nz] = sums
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "n_feats": pa.array(n_feats.astype(np.int64), pa.int64()),
+             "margin": pa.array(margins, pa.int64()),
+             "keep": pa.array(margins >= 0, pa.bool_())})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )

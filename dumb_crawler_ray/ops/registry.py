@@ -1240,6 +1240,59 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # fastText-shaped hashed linear classifier: bucket ids are md5-derived
+    # (the minhash pact) and b < 2^20 keeps every product in int64, so the
+    # whole inference pass replays in SQL
+    reg["quality_classifier_scores"] = (
+        filters.quality_classifier_scores,
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(range(1, len(ts))) AS i, ts
+            FROM toks WHERE len(ts) >= 2
+        ), feat AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 16))
+                        ::UBIGINT % {filters.QC_BUCKETS} AS BIGINT) AS b
+            FROM pos
+        ), m AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   CAST(sum((b * {filters.QC_MUL} + {filters.QC_ADD})
+                            % {filters.QC_MOD} - {filters.QC_CENTER})
+                        AS BIGINT) AS margin
+            FROM feat GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(m.n_feats, 0) AS n_feats,
+               COALESCE(m.margin, 0) AS margin,
+               COALESCE(m.margin, 0) >= 0 AS keep
+        FROM toks t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id
+        """,
+    )
+
+    # deterministic corpus split keyed on ROW IDENTITY (doc_id), so text
+    # edits never migrate rows across the split boundary
+    reg["doc_split"] = (
+        text.doc_split,
+        f"""
+        WITH b AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::UBIGINT % 100 AS BIGINT) AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < {text.SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {text.SPLIT_TRAIN_PCT + text.SPLIT_VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)

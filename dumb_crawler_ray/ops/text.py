@@ -675,3 +675,38 @@ def approx_distinct_users(sf_dir: str):
             "sketch_bytes": pa.array([merged.nbytes], pa.int64()),
         }
     )
+
+
+SPLIT_TRAIN_PCT = 95   # md5-bucket percentages (train/val/test = 95/3/2)
+SPLIT_VAL_PCT = 3
+
+
+def doc_split(sf_dir: str):
+    """Deterministic train/val/test assignment: bucket = the first 8 hex
+    chars of md5(doc_id) mod 100 — a pure function of the ROW IDENTITY
+    (not the text, so editing a document never migrates it across the
+    split boundary and leaks val into train). Partition- and cluster-
+    size-independent by construction; per-source stratification follows
+    from hash uniformity, verified by the grouped-counts test. The
+    embarrassing-parallel split primitive every corpus release needs.
+
+    SQL pact: `('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+    ::BIGINT % 100` — int(md5(str(doc_id))[:8], 16) % 100 in Python."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                   for i in ids]
+        split = [("train" if b < SPLIT_TRAIN_PCT else
+                  "val" if b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT else "test")
+                 for b in buckets]
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "source": t.column("source"),
+             "bucket": pa.array(buckets, pa.int64()),
+             "split": pa.array(split, pa.string())})
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(fn, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )

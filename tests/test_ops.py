@@ -87,6 +87,7 @@ SQL_CHECKED = [
     "line_dedup_stats", "winnowed_fingerprints", "repetition_ratios",
     "source_balanced_sample", "pack_sequences", "image_caption_stats",
     "image_exact_dedup", "image_shard_pack", "duplicated_text_share",
+    "quality_classifier_scores", "doc_split",
 ]
 
 
@@ -1059,3 +1060,56 @@ def test_duplicated_text_share_planted(ray_session):
     assert df.loc[99999, "dup_grams"] == n0 and bool(df.loc[99999, "dup_flag"])
     assert df.loc[1, "dup_grams"] == 0 and not bool(df.loc[1, "dup_flag"])
     assert df.loc[2, "n_grams"] == 0 and not bool(df.loc[2, "dup_flag"])
+
+
+def test_quality_classifier_edges(ray_session):
+    """A doc with < 2 tokens has zero features and margin 0 (kept by the
+    ≥ 0 rule); margins recompute locally from the weight arithmetic; the
+    same text always gets the same margin (weights are pure functions)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.dedup import _md5_64_batch
+    from dumb_crawler_ray.ops.filters import (QC_ADD, QC_BUCKETS, QC_CENTER,
+                                              QC_MOD, QC_MUL,
+                                              quality_classifier_scores)
+
+    d = tempfile.mkdtemp()
+    texts = ["solo", "two tokens", "alpha beta gamma alpha beta"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    df = to_df(quality_classifier_scores(d)).set_index("doc_id")
+    assert df.loc[0, "n_feats"] == 0 and df.loc[0, "margin"] == 0
+    assert bool(df.loc[0, "keep"])
+
+    def local_margin(text):
+        toks = text.lower().split()
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        total = 0
+        for h in _md5_64_batch(grams):
+            b = int(h) % QC_BUCKETS
+            total += (b * QC_MUL + QC_ADD) % QC_MOD - QC_CENTER
+        return total
+
+    for i, text in enumerate(texts):
+        assert df.loc[i, "margin"] == local_margin(text), text
+
+
+def test_doc_split_stratified(registry, ray_session):
+    """Split fractions must hold globally AND per source (hash uniformity
+    gives stratification); assignment is a pure function of doc_id."""
+    fn, _ = registry["doc_split"]
+    df = to_df(fn(SF))
+    frac = df["split"].value_counts(normalize=True)
+    assert 0.90 <= frac["train"] <= 0.99
+    # sources are tiny here (25 docs each) so the per-source bound is the
+    # 3-sigma binomial envelope, not the asymptotic 95%
+    for src, g in df.groupby("source"):
+        assert (g["split"] == "train").mean() > 0.75, src
+    df2 = to_df(fn(SF))
+    pd.testing.assert_frame_equal(df.reset_index(drop=True),
+                                  df2.reset_index(drop=True))
