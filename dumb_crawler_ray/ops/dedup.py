@@ -586,8 +586,12 @@ def jaccard_clusters(sf_dir: str, threshold_num: int = 1,
 
 # ------------------------------------------------------ embedding near-dup
 
+PLANT_ID_OFFSET = 10_000_000  # planted-copy vec_id = original + offset
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
-                             n_planes: int = 12, seed: int = 99):
+                             n_planes: int = 12, seed: int = 99,
+                             plant_copies: int = 0):
     """Random-hyperplane LSH → in-bucket exact cosine, fully distributed:
 
       map_batches  normalize + sign-code each vector, EXPLODE to its own
@@ -599,7 +603,18 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
 
     The explode ships each vector n_planes+1 times — the standard LSH
     shuffle trade (bounded: (n_planes+1)·|table|); nothing ever
-    materializes on the driver. Deterministic; rows-only oracle."""
+    materializes on the driver.
+
+    FULL SQL oracle (registry): because the probe set is every 1-bit
+    flip, pair (x, y) is a candidate IFF hamming(code_x, code_y) ≤ 2 —
+    so DuckDB replays the whole pipeline as a self-join with
+    `bit_count(xor(code_a, code_b)) <= 2` over codes recomputed from the
+    SAME seeded plane constants (sign(raw·plane) == sign(normalized·
+    plane)), plus `list_cosine_similarity ≥ threshold`. `plant_copies=n`
+    duplicates rows with vec_id < n IN-FLIGHT as vec_id+PLANT_ID_OFFSET
+    (exact copies — cosine 1.0, SQL-replayable UNION ALL; the
+    pii_scrub_stats precedent) so the evidence is non-vacuous on a
+    random-embedding table."""
     import ray
 
     import pyarrow.parquet as pq
@@ -618,6 +633,13 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
 
     def code_explode(t: pa.Table) -> pa.Table:
         planes = ray.get(planes_ref)
+        if plant_copies:
+            mask = pc.less(t.column("vec_id"), plant_copies)
+            extra = t.filter(mask)
+            extra = extra.set_column(
+                extra.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(extra.column("vec_id"), PLANT_ID_OFFSET))
+            t = pa.concat_tables([t, extra])
         ids = t.column("vec_id").to_numpy()
         mat = embedding_matrix(t.column("embedding"))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

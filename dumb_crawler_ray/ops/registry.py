@@ -177,58 +177,6 @@ def image_embeddings_q(sf_dir: str):
     return ds.map_batches(meta, batch_format="pyarrow", **remote_kwargs())
 
 
-def embedding_near_dups_q(sf_dir: str):
-    """Driver-evidence wrapper for `dedup.embedding_near_dup_pairs`.
-
-    The testdata embeddings are RANDOM vectors (max pairwise cosine ≈0.51
-    at sf0.01), so the raw table's correct answer at the 0.95 threshold is
-    zero rows — vacuous evidence that can't distinguish "no near-dups in
-    fixture" from "op silently broken". This wrapper plants deterministic
-    ≥0.999-cosine near-duplicates of the first `n_plant` vectors (new
-    vec_id = 10_000_000 + original, tiny seeded perturbation) into a
-    derived /tmp fixture, so the op provably surfaces >0 verified pairs.
-    The unmodified-op behavior stays covered by the planted-pair pytest.
-    """
-    import os
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    from .vecutil import embedding_matrix, normalize_rows
-
-    import hashlib
-
-    n_plant = 8
-    # tag = path + a content fingerprint (size, mtime_ns) of the source
-    # table, so a regenerated embeddings.parquet invalidates the cache
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:8]
-    out_dir = f"/tmp/dcr_fixtures/emb_neardup_{tag}"
-    out_path = f"{out_dir}/embeddings.parquet"
-    if not os.path.exists(out_path):
-        os.makedirs(out_dir, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-        ids = t.column("vec_id").to_numpy()
-        order = np.argsort(ids)[:n_plant]
-        base = embedding_matrix(t.column("embedding"))[order]
-        rng = np.random.default_rng(1234)
-        planted = normalize_rows(
-            normalize_rows(base) + 0.01 * rng.standard_normal(base.shape)
-        )
-        extra = pa.table(
-            {
-                "vec_id": pa.array((ids[order] + 10_000_000).astype("int64")),
-                "embedding": pa.array(planted.tolist(),
-                                      t.schema.field("embedding").type),
-            }
-        )
-        tmp = out_path + ".tmp"
-        pq.write_table(pa.concat_tables([t.select(["vec_id", "embedding"]),
-                                         extra]), tmp)
-        os.replace(tmp, out_path)
-    return dedup.embedding_near_dup_pairs(out_dir)
 
 
 def _media_dir() -> str:
@@ -1293,8 +1241,47 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # embedding near-dup LSH — FULL SQL oracle: 1-bit-flip multi-probe ≡
+    # "candidate iff hamming(code_x, code_y) ≤ 2", codes replayed from
+    # the same 12 seeded hyperplanes (sign(raw·p) == sign(normalized·p)),
+    # cosine via list_cosine_similarity rounded like the op. Threshold
+    # 0.35 so hundreds of real pairs exercise code+cosine parity (at the
+    # production 0.95 default a random table yields only planted copies);
+    # plant_copies=8 duplicates vec_id<8 in-flight — identical UNION ALL
+    # below (pii_scrub_stats precedent)
+    import numpy as _np
+
+    _planes = _np.random.default_rng(99).standard_normal((64, 12))
+    _code_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in _planes[:, j])}]) > 0 THEN {1 << (11 - j)} ELSE 0 END)"
+        for j in range(12)
+    )
+    _EMB_THRESH = 0.35
+    reg["embedding_near_dup_pairs"] = (
+        lambda sf: dedup.embedding_near_dup_pairs(
+            sf, threshold=_EMB_THRESH, plant_copies=8),
+        f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), planted AS (
+            SELECT vec_id, e FROM base
+            UNION ALL
+            SELECT vec_id + {dedup.PLANT_ID_OFFSET}, e FROM base
+            WHERE vec_id < 8
+        ), codes AS (
+            SELECT vec_id, e, {_code_sql} AS code FROM planted
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.e, y.e), {dedup.SIM_DECIMALS})
+                   AS cosine
+        FROM codes x JOIN codes y ON x.vec_id < y.vec_id
+        WHERE bit_count(xor(x.code, y.code)) <= 2
+          AND list_cosine_similarity(x.e, y.e) >= {_EMB_THRESH}
+        ORDER BY a, b
+        """,
+    )
+
     # --- not SQL-expressible (driver records rows-only checks) ---
-    reg["embedding_near_dup_pairs"] = (embedding_near_dups_q, None)
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["embedding_kmeans"] = (ann.embedding_kmeans, None)
 

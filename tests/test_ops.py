@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "line_dedup_stats", "winnowed_fingerprints", "repetition_ratios",
     "source_balanced_sample", "pack_sequences", "image_caption_stats",
     "image_exact_dedup", "image_shard_pack", "duplicated_text_share",
-    "quality_classifier_scores", "doc_split",
+    "quality_classifier_scores", "doc_split", "embedding_near_dup_pairs",
 ]
 
 
@@ -211,9 +211,8 @@ def test_embedding_near_dups_deterministic(registry, ray_session):
     a = to_df(fn(SF))
     b = to_df(fn(SF))
     pd.testing.assert_frame_equal(a, b)
-    # all reported cosines respect the threshold (the sf embeddings are
-    # random — max pairwise cosine ≈ 0.51, so zero pairs is CORRECT there)
-    assert (a["cosine"] >= 0.95).all() if len(a) else True
+    # registry variant runs at threshold 0.35 (rich SQL-oracle surface)
+    assert len(a) > 0 and (a["cosine"] >= 0.35).all()
 
 
 def test_embedding_near_dups_finds_planted_pair(ray_session):
@@ -410,16 +409,19 @@ def test_asof_user_with_zero_clicks(ray_session):
 
 
 def test_embedding_near_dups_driver_evidence(registry, ray_session):
-    """The registry-level query must record >0 rows (planted near-dups in
-    the derived fixture) so driver evidence is non-vacuous."""
+    """The registry-level query must record >0 rows (exact copies planted
+    IN-FLIGHT, vec_id + PLANT_ID_OFFSET) so driver evidence is
+    non-vacuous; each planted copy pairs with its original at cosine 1."""
+    from dumb_crawler_ray.ops.dedup import PLANT_ID_OFFSET
+
     fn, _ = registry["embedding_near_dup_pairs"]
     df = to_df(fn(SF))
     assert len(df) > 0
-    assert (df["cosine"] >= 0.95).all()
-    # every planted pair maps original -> original + 10_000_000
-    planted = df[df["b"] >= 10_000_000]
+    assert (df["cosine"] >= 0.35).all()
+    planted = df[df["b"] >= PLANT_ID_OFFSET]
     assert len(planted) > 0
-    assert (planted["b"] - planted["a"] == 10_000_000).any()
+    copies = planted[planted["b"] - planted["a"] == PLANT_ID_OFFSET]
+    assert len(copies) == 8 and (copies["cosine"] == 1.0).all()
 
 
 def test_simhash_matches_independent_reimplementation(ray_session):
