@@ -1425,7 +1425,43 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
     reg["image_decode_stats"] = (image_decode_stats, None)
-    reg["image_keeplist"] = (image_keeplist_q, None)
+    # keep-list = connected components over the SAME oracle-green phash
+    # pair predicate (hamming ≤ 8 AND ≥1 exact band) — recursive-CTE
+    # transitive closure with min-reachable rep, LEFT JOIN so singleton
+    # images keep themselves (the jaccard_clusters pattern on the image
+    # table)
+    reg["image_keeplist"] = (
+        image_keeplist_q,
+        f"""
+        WITH RECURSIVE imgs AS (
+            SELECT image_id, phash FROM read_parquet('{_IMAGES_PQ}')
+        ), d AS (
+            SELECT x.image_id AS a, y.image_id AS b,
+                   xor(x.phash, y.phash) AS xo
+            FROM imgs x JOIN imgs y ON x.image_id < y.image_id
+        ), qpairs AS (
+            SELECT a, b FROM d
+            WHERE bit_count(xo) <= 8
+              AND ((xo & 65535) = 0 OR (xo & 4294901760) = 0
+                   OR (xo & 281470681743360) = 0
+                   OR (xo & -281474976710656) = 0)
+        ), edges AS (
+            SELECT a AS u, b AS v FROM qpairs
+            UNION ALL SELECT b, a FROM qpairs
+        ), reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), reps AS (
+            SELECT u AS node, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u
+        )
+        SELECT i.image_id,
+               COALESCE(p.rep, i.image_id) AS cluster_rep,
+               COALESCE(p.rep, i.image_id) = i.image_id AS keep
+        FROM imgs i LEFT JOIN reps p ON p.node = i.image_id
+        ORDER BY i.image_id
+        """,
+    )
     reg["image_quality"] = (image_quality_q, None)
     reg["image_ann_topk"] = (image_ann_topk_q, None)
     reg["image_curation"] = (image_curation_q, None)
