@@ -256,6 +256,8 @@ def run_queries_extra() -> dict:
             f"{fix}/images.parquet"),
         "image_shard_pack": lambda: multimodal.image_shard_pack(
             f"{fix}/images.parquet"),
+        "image_caption_alignment": lambda: multimodal.image_caption_alignment(
+            f"{fix}/images.parquet"),
     }
     timings = {}
     for name, fn in suite.items():

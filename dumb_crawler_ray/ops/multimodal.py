@@ -833,3 +833,110 @@ def image_shard_pack(images_parquet: str, budget: int = IMG_SHARD_BUDGET,
     finally:
         ctx.shuffle_strategy = prev
     return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort("image_id")
+
+
+# ---------------------------------------- cross-modal alignment (CLIP-shape)
+
+CAP_EMB_DIM = 512        # must match ImageEmbedWorker's output dim
+CAP_EMB_BUCKETS = 4096   # hashed bag-of-words feature space
+CLIP_KEEP_MIN = 0.0      # stand-in keep threshold on the alignment score
+
+
+class CaptionEmbedWorker:
+    """Caption → embedding via hashed bag-of-words × a fixed projection —
+    the text tower of a CLIP-style dual encoder in actor-pool form:
+    the projection table loads ONCE per actor (`__init__`), every batch
+    is one gather + segment-sum + normalize (`__call__`). A deployment
+    swaps the random table for trained text-tower weights (or an ONNX
+    encoder) without touching the pipeline shape. Normalized output, so
+    downstream cosine is a plain dot product."""
+
+    def __init__(self, dim: int = CAP_EMB_DIM,
+                 n_buckets: int = CAP_EMB_BUCKETS, seed: int = 11):
+        import re
+
+        from .text import TOKEN_REGEX
+
+        rng = np.random.default_rng(seed)
+        self.w = (rng.standard_normal((n_buckets, dim)) /
+                  np.sqrt(dim)).astype(np.float32)
+        self.n_buckets = n_buckets
+        self.tok_re = re.compile(TOKEN_REGEX)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .dedup import _stable64_batch
+
+        ids = t.column("image_id").to_pylist()
+        strs, bounds = [], [0]
+        for cap in t.column("caption").to_pylist():
+            strs.extend(w.lower() for w in self.tok_re.findall(cap))
+            bounds.append(len(strs))
+        buckets = (_stable64_batch(strs) % np.uint64(self.n_buckets)
+                   ).astype(np.int64)
+        emb = np.zeros((len(ids), self.w.shape[1]), dtype=np.float32)
+        bounds_arr = np.asarray(bounds)
+        nz = np.diff(bounds_arr) > 0
+        if len(buckets):
+            sums = np.add.reduceat(self.w[buckets], bounds_arr[:-1][nz],
+                                   axis=0)
+            emb[nz] = sums
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             "embedding": pa.array(emb.tolist(),
+                                   pa.list_(pa.float32()))})
+
+
+def caption_embeddings(images_parquet: str, concurrency: int | None = None,
+                       batch_size: int = 256):
+    import ray
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "caption"]
+    ).map_batches(
+        CaptionEmbedWorker,
+        batch_format="pyarrow",
+        **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else actor_pool_size(),
+    )
+
+
+def image_caption_alignment(images_parquet: str):
+    """CLIP-style image↔caption alignment filtering — the LAION curation
+    step: embed both modalities with their actor-pool towers, score each
+    PAIR by cosine, keep pairs scoring ≥ CLIP_KEEP_MIN. Both towers
+    output rows keyed and sorted by image_id, so the pairing is a
+    positional `Dataset.zip` (co-sort merge — Ray's hash join cannot
+    finalize empty partitions) with an in-block key-equality assertion;
+    the per-row score is one vectorized dot product (both embeddings are
+    pre-normalized). With the deterministic stand-in towers the scores
+    are structure-only (real selectivity needs trained weights — the
+    per-actor weight seam in both workers); the Ray-side shape is
+    exactly the production one. Deterministic; rows-only oracle with
+    reconciliation + invariant tests."""
+    from .vecutil import embedding_matrix
+
+    # the two towers run CONCURRENTLY inside zip: each gets half the
+    # actor budget so their pools can never reserve every CPU and starve
+    # the zip/sort tasks (actor-starvation deadlock on small clusters)
+    half = max(1, actor_pool_size() // 2)
+    img = image_embeddings(images_parquet, concurrency=half).sort("image_id")
+    cap = caption_embeddings(images_parquet, concurrency=half).sort("image_id")
+    zipped = img.zip(cap)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        assert pc.all(pc.equal(t.column("image_id"),
+                               t.column("image_id_1"))).as_py() in (True, None)
+        a = embedding_matrix(t.column("embedding"))
+        b = embedding_matrix(t.column("embedding_1"))
+        s = np.round(np.einsum("ij,ij->i", a, b), 4)
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "clip_score": pa.array(s, pa.float64()),
+             "keep": pa.array(s >= CLIP_KEEP_MIN, pa.bool_())})
+
+    return zipped.map_batches(score, batch_format="pyarrow",
+                              **remote_kwargs()).sort("image_id")

@@ -1463,6 +1463,9 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
     reg["image_quality"] = (image_quality_q, None)
+    reg["image_caption_alignment"] = (
+        lambda sf: multimodal.image_caption_alignment(
+            f"{_fixture_dir()}/images.parquet"), None)
     reg["image_ann_topk"] = (image_ann_topk_q, None)
     reg["image_curation"] = (image_curation_q, None)
     reg["image_resize_meta"] = (image_resize_meta, None)

@@ -611,6 +611,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
         "image_caption_stats", "image_exact_dedup", "image_shard_pack",
+        "image_caption_alignment",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
@@ -1116,3 +1117,44 @@ def test_doc_split_stratified(registry, ray_session):
     df2 = to_df(fn(SF))
     pd.testing.assert_frame_equal(df.reset_index(drop=True),
                                   df2.reset_index(drop=True))
+
+
+def test_image_caption_alignment_reconciles(ray_session):
+    """The zip-aligned alignment score must equal the cosine recomputed
+    locally from the two embedding towers, scores live in [-1, 1], and
+    identical captions get identical text embeddings (hashing-trick
+    consistency — token multiplicity scales magnitude, not direction)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dumb_crawler_ray.ops.multimodal import (CaptionEmbedWorker,
+                                                 caption_embeddings,
+                                                 image_caption_alignment,
+                                                 image_embeddings)
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+    from dumb_crawler_ray.ops.vecutil import embedding_matrix
+
+    imgs = f"{_fixture_dir()}/images.parquet"
+    df = to_df(image_caption_alignment(imgs))
+    assert (df["clip_score"].abs() <= 1.0).all()
+    assert df["keep"].any() and not df["keep"].all()
+
+    ie = to_df(image_embeddings(imgs)).sort_values("image_id")
+    ce = to_df(caption_embeddings(imgs)).sort_values("image_id")
+    a = np.asarray(ie["embedding"].tolist())
+    b = np.asarray(ce["embedding"].tolist())
+    local = np.round(np.einsum("ij,ij->i", a, b), 4)
+    np.testing.assert_allclose(df.sort_values("image_id")["clip_score"],
+                               local, atol=1e-9)
+
+    w = CaptionEmbedWorker()
+    t = pa.table({"image_id": pa.array(["a", "b", "c"]),
+                  "caption": pa.array(["red panda sleeping",
+                                       "red panda sleeping",
+                                       "red panda sleeping red panda sleeping"])})
+    out = w(t)
+    e = np.asarray(out.column("embedding").to_pylist())
+    np.testing.assert_allclose(e[0], e[1], atol=0)
+    # direction-equal up to float32 summation-order noise
+    np.testing.assert_allclose(e[0], e[2], rtol=1e-3)
+    assert float(e[0] @ e[2]) > 0.999999
