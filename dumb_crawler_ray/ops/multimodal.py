@@ -917,12 +917,18 @@ def image_caption_alignment(images_parquet: str):
     reconciliation + invariant tests."""
     from .vecutil import embedding_matrix
 
-    # the two towers run CONCURRENTLY inside zip: each gets half the
-    # actor budget so their pools can never reserve every CPU and starve
-    # the zip/sort tasks (actor-starvation deadlock on small clusters)
-    half = max(1, actor_pool_size() // 2)
-    img = image_embeddings(images_parquet, concurrency=half).sort("image_id")
-    cap = caption_embeddings(images_parquet, concurrency=half).sort("image_id")
+    # the two towers run CONCURRENTLY inside zip: split ONE actor budget
+    # between them so the pools can never reserve every CPU and starve
+    # the zip/sort tasks (actor-starvation deadlock on small clusters).
+    # The split is asymmetric — decode+matmul makes the image tower ~10×
+    # the text tower's cost per row (measured: balanced halves left the
+    # caption actors idle and the wall at ~11 s vs ~3 s for the image
+    # stage alone at bench scale)
+    pool = actor_pool_size()
+    cap_conc = max(1, pool // 4)
+    img_conc = max(1, pool - cap_conc)
+    img = image_embeddings(images_parquet, concurrency=img_conc).sort("image_id")
+    cap = caption_embeddings(images_parquet, concurrency=cap_conc).sort("image_id")
     zipped = img.zip(cap)
 
     def score(t: pa.Table) -> pa.Table:
