@@ -258,6 +258,8 @@ def run_queries_extra() -> dict:
             f"{fix}/images.parquet"),
         "image_caption_alignment": lambda: multimodal.image_caption_alignment(
             f"{fix}/images.parquet"),
+        "image_curation_full": lambda: multimodal.image_curation_full(
+            f"{fix}/images.parquet"),
     }
     timings = {}
     for name, fn in suite.items():

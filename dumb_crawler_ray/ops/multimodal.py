@@ -946,3 +946,53 @@ def image_caption_alignment(images_parquet: str):
 
     return zipped.map_batches(score, batch_format="pyarrow",
                               **remote_kwargs()).sort("image_id")
+
+
+def image_curation_full(images_parquet: str, max_hamming: int = 8):
+    """The complete multimodal curation decision — the image-side
+    analogue of `pipelines/curate.py`'s crawl→corpus composition:
+
+        keep = near-dup-cluster keeper  (phash CC keep-list)
+             ∧ pixel quality            (contrast/exposure flags)
+             ∧ caption rules            (token band + distinct fraction)
+             ∧ cross-modal alignment    (CLIP-shape score ≥ threshold)
+
+    Each input stage produces one row of scalars per image sorted by
+    image_id, so they combine with positional `Dataset.zip`s. The stages
+    are `materialize()`d SEQUENTIALLY first: they carry their own actor
+    pools (quality decode pool; the alignment towers), and running them
+    concurrently under one zip could reserve every CPU on a small
+    cluster. Materializing here is the staged-checkpoint shape, not a
+    scale smell — each stage's output is a handful of scalar columns per
+    image (orders of magnitude smaller than the binary input), exactly
+    what a production pipeline would persist between phases anyway.
+    Deterministic; rows-only oracle with a reconciliation test."""
+    import pyarrow.compute as pc
+    import ray
+
+    cur = image_curation(images_parquet, max_hamming=max_hamming).materialize()
+    caps = caption_stats(images_parquet).materialize()
+    align = image_caption_alignment(images_parquet).materialize()
+
+    zipped = cur.zip(caps.select_columns(["image_id", "keep"])).zip(
+        align.select_columns(["image_id", "clip_score", "keep"]))
+
+    def decide(t: pa.Table) -> pa.Table:
+        # zip suffixes duplicate columns left-to-right: keep (curation),
+        # keep_1 (caption rules), keep_2 (alignment)
+        for c in ("image_id_1", "image_id_2"):
+            assert pc.all(pc.equal(t.column("image_id"),
+                                   t.column(c))).as_py() in (True, None)
+        keep = pc.and_(pc.and_(t.column("keep"), t.column("keep_1")),
+                       t.column("keep_2"))
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "is_cluster_keeper": t.column("is_cluster_keeper"),
+             "quality_ok": t.column("quality_ok"),
+             "caption_ok": t.column("keep_1"),
+             "alignment_ok": t.column("keep_2"),
+             "clip_score": t.column("clip_score"),
+             "keep": keep})
+
+    return zipped.map_batches(decide, batch_format="pyarrow",
+                              **remote_kwargs()).sort("image_id")

@@ -1466,6 +1466,9 @@ def build_registry() -> dict[str, tuple]:
     reg["image_caption_alignment"] = (
         lambda sf: multimodal.image_caption_alignment(
             f"{_fixture_dir()}/images.parquet"), None)
+    reg["image_curation_full"] = (
+        lambda sf: multimodal.image_curation_full(
+            f"{_fixture_dir()}/images.parquet"), None)
     reg["image_ann_topk"] = (image_ann_topk_q, None)
     reg["image_curation"] = (image_curation_q, None)
     reg["image_resize_meta"] = (image_resize_meta, None)

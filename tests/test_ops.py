@@ -611,7 +611,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
         "image_caption_stats", "image_exact_dedup", "image_shard_pack",
-        "image_caption_alignment",
+        "image_caption_alignment", "image_curation_full",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
@@ -1158,3 +1158,27 @@ def test_image_caption_alignment_reconciles(ray_session):
     # direction-equal up to float32 summation-order noise
     np.testing.assert_allclose(e[0], e[2], rtol=1e-3)
     assert float(e[0] @ e[2]) > 0.999999
+
+
+def test_image_curation_full_reconciles(ray_session):
+    """The composed keep must equal the AND of the four independently
+    computed source decisions, row for row."""
+    from dumb_crawler_ray.ops.multimodal import (caption_stats,
+                                                 image_caption_alignment,
+                                                 image_curation,
+                                                 image_curation_full)
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+
+    imgs = f"{_fixture_dir()}/images.parquet"
+    full = to_df(image_curation_full(imgs)).set_index("image_id")
+    cur = to_df(image_curation(imgs)).set_index("image_id")
+    caps = to_df(caption_stats(imgs)).set_index("image_id")
+    align = to_df(image_caption_alignment(imgs)).set_index("image_id")
+
+    assert (full["is_cluster_keeper"] == cur["is_cluster_keeper"]).all()
+    assert (full["quality_ok"] == cur["quality_ok"]).all()
+    assert (full["caption_ok"] == caps["keep"]).all()
+    assert (full["alignment_ok"] == align["keep"]).all()
+    want = cur["keep"] & caps["keep"] & align["keep"]
+    assert (full["keep"] == want).all()
+    assert 0 < full["keep"].sum() < len(full)   # rule actually selects
