@@ -249,6 +249,7 @@ def run_queries_extra() -> dict:
         "quality_classifier_scores": lambda: filters.quality_classifier_scores(
             SF_DIR),
         "doc_split": lambda: text.doc_split(SF_DIR),
+        "retention_cohorts": lambda: relational.retention_cohorts(SF_DIR),
         # round 3: image-table curation ops (fixture-backed, SQL-checked)
         "image_caption_stats": lambda: multimodal.caption_stats(
             f"{fix}/images.parquet"),

@@ -1188,6 +1188,24 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # weekly retention matrix: cohort = first-seen week per user; the
+    # shuffle carries distinct (user, week) int pairs only
+    reg["retention_cohorts"] = (
+        relational.retention_cohorts,
+        f"""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // {relational.WEEK_US} AS week
+            FROM events
+        ), coh AS (
+            SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
+        )
+        SELECT c.cohort, u.week, CAST(count(*) AS BIGINT) AS n_users
+        FROM uw u JOIN coh c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
     # fastText-shaped hashed linear classifier: bucket ids are md5-derived
     # (the minhash pact) and b < 2^20 keeps every product in int64, so the
     # whole inference pass replays in SQL

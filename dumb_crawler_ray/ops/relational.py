@@ -789,3 +789,85 @@ def purchase_click_asof(sf_dir: str):
         .map_groups(asof, batch_format="pyarrow", **remote_kwargs())
         .sort(["user_id", "purchase_ts"])
     )
+
+
+# ------------------------------------------------------- retention cohorts
+
+WEEK_US = 7 * 86_400 * 1_000_000  # one week of timestamp[us] ticks
+
+
+def retention_cohorts(sf_dir: str, n_partitions: int | None = None):
+    """Weekly retention matrix: users bucketed by FIRST-seen week
+    (cohort), counted per week they were active — the week-over-week
+    retention table every usage/telemetry pipeline reports.
+
+    Scale shape: distinct (user, week) pairs collapse per block first
+    (np.unique — the partial-dedup combiner), ONE keyed repartition on
+    user_id co-locates each user's history, a block-local scan computes
+    cohort = min(week) and emits per-(cohort, week) PARTIAL counts, and a
+    final small groupby-sum lands rows = cohorts × weeks. The shuffle
+    carries one (user, week) int pair per distinct pair — never events —
+    and no per-user group UDF dispatch happens anywhere."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _hash_partition_count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy()
+        wk = pc.cast(t.column("ts"), pa.int64()).to_numpy() // WEEK_US
+        uw = np.unique(np.stack([us, wk], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(uw[:, 0], pa.int64()),
+                         "week": pa.array(uw[:, 1], pa.int64())})
+
+    def cohort_partials(b: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort": pa.array([], pa.int64()),
+                          "week": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        us = b.column("user_id").to_numpy()
+        wk = b.column("week").to_numpy()
+        o = np.lexsort((wk, us))
+        us, wk = us[o], wk[o]
+        seg = np.cumsum(np.concatenate([[False], us[1:] != us[:-1]]))
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(seg)) + 1])
+        cohort = np.minimum.reduceat(wk, starts)[seg]
+        # distinct (user, week) may still repeat across source blocks —
+        # collapse again before counting
+        cw = np.unique(np.stack([us, cohort, wk], axis=1), axis=0)
+        key, cnt = np.unique(cw[:, 1:], axis=0, return_counts=True)
+        return pa.table({"cohort": pa.array(key[:, 0], pa.int64()),
+                         "week": pa.array(key[:, 1], pa.int64()),
+                         "n_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["user_id", "ts"])
+            .map_batches(pairs, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["user_id"])
+            .map_batches(cohort_partials, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    parts = ray.data.from_arrow_refs(list(mat.to_arrow_refs()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"cohort": t.column("cohort"),
+                         "week": t.column("week"),
+                         "n_users": t.column("sum(n_part)")})
+
+    return (
+        parts.groupby(["cohort", "week"]).aggregate(Sum("n_part"))
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+        .sort(["cohort", "week"])
+    )
