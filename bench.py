@@ -250,6 +250,7 @@ def run_queries_extra() -> dict:
             SF_DIR),
         "doc_split": lambda: text.doc_split(SF_DIR),
         "retention_cohorts": lambda: relational.retention_cohorts(SF_DIR),
+        "filtered_ann_topk": lambda: ann.filtered_ann_topk(SF_DIR),
         # round 3: image-table curation ops (fixture-backed, SQL-checked)
         "image_caption_stats": lambda: multimodal.caption_stats(
             f"{fix}/images.parquet"),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..rayutil import remote_kwargs
 from .vecutil import embedding_matrix, normalize_rows as _normalize
@@ -278,4 +279,114 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
     cand = pa.concat_tables(
         tb for tb in ds.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    return _merge_topk(cand, qids, k)
+
+
+def filtered_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                      n_partitions: int | None = None):
+    """Hybrid retrieval: exact cosine top-k restricted to documents that
+    PASS the hashed linear quality classifier (margin ≥ 0) — the
+    filter-then-search composition every RAG / curation stack runs
+    (metadata-filtered vector search), with the filter computed from a
+    DIFFERENT table (documents.text) than the vectors (embeddings).
+
+    Scale shape: the keep set is NOT broadcast (it is corpus-sized) —
+    classifier flag rows and embedding rows are union-co-located by ONE
+    keyed repartition on the id, a block-local np.isin gate drops
+    filtered-out vectors, and the gated blocks run the same per-batch
+    partial top-k (broadcast query matrix, pinned tie-breaking) as
+    `ann_bruteforce`, with the driver merging ≤ (k+1)·n_blocks candidate
+    rows. Queries are the first `n_queries` vec_ids UNFILTERED (a query
+    may itself be below the quality bar; its neighbors still must pass).
+    FULL SQL oracle: classifier CTEs + keep join + the ann ranking SQL."""
+    import ray
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_topk()
+    qn = _normalize(qmat)
+    q_ref = ray.put((qids, qn))
+
+    from .dedup import _hash_partition_count
+    from .filters import quality_classifier_scores_unsorted
+
+    LIST_F32 = pa.list_(pa.float32())
+
+    def flag_rows(t: pa.Table) -> pa.Table:
+        # only PASSING ids ever gate anything — drop keep=False before the
+        # shuffle so the exchange carries the keep set, not the corpus
+        t = t.filter(t.column("keep"))
+        n = len(t)
+        return pa.table(
+            {"id": t.column("doc_id"),
+             "embedding": pa.array([None] * n, LIST_F32),
+             "keep": pa.array([True] * n, pa.bool_()),
+             "side": pa.array([1] * n, pa.int8())})
+
+    def emb_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": t.column("vec_id"),
+             "embedding": pc.cast(t.column("embedding"), LIST_F32),
+             "keep": pa.array([False] * len(t), pa.bool_()),
+             "side": pa.array([0] * len(t), pa.int8())})
+
+    def gate_and_topk(b: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if len(b) == 0:
+            return empty
+        side = b.column("side").to_numpy()
+        keep_col = b.column("keep").to_numpy(zero_copy_only=False)
+        ids = b.column("id").to_numpy()
+        allowed = ids[(side == 1) & keep_col]
+        emb_mask = side == 0
+        vids = ids[emb_mask]
+        sel = np.isin(vids, allowed)
+        if not sel.any():
+            return empty
+        sub = b.filter(pa.array(emb_mask)).filter(pa.array(sel))
+        vids = vids[sel]
+        ids_q, qn = ray.get(q_ref)
+        mat = _normalize(embedding_matrix(sub.column("embedding")))
+        sims = qn @ mat.T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(ids_q)):
+            idx = np.lexsort((vids, -sims[qi]))[:kk]
+            for j in idx:
+                out_q.append(int(ids_q[qi]))
+                out_n.append(int(vids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        flags = quality_classifier_scores_unsorted(sf_dir).map_batches(
+            flag_rows, batch_format="pyarrow", **remote_kwargs())
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(emb_rows, batch_format="pyarrow", **remote_kwargs())
+        cand_mat = (
+            emb.union(flags)
+            .repartition(n_partitions, keys=["id"])
+            .map_batches(gate_and_topk, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    cand = pa.concat_tables(
+        tb for tb in ray.data.from_arrow_refs(
+            list(cand_mat.to_arrow_refs())
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if len(cand) == 0:
+        return _empty_topk()
     return _merge_topk(cand, qids, k)

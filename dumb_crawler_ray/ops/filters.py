@@ -851,21 +851,28 @@ QC_CENTER = QC_MOD // 2  # 500001: weights land in [-500001, 500001]
 
 
 def quality_classifier_scores(sf_dir: str):
-    """fastText-SHAPED quality classifier stand-in: hashed token-bigram
-    features × a deterministic integer weight table, margin = Σ w[b] over
-    bigram positions, keep = margin ≥ 0. The real model-scoring seam is
-    the weight function — a deployment swaps in trained weights
-    (`ray.put` the array, look up per bucket) without touching the
-    pipeline shape; here weights are the pure arithmetic
+    """fastText-SHAPED quality classifier stand-in — see
+    `quality_classifier_scores_unsorted` for the scoring pass; this public
+    query adds only the presentation sort by doc_id (SQL-oracle order)."""
+    return quality_classifier_scores_unsorted(sf_dir).sort("doc_id")
+
+
+def quality_classifier_scores_unsorted(sf_dir: str):
+    """Hashed token-bigram features × a deterministic integer weight
+    table, margin = Σ w[b] over bigram positions, keep = margin ≥ 0. The
+    real model-scoring seam is the weight function — a deployment swaps
+    in trained weights (`ray.put` the array, look up per bucket) without
+    touching the pipeline shape; here weights are the pure arithmetic
     `((b·QC_MUL + QC_ADD) mod QC_MOD) − QC_CENTER` so the ENTIRE
     inference pass replays in DuckDB (bucket ids are md5-derived — the
     minhash pact — and b < 2^20 keeps every product inside int64 on both
     sides).
 
     Zero shuffle: scoring is per-doc state, one stateless vectorized
-    map_batches pass (hash call batched across the whole block)."""
-    import ray
-
+    map_batches pass (hash call batched across the whole block). NO
+    output sort — consumers that re-shuffle anyway (e.g.
+    `ann.filtered_ann_topk`'s keyed repartition) use this directly to
+    avoid a wasted all-to-all."""
     from .dedup import _md5_64_batch
 
     def score(t: pa.Table) -> pa.Table:
@@ -895,5 +902,4 @@ def quality_classifier_scores(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(score, batch_format="pyarrow", **remote_kwargs())
-        .sort("doc_id")
     )

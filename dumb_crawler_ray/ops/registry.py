@@ -1208,11 +1208,10 @@ def build_registry() -> dict[str, tuple]:
 
     # fastText-shaped hashed linear classifier: bucket ids are md5-derived
     # (the minhash pact) and b < 2^20 keeps every product in int64, so the
-    # whole inference pass replays in SQL
-    reg["quality_classifier_scores"] = (
-        filters.quality_classifier_scores,
-        f"""
-        WITH toks AS (
+    # whole inference pass replays in SQL. The CTE chain is shared with
+    # the filtered_ann_topk oracle below.
+    _QC_CTES = f"""
+        toks AS (
             SELECT doc_id,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
             FROM documents
@@ -1231,11 +1230,46 @@ def build_registry() -> dict[str, tuple]:
                         AS BIGINT) AS margin
             FROM feat GROUP BY doc_id
         )
+    """
+    reg["quality_classifier_scores"] = (
+        filters.quality_classifier_scores,
+        f"""
+        WITH {_QC_CTES}
         SELECT t.doc_id,
                COALESCE(m.n_feats, 0) AS n_feats,
                COALESCE(m.margin, 0) AS margin,
                COALESCE(m.margin, 0) >= 0 AS keep
         FROM toks t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id
+        """,
+    )
+
+    # hybrid retrieval: the ann ranking SQL with neighbors restricted to
+    # classifier-passing docs (keep join on vec_id = doc_id); queries are
+    # the first n vec_ids UNFILTERED, matching the op
+    reg["filtered_ann_topk"] = (
+        ann.filtered_ann_topk,
+        f"""
+        WITH {_QC_CTES}, keep AS (
+            SELECT t.doc_id FROM toks t LEFT JOIN m USING (doc_id)
+            WHERE COALESCE(m.margin, 0) >= 0
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS raw_sim
+            FROM q CROSS JOIN embeddings e
+            JOIN keep kp ON kp.doc_id = e.vec_id
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, raw_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY raw_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, round(raw_sim, 4) AS sim
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
     )
 

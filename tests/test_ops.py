@@ -88,7 +88,7 @@ SQL_CHECKED = [
     "source_balanced_sample", "pack_sequences", "image_caption_stats",
     "image_exact_dedup", "image_shard_pack", "duplicated_text_share",
     "quality_classifier_scores", "doc_split", "embedding_near_dup_pairs",
-    "image_keeplist", "retention_cohorts",
+    "image_keeplist", "retention_cohorts", "filtered_ann_topk",
 ]
 
 
