@@ -213,7 +213,8 @@ def run_queries() -> dict:
 def run_queries_extra() -> dict:
     """Round-2/3 operators, timed under a separate key so the headline
     `value` stays comparable across rounds."""
-    from dumb_crawler_ray.ops import ann, dedup, filters, multimodal, relational, text
+    from dumb_crawler_ray.ops import (ann, dedup, filters, graph, multimodal,
+                                      relational, text)
     from dumb_crawler_ray.sources.synthweb import write_fixture
 
     fix = write_fixture(FIXTURE_DIR, seed=42, scale=BENCH_SCALE)
@@ -251,6 +252,7 @@ def run_queries_extra() -> dict:
         "doc_split": lambda: text.doc_split(SF_DIR),
         "retention_cohorts": lambda: relational.retention_cohorts(SF_DIR),
         "filtered_ann_topk": lambda: ann.filtered_ann_topk(SF_DIR),
+        "page_rank": lambda: graph.page_rank(f"{fix}/pages.parquet"),
         # round 3: image-table curation ops (fixture-backed, SQL-checked)
         "image_caption_stats": lambda: multimodal.caption_stats(
             f"{fix}/images.parquet"),

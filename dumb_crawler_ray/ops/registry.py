@@ -13,7 +13,7 @@ import pyarrow as pa
 from ..rayutil import remote_kwargs
 import pyarrow.compute as pc
 
-from . import ann, dedup, filters, media, multimodal, relational, text
+from . import ann, dedup, filters, graph, media, multimodal, relational, text
 
 _FIXTURE_SCALE = 4
 _FIXTURE_SEED = 42
@@ -1203,6 +1203,46 @@ def build_registry() -> dict[str, tuple]:
         SELECT c.cohort, u.week, CAST(count(*) AS BIGINT) AS n_users
         FROM uw u JOIN coh c USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
+    # fixed-point PageRank over the fixture page link graph: ALL integer
+    # arithmetic (r // outdeg per edge, BASE + 85·Σ // 100 per node) with a
+    # FIXED iteration count, so the whole iterative computation replays
+    # bit-exactly in DuckDB as chained CTEs (it1..itN, one per iteration)
+    _PAGES_PQ = f"/tmp/dcr_fixtures/sf{_FIXTURE_SCALE}/pages.parquet"
+    _pr_ctes = ""
+    for _i in range(1, graph.PR_ITERS + 1):
+        _pr_ctes += f""", it{_i} AS (
+            SELECT n.url,
+                   CAST({graph.PR_BASE} + ({graph.PR_DAMP_NUM} *
+                        COALESCE(s.insum, 0)) // {graph.PR_DAMP_DEN}
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS url, SUM(p.r // e.outdeg) AS insum
+                FROM edges e JOIN it{_i - 1} p ON p.url = e.src
+                GROUP BY e.dst) s ON s.url = n.url
+        )"""
+    reg["page_rank"] = (
+        lambda sf: graph.page_rank(f"{_fixture_dir()}/pages.parquet"),
+        f"""
+        WITH nodes AS (
+            SELECT url FROM read_parquet('{_PAGES_PQ}')
+        ), raw AS (
+            SELECT url AS src, unnest(outlinks) AS dst
+            FROM read_parquet('{_PAGES_PQ}')
+        ), dedges AS (
+            SELECT DISTINCT r.src, r.dst
+            FROM raw r JOIN nodes n ON n.url = r.dst
+            WHERE r.dst <> r.src
+        ), edges AS (
+            SELECT src, dst,
+                   count(*) OVER (PARTITION BY src) AS outdeg
+            FROM dedges
+        ), it0 AS (
+            SELECT url, CAST({graph.PR_SCALE} AS BIGINT) AS r FROM nodes
+        ){_pr_ctes}
+        SELECT url, r AS rank_scaled FROM it{graph.PR_ITERS} ORDER BY url
         """,
     )
 

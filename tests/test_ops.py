@@ -89,7 +89,36 @@ SQL_CHECKED = [
     "image_exact_dedup", "image_shard_pack", "duplicated_text_share",
     "quality_classifier_scores", "doc_split", "embedding_near_dup_pairs",
     "image_keeplist", "retention_cohorts", "filtered_ann_topk",
+    "page_rank",
 ]
+
+
+def test_page_rank_partition_independent(ray_session, tmp_path):
+    """Rank output must be identical at any partition count (the 10^10
+    design bar: block splits never change results), zero-indegree nodes
+    land exactly at PR_BASE, and a hub out-ranks its spokes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import graph
+
+    # star: a,b,c → hub; hub → a; plus an isolated node and a dangling link
+    pages = pa.table({
+        "url": ["u/a", "u/b", "u/c", "u/hub", "u/lone"],
+        "outlinks": [["u/hub"], ["u/hub", "u/hub"], ["u/hub", "u/a"],
+                     ["u/a", "u/ghost"], []],
+    })
+    p = tmp_path / "pages.parquet"
+    pq.write_table(pages, p)
+    r2 = graph.page_rank(str(p), n_partitions=2).to_pandas()
+    r5 = graph.page_rank(str(p), n_partitions=5).to_pandas()
+    pd.testing.assert_frame_equal(r2, r5)
+    ranks = dict(zip(r2["url"], r2["rank_scaled"]))
+    assert ranks["u/lone"] == graph.PR_BASE  # no in-links
+    assert ranks["u/hub"] > ranks["u/b"] and ranks["u/hub"] > ranks["u/c"]
+    # duplicate outlinks collapse: b's two hub links count once → a and b
+    # contribute equally to the hub
+    assert ranks["u/a"] > graph.PR_BASE  # hub links back
 
 
 def test_component_reps_chain_vs_unionfind(ray_session):
