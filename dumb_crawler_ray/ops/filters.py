@@ -903,3 +903,119 @@ def quality_classifier_scores_unsorted(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(score, batch_format="pyarrow", **remote_kwargs())
     )
+
+
+# --------------------------------------------------- bigram LM score
+
+def bigram_lm_scores(sf_dir: str, n_partitions: int | None = None):
+    """CCNet-style language-model quality proxy: per-document average
+    CORPUS frequency of its token bigrams (`lm_score_x1000 =
+    1000 · Σ_positions total(bigram) // n_positions`). Low scores flag
+    rare/garbled text, very high scores flag boilerplate — the two tails
+    a perplexity filter trims (CCNet, Wenzek et al. 2019; here counts
+    stand in for the KenLM table: a deployment swaps the totals join for
+    a model-score lookup without touching the shape).
+
+    Scale shape (the tf⨝df pattern of `top_terms_per_doc`, vocabulary
+    NEVER broadcast): per-(doc, bigram) multiplicities collapse in-block
+    (a doc's text is one row, so multiplicities are exact), ONE keyed
+    repartition on the bigram's md5-64 co-locates every instance, a
+    block-local segment scan computes the global total and each doc's
+    Σ m·total partial, and a small groupby-sum lands one row per doc.
+    Shuffle carries one (hash, doc, m) row per DISTINCT (doc, bigram) —
+    never positions. Docs with <2 tokens ride a sentinel (-1, doc, 0)
+    row so every doc lands in the output with score 0.
+
+    ALL int64 arithmetic; BOTH engines group by the same md5-derived key
+    (the minhash pact), so parity is exact by construction — even a hash
+    collision replays identically. int64 headroom: Σ m·total per doc
+    caps near 10^15 at ~10^12 corpus positions; beyond that a deployment
+    moves the score to log-space (the model seam above).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _hash_partition_count, _md5_64_batch
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_numpy()
+        strs, bounds = [], [0]
+        for text_ in t.column("text").to_pylist():
+            toks = re.findall(TOKEN_REGEX, text_.lower())
+            strs.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+            bounds.append(len(strs))
+        hashed = _md5_64_batch(strs).view(np.int64)
+        n_pos = np.diff(np.asarray(bounds))
+        doc_rep = np.repeat(doc_ids, n_pos)
+        if len(hashed):
+            pairs = np.stack([doc_rep, hashed], axis=1)
+            uniq, m = np.unique(pairs, axis=0, return_counts=True)
+        else:
+            uniq = np.empty((0, 2), dtype=np.int64)
+            m = np.empty(0, dtype=np.int64)
+        # sentinel rows keep bigram-less docs in the pipeline
+        lone = doc_ids[n_pos == 0]
+        bkey = np.concatenate([uniq[:, 1], np.full(len(lone), -1, np.int64)])
+        docs = np.concatenate([uniq[:, 0], lone])
+        ms = np.concatenate([m.astype(np.int64), np.zeros(len(lone), np.int64)])
+        return pa.table({"bkey": pa.array(bkey, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "m": pa.array(ms, pa.int64())})
+
+    def totals_and_partials(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "fs_part": pa.array([], pa.int64()),
+                          "nb_part": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        bkey = b.column("bkey").to_numpy()
+        docs = b.column("doc_id").to_numpy()
+        m = b.column("m").to_numpy()
+        # global total per bigram: every instance of a bkey is co-located
+        uk, inv = np.unique(bkey, return_inverse=True)
+        totals = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(totals, inv, m)
+        contrib = m * totals[inv]
+        # per-(block, doc) pre-aggregation before the final exchange
+        ud, dinv = np.unique(docs, return_inverse=True)
+        fs = np.zeros(len(ud), dtype=np.int64)
+        nb = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(fs, dinv, contrib)
+        np.add.at(nb, dinv, m)
+        return pa.table({"doc_id": pa.array(ud, pa.int64()),
+                         "fs_part": pa.array(fs, pa.int64()),
+                         "nb_part": pa.array(nb, pa.int64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(doc_bigrams, batch_format="pyarrow",
+                         **remote_kwargs())
+            .repartition(n_partitions, keys=["bkey"])
+            .map_batches(totals_and_partials, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    parts = ray.data.from_arrow_refs(list(mat.to_arrow_refs()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        fs = t.column("sum(fs_part)").to_numpy()
+        nb = t.column("sum(nb_part)").to_numpy()
+        score = np.where(nb > 0, (1000 * fs) // np.maximum(nb, 1), 0)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bigrams": pa.array(nb, pa.int64()),
+                         "freq_sum": pa.array(fs, pa.int64()),
+                         "lm_score_x1000": pa.array(score, pa.int64())})
+
+    return (
+        parts.groupby("doc_id").aggregate(Sum("fs_part"), Sum("nb_part"))
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )

@@ -1283,6 +1283,44 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # CCNet-shaped LM quality proxy: per-doc average corpus bigram
+    # frequency — BOTH engines group by the md5-64 bigram key, so parity
+    # is exact by construction (a collision would replay identically)
+    reg["bigram_lm_scores"] = (
+        filters.bigram_lm_scores,
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(range(1, len(ts))) AS i, ts
+            FROM toks WHERE len(ts) >= 2
+        ), bg AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 16))
+                        AS UBIGINT) AS bkey
+            FROM pos
+        ), dm AS (
+            SELECT doc_id, bkey, count(*) AS m FROM bg GROUP BY 1, 2
+        ), tot AS (
+            SELECT bkey, SUM(m) AS total FROM dm GROUP BY bkey
+        ), agg AS (
+            SELECT doc_id, CAST(SUM(m * total) AS BIGINT) AS freq_sum,
+                   CAST(SUM(m) AS BIGINT) AS n_bigrams
+            FROM dm JOIN tot USING (bkey) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.freq_sum, 0) AS freq_sum,
+               CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+                    ELSE CAST((1000 * a.freq_sum) // a.n_bigrams AS BIGINT)
+               END AS lm_score_x1000
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+        """,
+    )
+
     # hybrid retrieval: the ann ranking SQL with neighbors restricted to
     # classifier-passing docs (keep join on vec_id = doc_id); queries are
     # the first n vec_ids UNFILTERED, matching the op
