@@ -1283,6 +1283,32 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # in-link authority features over the same page graph; hosts are
+    # split_part(src,'/',3) == Python url.split('/')[2], byte-identical
+    reg["page_indegree"] = (
+        lambda sf: graph.page_indegree(f"{_fixture_dir()}/pages.parquet"),
+        f"""
+        WITH nodes AS (
+            SELECT url FROM read_parquet('{_PAGES_PQ}')
+        ), raw AS (
+            SELECT url AS src, unnest(outlinks) AS dst
+            FROM read_parquet('{_PAGES_PQ}')
+        ), dedges AS (
+            SELECT DISTINCT r.src, r.dst
+            FROM raw r JOIN nodes n ON n.url = r.dst
+            WHERE r.dst <> r.src
+        ), agg AS (
+            SELECT dst AS url, CAST(count(*) AS BIGINT) AS in_degree,
+                   CAST(count(DISTINCT split_part(src, '/', 3)) AS BIGINT)
+                       AS n_ref_domains
+            FROM dedges GROUP BY dst
+        )
+        SELECT n.url, COALESCE(a.in_degree, 0) AS in_degree,
+               COALESCE(a.n_ref_domains, 0) AS n_ref_domains
+        FROM nodes n LEFT JOIN agg a USING (url) ORDER BY n.url
+        """,
+    )
+
     # CCNet-shaped LM quality proxy: per-doc average corpus bigram
     # frequency — BOTH engines group by the md5-64 bigram key, so parity
     # is exact by construction (a collision would replay identically)

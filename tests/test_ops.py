@@ -89,7 +89,7 @@ SQL_CHECKED = [
     "image_exact_dedup", "image_shard_pack", "duplicated_text_share",
     "quality_classifier_scores", "doc_split", "embedding_near_dup_pairs",
     "image_keeplist", "retention_cohorts", "filtered_ann_topk",
-    "page_rank", "bigram_lm_scores",
+    "page_rank", "bigram_lm_scores", "page_indegree",
 ]
 
 
