@@ -255,6 +255,7 @@ def run_queries_extra() -> dict:
         "page_rank": lambda: graph.page_rank(f"{fix}/pages.parquet"),
         "bigram_lm_scores": lambda: filters.bigram_lm_scores(SF_DIR),
         "page_indegree": lambda: graph.page_indegree(f"{fix}/pages.parquet"),
+        "leakage_safe_split": lambda: text.leakage_safe_split(SF_DIR),
         # round 3: image-table curation ops (fixture-backed, SQL-checked)
         "image_caption_stats": lambda: multimodal.caption_stats(
             f"{fix}/images.parquet"),

@@ -1309,6 +1309,41 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # dedup-aware split: cluster members share a split — the recursive
+    # transitive-closure reps (jaccard_clusters oracle) + doc_split's md5
+    # bucket arithmetic, keyed on COALESCE(rep, doc_id)
+    reg["leakage_safe_split"] = (
+        text.leakage_safe_split,
+        f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT a AS u, b AS v FROM qpairs
+            UNION ALL SELECT b, a FROM qpairs
+        ), reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), reps AS (
+            SELECT r.u AS node, LEAST(r.u, MIN(r.v)) AS rep
+            FROM reach r GROUP BY r.u
+        ), asg AS (
+            SELECT d.doc_id, COALESCE(p.rep, d.doc_id) AS cluster_rep
+            FROM documents d LEFT JOIN reps p ON p.node = d.doc_id
+        ), bk AS (
+            SELECT doc_id, cluster_rep,
+                   CAST(('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 100 AS bucket
+            FROM asg
+        )
+        SELECT doc_id, cluster_rep, bucket,
+               CASE WHEN bucket < {text.SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {text.SPLIT_TRAIN_PCT + text.SPLIT_VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bk ORDER BY doc_id
+        """,
+    )
+
     # CCNet-shaped LM quality proxy: per-doc average corpus bigram
     # frequency — BOTH engines group by the md5-64 bigram key, so parity
     # is exact by construction (a collision would replay identically)

@@ -710,3 +710,118 @@ def doc_split(sf_dir: str):
         .map_batches(fn, batch_format="pyarrow", **remote_kwargs())
         .sort("doc_id")
     )
+
+
+def leakage_safe_split(sf_dir: str, force_distributed: bool = False):
+    """Dedup-aware train/val/test split: every member of a near-dup
+    cluster lands in the SAME split — the leakage guard a corpus release
+    needs on top of `doc_split` (a val doc's near-duplicate in train IS
+    contamination; cf. Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better").
+
+    Split key = the doc's connected-component representative under the
+    oracle-green exact n-gram Jaccard pair set (`ngram_jaccard_pairs` →
+    `cc.component_reps`), falling back to the doc's own id for
+    unclustered docs; bucket = md5(rep) mod 100 with `doc_split`'s exact
+    thresholds. Row identity keying means text edits can only move a doc
+    across the boundary by changing its CLUSTER — the same property
+    doc_split has per doc, lifted to cluster granularity.
+
+    Scale shape: the rep map is bounded by CLUSTERED docs (pair members,
+    ≪ corpus). Below `relational.BROADCAST_ROW_LIMIT` it is broadcast
+    once (`ray.put`) into a stateless map; above the gate (or under
+    `force_distributed`) reps ride the dataset: rep rows ∪ doc rows
+    through ONE keyed repartition on doc_id, block-local searchsorted
+    annotate — the `image_keeplist` scale path. Both paths are
+    equivalence-tested. FULL SQL oracle: the jaccard_clusters recursive
+    CTE + the doc_split md5 arithmetic.
+    """
+    import ray
+
+    from .cc import component_reps
+    from .dedup import ngram_jaccard_pairs
+    from .relational import BROADCAST_ROW_LIMIT
+
+    pairs = ngram_jaccard_pairs(sf_dir)
+    reps_map = component_reps(pairs)
+
+    def bucket_of(reps: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(r).encode()).hexdigest()[:8], 16) % 100
+             for r in reps), dtype=np.int64, count=len(reps))
+
+    def finish_cols(doc_ids, reps):
+        buckets = bucket_of(reps)
+        split = np.where(buckets < SPLIT_TRAIN_PCT, "train",
+                         np.where(buckets < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT,
+                                  "val", "test"))
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "cluster_rep": pa.array(reps, pa.int64()),
+             "bucket": pa.array(buckets, pa.int64()),
+             "split": pa.array(split.tolist(), pa.string())})
+
+    if not force_distributed and len(reps_map) <= BROADCAST_ROW_LIMIT:
+        reps_ref = ray.put(reps_map)
+
+        def assign(t: pa.Table) -> pa.Table:
+            m = ray.get(reps_ref)
+            ids = t.column("doc_id").to_numpy()
+            reps = np.fromiter((m.get(int(i), int(i)) for i in ids),
+                               dtype=np.int64, count=len(ids))
+            return finish_cols(ids, reps)
+
+        return (_docs(sf_dir, ["doc_id"])
+                .map_batches(assign, batch_format="pyarrow",
+                             **remote_kwargs())
+                .sort("doc_id"))
+
+    # scale path: reps dataset-resident, one keyed co-location exchange
+    from .dedup import _hash_partition_count
+
+    rep_tb = pa.table(
+        {"doc_id": pa.array(sorted(reps_map), pa.int64()),
+         "rep": pa.array([reps_map[k] for k in sorted(reps_map)], pa.int64()),
+         "side": pa.array([1] * len(reps_map), pa.int8())})
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "rep": pa.array([0] * n, pa.int64()),
+                         "side": pa.array([0] * n, pa.int8())})
+
+    def annotate(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return finish_cols(np.empty(0, np.int64), np.empty(0, np.int64))
+        side = b.column("side").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        rep = b.column("rep").to_numpy()
+        dm = side == 0
+        doc_ids = ids[dm]
+        reps = doc_ids.copy()
+        rk, rv = ids[~dm], rep[~dm]
+        if len(rk):
+            order = np.argsort(rk)
+            pos = np.searchsorted(rk[order], doc_ids)
+            pos = np.clip(pos, 0, len(rk) - 1)
+            hit = rk[order][pos] == doc_ids
+            reps[hit] = rv[order][pos][hit]
+        return finish_cols(doc_ids, reps)
+
+    n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            _docs(sf_dir, ["doc_id"])
+            .map_batches(doc_rows, batch_format="pyarrow", **remote_kwargs())
+            .union(ray.data.from_arrow(rep_tb))
+            .repartition(n_partitions, keys=["doc_id"])
+            .map_batches(annotate, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort("doc_id")

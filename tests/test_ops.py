@@ -90,7 +90,27 @@ SQL_CHECKED = [
     "quality_classifier_scores", "doc_split", "embedding_near_dup_pairs",
     "image_keeplist", "retention_cohorts", "filtered_ann_topk",
     "page_rank", "bigram_lm_scores", "page_indegree",
+    "leakage_safe_split",
 ]
+
+
+def test_leakage_safe_split_guard_and_paths(ray_session):
+    """Near-dup cluster members MUST share a split (the leakage guard),
+    and the broadcast and dataset-resident annotate paths must agree."""
+    from dumb_crawler_ray.ops.dedup import ngram_jaccard_pairs
+    from dumb_crawler_ray.ops.text import leakage_safe_split
+
+    fast = leakage_safe_split(SF).to_pandas()
+    dist = leakage_safe_split(SF, force_distributed=True).to_pandas()
+    pd.testing.assert_frame_equal(fast, dist)
+    split_of = dict(zip(fast["doc_id"], fast["split"]))
+    pairs = ngram_jaccard_pairs(SF).to_pandas()
+    assert len(pairs) > 0
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert split_of[a] == split_of[b], (a, b)
+    # unclustered docs keep the plain doc_split assignment granularity
+    assert set(fast["split"]) <= {"train", "val", "test"}
+    assert (fast["cluster_rep"] <= fast["doc_id"]).all()
 
 
 def test_page_rank_partition_independent(ray_session, tmp_path):
