@@ -213,8 +213,8 @@ def run_queries() -> dict:
 def run_queries_extra() -> dict:
     """Round-2/3 operators, timed under a separate key so the headline
     `value` stays comparable across rounds."""
-    from dumb_crawler_ray.ops import (ann, dedup, filters, graph, multimodal,
-                                      relational, text)
+    from dumb_crawler_ray.ops import (ann, dedup, export, filters, graph,
+                                      multimodal, relational, text)
     from dumb_crawler_ray.sources.synthweb import write_fixture
 
     fix = write_fixture(FIXTURE_DIR, seed=42, scale=BENCH_SCALE)
@@ -256,6 +256,7 @@ def run_queries_extra() -> dict:
         "bigram_lm_scores": lambda: filters.bigram_lm_scores(SF_DIR),
         "page_indegree": lambda: graph.page_indegree(f"{fix}/pages.parquet"),
         "leakage_safe_split": lambda: text.leakage_safe_split(SF_DIR),
+        "export_corpus": lambda: export.export_corpus(SF_DIR),
         # round 3: image-table curation ops (fixture-backed, SQL-checked)
         "image_caption_stats": lambda: multimodal.caption_stats(
             f"{fix}/images.parquet"),

@@ -1,0 +1,162 @@
+"""Resumable corpus export — the release sink of the pipeline family.
+
+A 100 TB export must be partitioned (never one giant file), deterministic
+(same input → byte-stable shards at any cluster size), and RESUMABLE (a
+failed run skips finished shards on retry) — reference analogue: the WARC
+sink's rotation + url_index (J/services/storage/WarcStorageManager.java),
+lifted to columnar shards with a content manifest.
+
+Shape: shard = md5-bucket of doc_id (row identity — the `doc_split`
+pact, so re-exports never migrate rows), ONE keyed repartition co-locates
+each shard inside a single block, and the WRITE happens inside
+`map_batches` (workers write their own shards in parallel; the driver
+only collects the n_shards manifest rows). Shard files are sorted by
+doc_id and written tmp-then-`os.replace` (atomic, crash-safe); a shard
+whose (n_docs, fingerprint) matches the previous manifest AND whose file
+exists is SKIPPED — that is the resume path. Fingerprint = XOR of
+md5-64(doc_id ':' length(text)) masked to 63 bits: order-independent,
+content-sensitive, and exactly replayable in DuckDB (`bit_xor`), so the
+MANIFEST (shard, n_docs, fingerprint) has a full SQL oracle even though
+the op is a sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..rayutil import remote_kwargs
+
+FP_MASK = (1 << 63) - 1  # keep XOR results inside signed int64 / BIGINT
+DEFAULT_SHARDS = 16
+
+
+def _shard_of(doc_ids) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+         % DEFAULT_SHARDS for i in doc_ids),
+        dtype=np.int64, count=len(doc_ids))
+
+
+def _fingerprints(doc_ids, text_lens) -> np.ndarray:
+    from .dedup import _md5_64_batch
+
+    strs = [f"{int(i)}:{int(n)}" for i, n in zip(doc_ids, text_lens)]
+    return (_md5_64_batch(strs) & np.uint64(FP_MASK)).view(np.int64)
+
+
+def export_corpus(sf_dir: str, out_dir: str | None = None,
+                  n_partitions: int | None = None):
+    """Export `documents` as {DEFAULT_SHARDS} sorted parquet shards under
+    `out_dir` (default keyed by input path under /tmp), returning the
+    manifest table (shard, n_docs, fingerprint) sorted by shard."""
+    import ray
+
+    from .dedup import _hash_partition_count
+
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(sf_dir))
+        out_dir = f"/tmp/dcr_export/{base}_s{DEFAULT_SHARDS}"
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    old: dict = {}
+    if os.path.exists(manifest_path):
+        try:
+            old = json.load(open(manifest_path))
+        except (json.JSONDecodeError, OSError):
+            old = {}  # corrupt manifest → rewrite everything
+    old_ref = ray.put(old)
+    out_ref = ray.put(out_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t.column("doc_id").to_numpy()
+        lens = pc.utf8_length(t.column("text")).to_numpy()
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "text": t.column("text"),
+             "source": t.column("source"),
+             "shard": pa.array(_shard_of(ids), pa.int64()),
+             "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
+
+    def write_shards(b: pa.Table) -> pa.Table:
+        empty = pa.table({"shard": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "fingerprint": pa.array([], pa.int64()),
+                          "skipped": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        prev, out = ray.get(old_ref), ray.get(out_ref)
+        shards = b.column("shard").to_numpy()
+        order = np.lexsort((b.column("doc_id").to_numpy(), shards))
+        b = b.take(pa.array(order))
+        shards = shards[order]
+        fps = b.column("fp").to_numpy()
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(shards[1:] != shards[:-1]) + 1, [len(b)]])
+        out_s, out_n, out_f, out_skip = [], [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sh = int(shards[lo])
+            n = int(hi - lo)
+            fp = int(np.bitwise_xor.reduce(
+                fps[lo:hi].view(np.uint64)) & np.uint64(FP_MASK))
+            path = os.path.join(out, f"shard-{sh:04d}.parquet")
+            rec = prev.get(str(sh))
+            skip = (rec is not None and rec.get("n_docs") == n
+                    and rec.get("fingerprint") == fp and os.path.exists(path))
+            if not skip:
+                tbl = b.slice(lo, n).drop_columns(["shard", "fp"])
+                tmp = path + f".tmp.{os.getpid()}"
+                pq.write_table(tbl, tmp, row_group_size=4096)
+                os.replace(tmp, path)  # atomic: readers never see partials
+            out_s.append(sh)
+            out_n.append(n)
+            out_f.append(fp)
+            out_skip.append(bool(skip))
+        return pa.table({"shard": pa.array(out_s, pa.int64()),
+                         "n_docs": pa.array(out_n, pa.int64()),
+                         "fingerprint": pa.array(out_f, pa.int64()),
+                         "skipped": pa.array(out_skip, pa.bool_())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text", "source"])
+            .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["shard"])
+            .map_batches(write_shards, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+    rows = pa.concat_tables(
+        tb for tb in ray.data.from_arrow_refs(
+            list(mat.to_arrow_refs())
+        ).iter_batches(batch_format="pyarrow", batch_size=None))
+    rows = rows.sort_by("shard")
+    # commit the manifest AFTER every shard file landed (write order:
+    # shards → manifest, so a crash can only lose manifest freshness,
+    # never record a shard that does not exist)
+    manifest = {
+        str(int(s)): {"n_docs": int(n), "fingerprint": int(f)}
+        for s, n, f in zip(rows.column("shard").to_pylist(),
+                           rows.column("n_docs").to_pylist(),
+                           rows.column("fingerprint").to_pylist())
+    }
+    tmp = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, manifest_path)
+    return rows.drop_columns(["skipped"])

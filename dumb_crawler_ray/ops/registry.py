@@ -13,7 +13,8 @@ import pyarrow as pa
 from ..rayutil import remote_kwargs
 import pyarrow.compute as pc
 
-from . import ann, dedup, filters, graph, media, multimodal, relational, text
+from . import (ann, dedup, export, filters, graph, media, multimodal,
+               relational, text)
 
 _FIXTURE_SCALE = 4
 _FIXTURE_SEED = 42
@@ -1306,6 +1307,25 @@ def build_registry() -> dict[str, tuple]:
         SELECT n.url, COALESCE(a.in_degree, 0) AS in_degree,
                COALESCE(a.n_ref_domains, 0) AS n_ref_domains
         FROM nodes n LEFT JOIN agg a USING (url) ORDER BY n.url
+        """,
+    )
+
+    # resumable export sink: the op WRITES the shards (workers write in
+    # parallel, tmp+rename, manifest commit last); the returned MANIFEST
+    # is pure row-identity/content arithmetic → full SQL oracle
+    reg["export_corpus"] = (
+        export.export_corpus,
+        f"""
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {export.DEFAULT_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(bit_xor(
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                        CAST(length(text) AS VARCHAR)),
+                                        1, 16)) AS UBIGINT)
+                   & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+                   AS fingerprint
+        FROM documents GROUP BY 1 ORDER BY 1
         """,
     )
 

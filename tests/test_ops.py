@@ -90,8 +90,43 @@ SQL_CHECKED = [
     "quality_classifier_scores", "doc_split", "embedding_near_dup_pairs",
     "image_keeplist", "retention_cohorts", "filtered_ann_topk",
     "page_rank", "bigram_lm_scores", "page_indegree",
-    "leakage_safe_split",
+    "leakage_safe_split", "export_corpus",
 ]
+
+
+def test_export_corpus_roundtrip_and_resume(ray_session, tmp_path):
+    """The sink contract: shards re-read to exactly the input, a second
+    run skips every shard (resume), and deleting one shard rewrites ONLY
+    that shard."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import export
+
+    out = str(tmp_path / "export")
+    m1 = export.export_corpus(SF, out_dir=out).to_pandas()
+    assert len(m1) == export.DEFAULT_SHARDS and m1["n_docs"].sum() == 500
+    shard_files = sorted(
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(shard_files) == export.DEFAULT_SHARDS
+    got = pd.concat([pq.read_table(f).to_pandas() for f in shard_files])
+    want = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want[got.columns].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    m2 = export.export_corpus(SF, out_dir=out).to_pandas()
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in shard_files} == mtimes  # all skipped
+
+    victim = shard_files[3]
+    os.remove(victim)
+    export.export_corpus(SF, out_dir=out)
+    after = {f: os.path.getmtime(f) for f in shard_files}
+    assert after[victim] > mtimes[victim]
+    assert all(after[f] == mtimes[f] for f in shard_files if f != victim)
 
 
 def test_leakage_safe_split_guard_and_paths(ray_session):
