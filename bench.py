@@ -256,7 +256,10 @@ def run_queries_extra() -> dict:
         "bigram_lm_scores": lambda: filters.bigram_lm_scores(SF_DIR),
         "page_indegree": lambda: graph.page_indegree(f"{fix}/pages.parquet"),
         "leakage_safe_split": lambda: text.leakage_safe_split(SF_DIR),
-        "export_corpus": lambda: export.export_corpus(SF_DIR),
+        # pid-keyed out_dir: a stale manifest would skip every write and
+        # time the no-op resume path instead of the export
+        "export_corpus": lambda: export.export_corpus(
+            SF_DIR, out_dir=f"/tmp/dcr_export/bench_{os.getpid()}"),
         # round 3: image-table curation ops (fixture-backed, SQL-checked)
         "image_caption_stats": lambda: multimodal.caption_stats(
             f"{fix}/images.parquet"),

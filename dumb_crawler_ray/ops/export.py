@@ -6,18 +6,23 @@ failed run skips finished shards on retry) — reference analogue: the WARC
 sink's rotation + url_index (J/services/storage/WarcStorageManager.java),
 lifted to columnar shards with a content manifest.
 
-Shape: shard = md5-bucket of doc_id (row identity — the `doc_split`
+Shape: shard = md5-bucket of the row id (row identity — the `doc_split`
 pact, so re-exports never migrate rows), ONE keyed repartition co-locates
 each shard inside a single block, and the WRITE happens inside
 `map_batches` (workers write their own shards in parallel; the driver
-only collects the n_shards manifest rows). Shard files are sorted by
-doc_id and written tmp-then-`os.replace` (atomic, crash-safe); a shard
-whose (n_docs, fingerprint) matches the previous manifest AND whose file
-exists is SKIPPED — that is the resume path. Fingerprint = XOR of
-md5-64(doc_id ':' length(text)) masked to 63 bits: order-independent,
+only collects the n_shards manifest rows). Shard files are sorted by id
+and written tmp-then-`os.replace` (atomic, crash-safe); a shard whose
+(n_docs, fingerprint) matches the previous manifest AND whose file exists
+is SKIPPED — that is the resume path. Fingerprint = XOR of
+md5-64(id ':' length) masked to 63 bits: order-independent,
 content-sensitive, and exactly replayable in DuckDB (`bit_xor`), so the
 MANIFEST (shard, n_docs, fingerprint) has a full SQL oracle even though
 the op is a sink.
+
+Two public entry points share the writer:
+- `export_corpus(sf_dir)`   — the `documents` table (SQL-checked manifest)
+- `corpus_release(ckpt_dir)`— the crawl→curate flagship's quality rows
+  (crawl-derived → reconciliation-tested instead of SQL)
 """
 
 from __future__ import annotations
@@ -35,34 +40,39 @@ FP_MASK = (1 << 63) - 1  # keep XOR results inside signed int64 / BIGINT
 DEFAULT_SHARDS = 16
 
 
-def _shard_of(doc_ids) -> np.ndarray:
+def _id_strs(ids) -> list:
+    return [i if isinstance(i, str) else str(int(i)) for i in ids]
+
+
+def _shard_of(ids) -> np.ndarray:
     import hashlib
 
     return np.fromiter(
-        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
-         % DEFAULT_SHARDS for i in doc_ids),
-        dtype=np.int64, count=len(doc_ids))
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % DEFAULT_SHARDS
+         for s in _id_strs(ids)),
+        dtype=np.int64, count=len(ids))
 
 
-def _fingerprints(doc_ids, text_lens) -> np.ndarray:
+def _fingerprints(ids, lens) -> np.ndarray:
     from .dedup import _md5_64_batch
 
-    strs = [f"{int(i)}:{int(n)}" for i, n in zip(doc_ids, text_lens)]
+    strs = [f"{s}:{int(n)}" for s, n in zip(_id_strs(ids), lens)]
     return (_md5_64_batch(strs) & np.uint64(FP_MASK)).view(np.int64)
 
 
-def export_corpus(sf_dir: str, out_dir: str | None = None,
-                  n_partitions: int | None = None):
-    """Export `documents` as {DEFAULT_SHARDS} sorted parquet shards under
-    `out_dir` (default keyed by input path under /tmp), returning the
-    manifest table (shard, n_docs, fingerprint) sorted by shard."""
+def export_sharded(assigned_fn, out_dir: str, id_col: str,
+                   n_partitions: int | None = None) -> pa.Table:
+    """Write the Dataset built by `assigned_fn()` (must carry `shard` +
+    `fp` columns) as one sorted parquet file per shard under `out_dir`,
+    skipping shards unchanged vs the previous manifest. Returns the
+    manifest table. Takes a BUILDER, not a Dataset: datasets capture
+    their DataContext at creation, so the whole chain must be
+    constructed under the scoped HASH_SHUFFLE override or the keyed
+    repartition refuses to plan."""
     import ray
 
     from .dedup import _hash_partition_count
 
-    if out_dir is None:
-        base = os.path.basename(os.path.abspath(sf_dir))
-        out_dir = f"/tmp/dcr_export/{base}_s{DEFAULT_SHARDS}"
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
     old: dict = {}
@@ -74,17 +84,6 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
     old_ref = ray.put(old)
     out_ref = ray.put(out_dir)
 
-    def assign(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ids = t.column("doc_id").to_numpy()
-        lens = pc.utf8_length(t.column("text")).to_numpy()
-        return pa.table(
-            {"doc_id": t.column("doc_id"),
-             "text": t.column("text"),
-             "source": t.column("source"),
-             "shard": pa.array(_shard_of(ids), pa.int64()),
-             "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
-
     def write_shards(b: pa.Table) -> pa.Table:
         empty = pa.table({"shard": pa.array([], pa.int64()),
                           "n_docs": pa.array([], pa.int64()),
@@ -94,7 +93,10 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
             return empty
         prev, out = ray.get(old_ref), ray.get(out_ref)
         shards = b.column("shard").to_numpy()
-        order = np.lexsort((b.column("doc_id").to_numpy(), shards))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        # np.lexsort rejects object arrays → integer codes via np.unique
+        _, id_codes = np.unique(ids, return_inverse=True)
+        order = np.lexsort((id_codes, shards))
         b = b.take(pa.array(order))
         shards = shards[order]
         fps = b.column("fp").to_numpy()
@@ -131,9 +133,7 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
     ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
     try:
         mat = (
-            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                  columns=["doc_id", "text", "source"])
-            .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+            assigned_fn()
             .repartition(n_partitions, keys=["shard"])
             .map_batches(write_shards, batch_format="pyarrow",
                          batch_size=None, **remote_kwargs())
@@ -160,3 +160,68 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, manifest_path)
     return rows.drop_columns(["skipped"])
+
+
+def export_corpus(sf_dir: str, out_dir: str | None = None,
+                  n_partitions: int | None = None):
+    """Export `documents` as {DEFAULT_SHARDS} sorted parquet shards under
+    `out_dir` (default keyed by input path under /tmp), returning the
+    manifest table (shard, n_docs, fingerprint) sorted by shard."""
+    import ray
+
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(sf_dir))
+        out_dir = f"/tmp/dcr_export/{base}_s{DEFAULT_SHARDS}"
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t.column("doc_id").to_numpy()
+        lens = pc.utf8_length(t.column("text")).to_numpy()
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "text": t.column("text"),
+             "source": t.column("source"),
+             "shard": pa.array(_shard_of(ids), pa.int64()),
+             "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
+
+    def build():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        ).map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+
+    return export_sharded(build, out_dir, "doc_id",
+                          n_partitions=n_partitions)
+
+
+def corpus_release(ckpt_dir: str, out_dir: str | None = None,
+                   n_partitions: int | None = None):
+    """The flagship composition's last mile: crawl checkpoint → curated
+    corpus (`pipelines/curate.py`) → quality rows only → resumable
+    release shards + manifest. Identity = url_hash, fingerprint length =
+    n_chars (the curated content proxy), so a re-crawl that stores the
+    same latest versions re-releases byte-identical shards and a partial
+    failure resumes shard-by-shard."""
+    from ..pipelines.curate import curate_corpus
+
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(ckpt_dir))
+        out_dir = f"/tmp/dcr_release/{base}_s{DEFAULT_SHARDS}"
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("quality_ok"))
+        ids = t.column("url_hash").to_numpy(zero_copy_only=False)
+        lens = t.column("n_chars").to_numpy()
+        return t.append_column(
+            "shard", pa.array(_shard_of(ids), pa.int64())
+        ).append_column("fp", pa.array(_fingerprints(ids, lens), pa.int64()))
+
+    # curate_corpus materializes internally and returns a rebuilt
+    # dataset, but map_batches chains must still be planned under the
+    # scoped context — build inside the thunk
+    def build():
+        return curate_corpus(ckpt_dir).map_batches(
+            assign, batch_format="pyarrow", **remote_kwargs())
+
+    return export_sharded(build, out_dir, "url_hash",
+                          n_partitions=n_partitions)

@@ -125,6 +125,18 @@ def curated_corpus(sf_dir: str):
     return curate_corpus(r.ckpt_dir)
 
 
+def corpus_release_q(sf_dir: str):
+    """Flagship last mile: the fixture crawl's curated quality rows
+    exported as resumable release shards + manifest (ops/export.py).
+    Deterministic crawl → deterministic shards, so the stable /tmp out
+    dir is safe across processes (identical bytes, atomic replace)."""
+    from . import export
+
+    r = _crawl_result()
+    return export.corpus_release(
+        r.ckpt_dir, out_dir="/tmp/dcr_release/crawl_fixture_s16")
+
+
 def crawl_counters(sf_dir: str):
     r = _crawl_result()
     items = sorted(r.counters.items())
@@ -1692,4 +1704,5 @@ def build_registry() -> dict[str, tuple]:
     reg["crawl_counters"] = (crawl_counters, None)
     reg["crawl_lineage"] = (crawl_lineage, None)
     reg["curated_corpus"] = (curated_corpus, None)
+    reg["corpus_release"] = (corpus_release_q, None)
     return reg

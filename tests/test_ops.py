@@ -690,7 +690,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         pq.write_table(src.slice(0, 0), str(d / f"{t}.parquet"))
     fixture_backed = {
         "crawl_order", "crawl_seen_set", "crawl_counters", "crawl_lineage",
-        "curated_corpus",
+        "curated_corpus", "corpus_release",
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
@@ -743,6 +743,33 @@ def test_curated_corpus(registry, ray_session):
     # re-running is deterministic
     df2 = to_df(registry["curated_corpus"][0](SF))
     pd.testing.assert_frame_equal(df, df2)
+
+
+def test_corpus_release_reconciles_and_resumes(registry, ray_session, tmp_path):
+    """Release shards must carry exactly the curated quality rows, and a
+    re-release over the same checkpoint skips every shard."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import export
+    from dumb_crawler_ray.ops.registry import _crawl_result
+
+    r = _crawl_result()
+    out = str(tmp_path / "release")
+    m1 = to_df(export.corpus_release(r.ckpt_dir, out_dir=out))
+    curated = to_df(registry["curated_corpus"][0](SF))
+    want = curated[curated["quality_ok"]].sort_values("url_hash")
+    assert m1["n_docs"].sum() == len(want)
+    files = sorted(f"{out}/{f}" for f in os.listdir(out)
+                   if f.endswith(".parquet"))
+    got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    got = got.sort_values("url_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    m2 = to_df(export.corpus_release(r.ckpt_dir, out_dir=out))
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
 
 
 def test_curated_corpus_gopher_gate(registry, ray_session):
