@@ -255,6 +255,7 @@ def run_queries_extra() -> dict:
         "page_rank": lambda: graph.page_rank(f"{fix}/pages.parquet"),
         "bigram_lm_scores": lambda: filters.bigram_lm_scores(SF_DIR),
         "page_indegree": lambda: graph.page_indegree(f"{fix}/pages.parquet"),
+        "ann_ivfpq_topk": lambda: ann.ann_ivfpq_topk(SF_DIR),
         "leakage_safe_split": lambda: text.leakage_safe_split(SF_DIR),
         # pid-keyed out_dir: a stale manifest would skip every write and
         # time the no-op resume path instead of the export

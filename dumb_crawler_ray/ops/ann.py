@@ -390,3 +390,147 @@ def filtered_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     if len(cand) == 0:
         return _empty_topk()
     return _merge_topk(cand, qids, k)
+
+
+def _kmeans_l2(mat: np.ndarray, k: int, seed: int, iters: int = 10):
+    """Euclidean k-means for PQ codebooks (sub-vectors are NOT unit
+    vectors, so the cosine variant above would be wrong). Deterministic:
+    seeded init, fixed iterations, empty cells keep their centroid."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(mat), size=min(k, len(mat)), replace=False)
+    cent = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                   n_centroids: int = 16, n_probe: int = 6,
+                   m_subs: int = 8, pq_bits: int = 4):
+    """IVF + product quantization — the ANN shape that actually fits
+    100 TB: vectors are stored as M uint8 codebook codes (here 8×4 bits
+    ≈ 1% of a float32 d=64 vector), candidate scoring is asymmetric
+    distance computation (one M×2^bits lookup table per query, built
+    once and broadcast), and only the merged candidate set is RERANKED
+    with exact cosine over vectors fetched by a distributed `np.isin`
+    filter (the `_gather_texts` shape — O(candidates) driver memory).
+
+    Pipeline: bounded-sample training (coarse quantizer + per-subspace
+    L2 codebooks, seeded + fixed iterations → deterministic) → one
+    ENCODE pass emitting (vec_id, cell, codes) — the compressed index a
+    deployment would persist — → ADC scan with per-batch partial top-k
+    gated by the query's `n_probe` cells → exact rerank. Approximate →
+    rows-only oracle; recall vs `ann_bruteforce` and determinism are
+    pytested (same contract as `ann_ivf`)."""
+    import ray
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_topk()
+    qn = _normalize(qmat)
+
+    sample_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).limit(4096)
+    sample = _normalize(np.concatenate([
+        embedding_matrix(tb.column("embedding"))
+        for tb in sample_ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+    ]))
+    dim = sample.shape[1]
+    sub = dim // m_subs
+    n_codes = 1 << pq_bits
+    coarse = _kmeans(sample, n_centroids)
+    books = np.stack([
+        _kmeans_l2(sample[:, m * sub:(m + 1) * sub], n_codes, seed=100 + m)
+        for m in range(m_subs)
+    ])  # (M, n_codes, sub)
+    train_ref = ray.put((coarse, books))
+
+    def encode(t: pa.Table) -> pa.Table:
+        coarse, books = ray.get(train_ref)
+        mat = _normalize(embedding_matrix(t.column("embedding")))
+        cells = np.argmax(mat @ coarse.T, axis=1).astype(np.int64)
+        codes = np.empty((len(mat), len(books)), dtype=np.uint8)
+        for m in range(len(books)):
+            seg = mat[:, m * sub:(m + 1) * sub]
+            d = ((seg[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d, axis=1)
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "cell": pa.array(cells, pa.int64()),
+             "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
+
+    # the compressed index: ~1% of the float payload moves from here on
+    codes_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(encode, batch_format="pyarrow", **remote_kwargs())
+
+    # ADC tables: table[q, m, c] = <q_sub_m, book[m][c]> — inner-product
+    # contribution of code c in subspace m (built once, broadcast)
+    probe_cells = np.argsort(-(qn @ coarse.T), axis=1)[:, :n_probe]
+    adc = np.einsum("qmd,mcd->qmc", qn.reshape(len(qn), m_subs, sub), books)
+    query_ref = ray.put((qids, adc, probe_cells))
+
+    def adc_scan(t: pa.Table) -> pa.Table:
+        ids_q, adc, probe = ray.get(query_ref)
+        vids = t.column("vec_id").to_numpy()
+        cells = t.column("cell").to_numpy()
+        codes = np.stack(t.column("codes").to_numpy(zero_copy_only=False))
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            mask = np.isin(cells, probe[qi])
+            if not mask.any():
+                continue
+            c = codes[mask]
+            # Σ_m adc[qi, m, code_m] — gather per subspace, sum across
+            approx = adc[qi][np.arange(c.shape[1])[None, :], c].sum(axis=1)
+            sub_ids = vids[mask]
+            kk = min(3 * k, len(sub_ids))
+            idx = np.lexsort((sub_ids, -approx))[:kk]
+            for j in idx:
+                out_q.append(int(ids_q[qi]))
+                out_n.append(int(sub_ids[j]))
+                out_s.append(float(approx[j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    cand = pa.concat_tables(
+        tb for tb in codes_ds.map_batches(
+            adc_scan, batch_format="pyarrow", **remote_kwargs()
+        ).iter_batches(batch_format="pyarrow", batch_size=None))
+    if len(cand) == 0:
+        return _empty_topk()
+
+    # exact rerank over the merged candidate ids only (distributed fetch)
+    need = np.unique(cand.column("neighbor_id").to_numpy())
+    need_ref = ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = np.isin(t.column("vec_id").to_numpy(), wanted)
+        return t.filter(pa.array(mask))
+
+    got = pa.concat_tables(
+        tb for tb in ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(pick, batch_format="pyarrow", **remote_kwargs())
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    gids = got.column("vec_id").to_numpy()
+    gmat = _normalize(embedding_matrix(got.column("embedding")))
+    sims = qn @ gmat.T  # (n_queries, candidates)
+    cq = cand.column("query_id").to_numpy()
+    cn = cand.column("neighbor_id").to_numpy()
+    order = np.argsort(gids)
+    pos = np.searchsorted(gids[order], cn)
+    exact = sims[np.searchsorted(qids, cq), order[pos]]
+    rerank = pa.table({"query_id": pa.array(cq, pa.int64()),
+                       "neighbor_id": pa.array(cn, pa.int64()),
+                       "sim": pa.array(exact, pa.float64())})
+    return _merge_topk(rerank, qids, k)

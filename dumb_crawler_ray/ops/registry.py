@@ -1506,6 +1506,7 @@ def build_registry() -> dict[str, tuple]:
 
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
+    reg["ann_ivfpq_topk"] = (ann.ann_ivfpq_topk, None)
     reg["embedding_kmeans"] = (ann.embedding_kmeans, None)
 
     # lang_id: full heuristic recompute in SQL — per-language stopword hit

@@ -291,6 +291,29 @@ def test_ann_ivf_recall_vs_bruteforce(registry, ray_session):
     assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
 
 
+def test_ann_ivfpq_recall_rerank_and_determinism(registry, ray_session):
+    """IVF+PQ must (a) keep useful recall vs exact brute force despite
+    4-bit codes, (b) emit EXACT sims for what it returns (the rerank
+    contract: every reported sim equals the brute-force sim for that
+    pair), and (c) be deterministic."""
+    bf = to_df(registry["ann_bruteforce_topk"][0](SF))
+    pq_ = to_df(registry["ann_ivfpq_topk"][0](SF))
+    assert list(pq_.columns) == ["query_id", "rank", "neighbor_id", "sim"]
+    recall_num = recall_den = 0
+    bf_sim = {(q, n): s for q, n, s in
+              zip(bf["query_id"], bf["neighbor_id"], bf["sim"])}
+    for qid in bf["query_id"].unique():
+        truth = set(bf[bf.query_id == qid]["neighbor_id"])
+        got = set(pq_[pq_.query_id == qid]["neighbor_id"])
+        recall_num += len(truth & got)
+        recall_den += len(truth)
+    assert recall_num / recall_den >= 0.5, recall_num / recall_den
+    for q, n, s in zip(pq_["query_id"], pq_["neighbor_id"], pq_["sim"]):
+        if (q, n) in bf_sim:  # rerank = exact cosine, rounded identically
+            assert abs(s - bf_sim[(q, n)]) < 1e-9
+    pd.testing.assert_frame_equal(pq_, to_df(registry["ann_ivfpq_topk"][0](SF)))
+
+
 def test_embedding_near_dups_deterministic(registry, ray_session):
     fn, _ = registry["embedding_near_dup_pairs"]
     a = to_df(fn(SF))
