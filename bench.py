@@ -256,6 +256,7 @@ def run_queries_extra() -> dict:
         "bigram_lm_scores": lambda: filters.bigram_lm_scores(SF_DIR),
         "page_indegree": lambda: graph.page_indegree(f"{fix}/pages.parquet"),
         "ann_ivfpq_topk": lambda: ann.ann_ivfpq_topk(SF_DIR),
+        "cms_user_counts": lambda: text.cms_user_counts(SF_DIR),
         "leakage_safe_split": lambda: text.leakage_safe_split(SF_DIR),
         # pid-keyed out_dir: a stale manifest would skip every write and
         # time the no-op resume path instead of the export

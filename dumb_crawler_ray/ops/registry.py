@@ -1322,6 +1322,25 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # count-min sketch: a CMS cell is a deterministic count aggregate, so
+    # the ENTIRE sketch replays in SQL from the same md5 hash family —
+    # the suite's only fully-oracle-checked sketch (HLL/MG are rows-only)
+    reg["cms_user_counts"] = (
+        text.cms_user_counts,
+        f"""
+        WITH h AS (
+            SELECT t.d,
+                   CAST(CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':'
+                        || CAST(e.user_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+                        % {text.CMS_WIDTH} AS BIGINT) AS w
+            FROM events e
+            CROSS JOIN (SELECT unnest(range({text.CMS_DEPTH})) AS d) t
+        )
+        SELECT d, w, CAST(count(*) AS BIGINT) AS n
+        FROM h GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
     # resumable export sink: the op WRITES the shards (workers write in
     # parallel, tmp+rename, manifest commit last); the returned MANIFEST
     # is pure row-identity/content arithmetic → full SQL oracle

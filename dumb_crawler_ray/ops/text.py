@@ -825,3 +825,75 @@ def leakage_safe_split(sf_dir: str, force_distributed: bool = False):
     finally:
         ctx.shuffle_strategy = prev
     return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort("doc_id")
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_user_counts(sf_dir: str):
+    """Count-min sketch of per-user event counts — the third mergeable
+    sketch in the suite (HLL counts distinct, Misra-Gries finds heavy
+    hitters, CMS answers POINT frequency queries), and the only one with
+    a FULL SQL oracle: a CMS cell is `count(events whose d-th hash lands
+    there)`, a pure deterministic aggregate, so DuckDB replays the whole
+    sketch bit-exactly from the same md5 hash family.
+
+    Scale shape: each block emits its ≤ depth·width nonzero cells as
+    (d, w, n_part) partial rows (the partial-aggregate combiner — 32 KiB
+    per block regardless of event volume), one small groupby-sum lands
+    the merged sketch, rows = nonzero cells. Point queries
+    (`cms_estimate`) are a driver-side min over depth lookups; the
+    ε = e/width, δ = e^-depth guarantee is property-tested against exact
+    counts.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_64_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").to_numpy()
+        strs = [f"{d}:{u}" for d in range(CMS_DEPTH) for u in ids]
+        cells = (_md5_64_batch(strs) % np.uint64(CMS_WIDTH)).astype(np.int64)
+        d_col = np.repeat(np.arange(CMS_DEPTH, dtype=np.int64), len(ids))
+        packed = d_col * CMS_WIDTH + cells
+        uk, cnt = np.unique(packed, return_counts=True)
+        return pa.table({"d": pa.array(uk // CMS_WIDTH, pa.int64()),
+                         "w": pa.array(uk % CMS_WIDTH, pa.int64()),
+                         "n_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"d": t.column("d"),
+                         "w": t.column("w"),
+                         "n": t.column("sum(n_part)")})
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["d", "w"]).aggregate(Sum("n_part"))
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+        .sort(["d", "w"])
+    )
+
+
+def cms_estimate(sketch: pa.Table, user_ids) -> np.ndarray:
+    """min over depth rows — the CMS point query, shared by the tests
+    so the hash family cannot drift from the sketch builder."""
+    import hashlib
+
+    d_arr = sketch.column("d").to_numpy()
+    w_arr = sketch.column("w").to_numpy()
+    n_arr = sketch.column("n").to_numpy()
+    table = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    table[d_arr, w_arr] = n_arr
+    out = np.empty(len(user_ids), dtype=np.int64)
+    for i, u in enumerate(user_ids):
+        est = None
+        for d in range(CMS_DEPTH):
+            h = int.from_bytes(
+                hashlib.md5(f"{d}:{u}".encode()).digest()[:8], "big")
+            v = table[d, h % CMS_WIDTH]
+            est = v if est is None else min(est, v)
+        out[i] = est
+    return out

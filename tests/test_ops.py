@@ -90,8 +90,31 @@ SQL_CHECKED = [
     "quality_classifier_scores", "doc_split", "embedding_near_dup_pairs",
     "image_keeplist", "retention_cohorts", "filtered_ann_topk",
     "page_rank", "bigram_lm_scores", "page_indegree",
-    "leakage_safe_split", "export_corpus",
+    "leakage_safe_split", "export_corpus", "cms_user_counts",
 ]
+
+
+def test_cms_guarantee(registry, ray_session):
+    """CMS point queries: never underestimate, and respect the
+    ε = e/width additive bound (with slack) against exact counts."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    from dumb_crawler_ray.ops.text import CMS_WIDTH, cms_estimate
+
+    sketch = pa.Table.from_pandas(to_df(registry["cms_user_counts"][0](SF)))
+    exact = (pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+             .to_pandas()["user_id"].value_counts())
+    n_events = int(exact.sum())
+    users = list(exact.index[:50]) + list(exact.index[-50:])
+    est = cms_estimate(sketch, users)
+    bound = math.ceil(math.e * n_events / CMS_WIDTH) * 3  # slack: δ tail
+    for u, e_ in zip(users, est):
+        assert e_ >= exact[u], (u, e_, exact[u])
+        assert e_ <= exact[u] + bound, (u, e_, exact[u], bound)
 
 
 def test_export_corpus_roundtrip_and_resume(ray_session, tmp_path):
