@@ -130,34 +130,17 @@ def _merge_topk(cand: pa.Table, qids: np.ndarray, k: int) -> pa.Table:
     )
 
 
-def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
-    """Distributed Lloyd's k-means over the embedding table (spherical —
-    cosine assignment on normalized vectors).
-
-    Scale shape: centroids are the SMALL side — `ray.put` once per
-    iteration; each Arrow batch computes its partial (per-cluster vector
-    sum + count) inside `map_batches`, so one iteration ships k×dim floats
-    per block to the driver, never the data. iters+1 streaming passes over
-    the table total. Deterministic: init = the first k vec_ids' vectors
-    (distributed partial-min), fixed iteration count, argmax ties broken
-    by lowest cluster id (numpy argmax semantics).
-
-    Returns (vec_id, cluster, sim) assignments sorted by vec_id —
-    rows-only oracle; determinism + objective-monotonicity are pytested.
-    """
+def _train_centroids(sf_dir: str, cent: np.ndarray,
+                     iters: int) -> np.ndarray:
+    """The Lloyd's loop shared by `embedding_kmeans` and
+    `semantic_dedup`: centroids broadcast per iteration, per-batch
+    (sum, count) partials, k×dim driver reduce. Deterministic."""
     import ray
 
-    _qids, init = _load_queries(sf_dir, k)
-    if len(_qids) == 0:
-        return pa.table(
-            {"vec_id": pa.array([], pa.int64()),
-             "cluster": pa.array([], pa.int64()),
-             "sim": pa.array([], pa.float64())}
-        )
-    cent = _normalize(init)
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    cent = cent.copy()
     for _ in range(iters):
         cent_ref = ray.put(cent)
 
@@ -187,7 +170,37 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
         nonzero = counts > 0
         cent[nonzero] = _normalize(sums[nonzero] /
                                    counts[nonzero][:, None])
+    return cent
 
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding table (spherical —
+    cosine assignment on normalized vectors).
+
+    Scale shape: centroids are the SMALL side — `ray.put` once per
+    iteration; each Arrow batch computes its partial (per-cluster vector
+    sum + count) inside `map_batches`, so one iteration ships k×dim floats
+    per block to the driver, never the data. iters+1 streaming passes over
+    the table total. Deterministic: init = the first k vec_ids' vectors
+    (distributed partial-min), fixed iteration count, argmax ties broken
+    by lowest cluster id (numpy argmax semantics).
+
+    Returns (vec_id, cluster, sim) assignments sorted by vec_id —
+    rows-only oracle; determinism + objective-monotonicity are pytested.
+    """
+    import ray
+
+    _qids, init = _load_queries(sf_dir, k)
+    if len(_qids) == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    cent = _train_centroids(sf_dir, _normalize(init), iters)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     final_ref = ray.put(cent)
 
     def assign_out(t: pa.Table) -> pa.Table:
@@ -534,3 +547,119 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                        "neighbor_id": pa.array(cn, pa.int64()),
                        "sim": pa.array(exact, pa.float64())})
     return _merge_topk(rerank, qids, k)
+
+
+def semantic_dedup(sf_dir: str, k: int = 8, threshold: float = 0.9,
+                   plant_copies: int = 0):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then greedily prune WITHIN each cluster — a member is dropped when
+    its cosine to an already-kept member exceeds `threshold`. The
+    embedding-space analogue of the text near-dup keep-lists: catches
+    paraphrase-level duplication that n-gram methods miss.
+
+    Scale shape: centroid training reuses `embedding_kmeans`'s
+    broadcast-centroid iterations (state = k×dim, tiny); cluster
+    assignment happens INLINE per batch from the broadcast centroids (no
+    join, no zip-alignment assumption), and the prune stage repartitions
+    ONCE keyed on cluster id so each cluster's members are co-located,
+    then runs a block-local greedy scan in ascending vec_id (pinned →
+    deterministic at any parallelism). Within-cluster work is
+    O(n_c · kept_c) BLAS — the method's inherent cost; at 10^9+ vectors a
+    deployment raises k so clusters stay ~10^4-10^6 (SemDeDup's own
+    recipe) rather than sharding a cluster across blocks.
+
+    `plant_copies=n` injects exact duplicates in-flight (vec_id +
+    PLANT_ID_OFFSET, the embedding_near_dup_pairs precedent); an exact
+    copy lands in its original's cluster by construction and must be
+    pruned. Rows-only oracle; invariants (keepers pairwise ≤ threshold
+    within a cluster, every drop names a kept keeper with sim >
+    threshold, determinism) are pytested."""
+    import ray
+
+    from .dedup import PLANT_ID_OFFSET, _hash_partition_count
+
+    qids, init = _load_queries(sf_dir, k)
+    if len(qids) == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "keep": pa.array([], pa.bool_()),
+                         "dup_of": pa.array([], pa.int64()),
+                         "nn_sim": pa.array([], pa.float64())})
+    cent = _train_centroids(sf_dir, _normalize(init), iters=5)
+    cent_ref = ray.put(cent)
+
+    def plant_and_assign(t: pa.Table) -> pa.Table:
+        if plant_copies:
+            mask = pc.less(t.column("vec_id"),
+                           pa.scalar(plant_copies, pa.int64()))
+            dup = t.filter(mask)
+            if len(dup):
+                dup = dup.set_column(
+                    t.column_names.index("vec_id"), "vec_id",
+                    pc.add(dup.column("vec_id"),
+                           pa.scalar(PLANT_ID_OFFSET, pa.int64())))
+                t = pa.concat_tables([t, dup])
+        c = ray.get(cent_ref)
+        mat = _normalize(embedding_matrix(t.column("embedding")))
+        cluster = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "cluster": pa.array(cluster, pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    def greedy_prune(b: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64()),
+                          "keep": pa.array([], pa.bool_()),
+                          "dup_of": pa.array([], pa.int64()),
+                          "nn_sim": pa.array([], pa.float64())})
+        if len(b) == 0:
+            return empty
+        out = []
+        clusters = b.column("cluster").to_numpy()
+        for c in np.unique(clusters):
+            sub = b.filter(pa.array(clusters == c))
+            ids = sub.column("vec_id").to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = _normalize(embedding_matrix(sub.column("embedding")))[order]
+            kept_idx: list[int] = []
+            keep = np.zeros(len(ids), dtype=bool)
+            dup_of = np.full(len(ids), -1, dtype=np.int64)
+            nn_sim = np.zeros(len(ids), dtype=np.float64)
+            for i in range(len(ids)):
+                if kept_idx:
+                    sims = mat[kept_idx] @ mat[i]
+                    j = int(np.argmax(sims))
+                    nn_sim[i] = round(float(sims[j]), SIM_DECIMALS)
+                    if sims[j] > threshold:
+                        dup_of[i] = ids[kept_idx[j]]
+                        continue
+                keep[i] = True
+                kept_idx.append(i)
+            out.append(pa.table(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "cluster": pa.array(np.full(len(ids), c, np.int64()),
+                                     pa.int64()),
+                 "keep": pa.array(keep, pa.bool_()),
+                 "dup_of": pa.array(dup_of, pa.int64()),
+                 "nn_sim": pa.array(nn_sim, pa.float64())}))
+        return pa.concat_tables(out)
+
+    n_partitions = min(_hash_partition_count(), max(2, k))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+            .map_batches(plant_and_assign, batch_format="pyarrow",
+                         **remote_kwargs())
+            .repartition(n_partitions, keys=["cluster"])
+            .map_batches(greedy_prune, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort("vec_id")

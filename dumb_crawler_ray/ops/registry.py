@@ -1526,6 +1526,12 @@ def build_registry() -> dict[str, tuple]:
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["ann_ivfpq_topk"] = (ann.ann_ivfpq_topk, None)
+    # planted copies + a sub-random-cosine threshold keep the evidence
+    # non-vacuous on the random-embedding table (max natural cos ≈ 0.51)
+    reg["semantic_dedup"] = (
+        lambda sf: ann.semantic_dedup(sf, threshold=0.45, plant_copies=8),
+        None,
+    )
     reg["embedding_kmeans"] = (ann.embedding_kmeans, None)
 
     # lang_id: full heuristic recompute in SQL — per-language stopword hit

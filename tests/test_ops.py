@@ -337,6 +337,46 @@ def test_ann_ivfpq_recall_rerank_and_determinism(registry, ray_session):
     pd.testing.assert_frame_equal(pq_, to_df(registry["ann_ivfpq_topk"][0](SF)))
 
 
+def test_semantic_dedup_invariants(registry, ray_session):
+    """SemDeDup contract: planted exact copies are dropped with nn_sim 1.0
+    naming their original; keepers within a cluster are pairwise ≤
+    threshold; every drop names a KEPT member of its own cluster with
+    sim > threshold; deterministic."""
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.dedup import PLANT_ID_OFFSET
+    from dumb_crawler_ray.ops.vecutil import embedding_matrix, normalize_rows
+
+    fn = registry["semantic_dedup"][0]
+    df = to_df(fn(SF))
+    pd.testing.assert_frame_equal(df, to_df(fn(SF)))  # deterministic
+    planted = df[df["vec_id"] >= PLANT_ID_OFFSET]
+    assert len(planted) == 8
+    assert (~planted["keep"]).all()
+    assert (planted["nn_sim"] == 1.0).all()
+    assert (planted["dup_of"] >= 0).all()
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = normalize_rows(embedding_matrix(emb.column("embedding")))
+    vecs = dict(zip(emb.column("vec_id").to_pylist(), mat))
+    vecs.update({i + PLANT_ID_OFFSET: vecs[i] for i in range(8)})
+    kept = df[df["keep"]]
+    kept_ids = set(kept["vec_id"])
+    for cluster, grp in kept.groupby("cluster"):
+        ids = list(grp["vec_id"])
+        import numpy as np
+        m = np.stack([vecs[i] for i in ids])
+        sims = m @ m.T
+        np.fill_diagonal(sims, 0)
+        assert sims.max() <= 0.45 + 1e-9, (cluster, sims.max())
+    dropped = df[~df["keep"]]
+    clus = dict(zip(df["vec_id"], df["cluster"]))
+    for vid, dof, c in zip(dropped["vec_id"], dropped["dup_of"],
+                           dropped["cluster"]):
+        assert dof in kept_ids and clus[dof] == c
+        assert float(vecs[vid] @ vecs[dof]) > 0.45 - 1e-9
+
+
 def test_embedding_near_dups_deterministic(registry, ray_session):
     fn, _ = registry["embedding_near_dup_pairs"]
     a = to_df(fn(SF))
