@@ -141,10 +141,14 @@ def export_sharded(assigned_fn, out_dir: str, id_col: str,
         )
     finally:
         ctx.shuffle_strategy = prev_strategy
-    rows = pa.concat_tables(
-        tb for tb in ray.data.from_arrow_refs(
-            list(mat.to_arrow_refs())
-        ).iter_batches(batch_format="pyarrow", batch_size=None))
+    manifest_schema = pa.schema(
+        [("shard", pa.int64()), ("n_docs", pa.int64()),
+         ("fingerprint", pa.int64()), ("skipped", pa.bool_())])
+    batches = list(ray.data.from_arrow_refs(
+        list(mat.to_arrow_refs())
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    rows = (pa.concat_tables(batches) if batches
+            else manifest_schema.empty_table())
     rows = rows.sort_by("shard")
     # commit the manifest AFTER every shard file landed (write order:
     # shards → manifest, so a crash can only lose manifest freshness,

@@ -1610,8 +1610,66 @@ def build_registry() -> dict[str, tuple]:
         FROM feat GROUP BY lang_pred ORDER BY lang_pred
         """,
     )
-    reg["approx_distinct_users"] = (text.approx_distinct_users, None)
-    reg["approx_daily_active_users"] = (text.approx_daily_active_users, None)
+    # HLL sketches: the register matrix AND the estimator replayed in
+    # SQL — base hash md5-64, idx = h >> 52, rho = 65 - bitlength of
+    # ((h % 2^52)*4096 + 1); S = Σ 2^(64-reg) in HUGEINT (zeros add 2^64
+    # each), inv = CAST(S AS DOUBLE)/2^64 (the one shared rounding),
+    # raw = alpha·m²/inv left-assoc like the Python expression, and the
+    # small-range branch's ln() matches math.log bit-for-bit (probed
+    # over all 4096 args; np.log does NOT — see _HLL's docstring).
+    _HLL_REG = """
+        h AS (
+            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS hv {day_col}
+            FROM events
+        ),
+        reg AS (
+            SELECT {day_key} (hv >> 52) AS idx,
+                   MAX(65 - length(bin((hv % (1::UBIGINT << 52)) * 4096 + 1)))
+                       AS rho
+            FROM h GROUP BY {day_key} idx
+        ),
+        agg AS (
+            SELECT {day_key}
+                   COALESCE(SUM(1::HUGEINT << (64 - rho)), 0::HUGEINT)
+                       AS s_present,
+                   COUNT(*) AS n_present,
+                   COALESCE(MAX(rho), 0) AS max_rho
+            FROM reg {day_group}
+        ),
+        est AS (
+            SELECT {day_key} max_rho, (4096 - n_present) AS zeros,
+                   (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+                   (CAST(s_present + (4096 - n_present) *
+                         (1::HUGEINT << 64) AS DOUBLE)
+                    / 18446744073709551616.0) AS raw
+            FROM agg
+        )
+    """
+    reg["approx_distinct_users"] = (
+        text.approx_distinct_users,
+        f"""
+        WITH {_HLL_REG.format(day_col="", day_key="", day_group="")}
+        SELECT CAST(floor(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                               THEN 4096.0 * ln(4096.0 / zeros)
+                               ELSE raw END + 0.5) AS BIGINT) AS estimate,
+               CAST(zeros AS BIGINT) AS zeros,
+               CAST(max_rho AS BIGINT) AS max_rho
+        FROM est
+        """,
+    )
+    reg["approx_daily_active_users"] = (
+        text.approx_daily_active_users,
+        f"""
+        WITH {_HLL_REG.format(day_col=", strftime(ts, '%Y-%m-%d') AS day",
+                              day_key="day,", day_group="GROUP BY day")}
+        SELECT day,
+               CAST(floor(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                               THEN 4096.0 * ln(4096.0 / zeros)
+                               ELSE raw END + 0.5) AS BIGINT) AS approx_users
+        FROM est ORDER BY day
+        """,
+    )
 
     # winnowed fingerprints: full SQL replay of the Rabin-Karp rolling
     # hash (per-character polynomial terms joined to a 257^e mod p powers

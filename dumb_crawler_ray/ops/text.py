@@ -557,7 +557,17 @@ class _HLL:
     estimator) — a MERGEABLE sketch: per-batch sketches combine by
     register-max, so distinct counting becomes map_batches partials plus
     one tiny merge (the sketch pattern for wide data; sub-1% memory of
-    the exact two-stage distinct at high cardinality)."""
+    the exact two-stage distinct at high cardinality).
+
+    SQL pact (the full sketch is DuckDB-replayable, like the CMS
+    matrix): base hash = md5-64 of str(user_id); register index =
+    `h >> 52`; rho = `65 - length(bin((h % 2^52) * 4096 + 1))` (the
+    `|1` sentinel caps the scan); the estimator is exact-integer up to
+    ONE float division — S = Σ 2^(64-reg) as a Python int / HUGEINT,
+    inv = float(S)/2^64 (one shared rounding), raw = alpha·m²/inv, and
+    the small-range branch uses math.log because DuckDB's ln matches
+    CPython's (probed over all 4096 possible args) while np.log does
+    NOT (1218/4096 off-by-a-ulp)."""
 
     P = 12  # 4096 registers → ~1.6% relative error
 
@@ -592,15 +602,29 @@ class _HLL:
         return merged
 
     @classmethod
-    def estimate(cls, regs: "np.ndarray") -> float:
-        m = float(1 << cls.P)
-        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(
-            np.power(2.0, -regs.astype(np.float64))
-        )
+    def estimate_int(cls, regs: "np.ndarray") -> int:
+        import math
+
+        m = 1 << cls.P
+        vals, counts = np.unique(regs, return_counts=True)
+        s_total = sum((1 << (64 - int(v))) * int(n)
+                      for v, n in zip(vals.tolist(), counts.tolist()))
+        inv = float(s_total) / 2.0 ** 64  # = Σ 2^-reg, one rounding
+        est = (0.7213 / (1 + 1.079 / float(m))) * float(m) * float(m) / inv
         zeros = int((regs == 0).sum())
         if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)  # small-range correction
-        return float(est)
+            est = float(m) * math.log(float(m) / zeros)  # small-range corr.
+        return int(math.floor(est + 0.5))
+
+
+def _hll_hash64(ids: np.ndarray) -> np.ndarray:
+    """md5-64 of str(id) — hashed once per DISTINCT id in the batch
+    (events repeat users heavily), then scattered back."""
+    from .dedup import _md5_64_batch
+
+    uniq, inverse = np.unique(ids, return_inverse=True)
+    hu = _md5_64_batch(str(u) for u in uniq.tolist())
+    return hu[inverse]
 
 
 def approx_daily_active_users(sf_dir: str):
@@ -609,14 +633,14 @@ def approx_daily_active_users(sf_dir: str):
     sketches), groupby(day).map_groups merges by register-max and
     estimates. The shuffle moves 4 KiB sketches per (block, day), never
     user ids — the approximate dual of `daily_active_users`' exact
-    two-stage distinct; accuracy vs exact asserted in tests."""
-    import pandas as pd
+    two-stage distinct; SQL oracle replays the register matrix AND the
+    estimator bit-exactly (see `_HLL`), accuracy vs exact in tests."""
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         day = pc.strftime(t.column("ts"), format="%Y-%m-%d").to_numpy(
             zero_copy_only=False)
-        ids = t.column("user_id").to_numpy(zero_copy_only=False).astype(object)
-        hs = pd.util.hash_array(ids, categorize=False)
+        ids = t.column("user_id").to_numpy(zero_copy_only=False)
+        hs = _hll_hash64(ids)
         days, rows = np.unique(day), []
         for d in days:
             rows.append(_HLL.sketch(hs[day == d]).tobytes())
@@ -629,7 +653,7 @@ def approx_daily_active_users(sf_dir: str):
         merged = _HLL.merge(g.column("sketch").to_pylist())
         return pa.table(
             {"day": g.column("day").slice(0, 1),
-             "approx_users": pa.array([int(round(_HLL.estimate(merged)))],
+             "approx_users": pa.array([_HLL.estimate_int(merged)],
                                       pa.int64())}
         )
 
@@ -647,14 +671,13 @@ def approx_daily_active_users(sf_dir: str):
 
 def approx_distinct_users(sf_dir: str):
     """HLL distinct-user estimate: one sketch per batch (map_batches),
-    register-max merge of the tiny sketches, one output row
-    (estimate + exact-side memory ratio). Rows-only oracle; accuracy vs
-    the exact count is asserted in tests."""
-    import pandas as pd
+    register-max merge of the tiny sketches, one output row. Output is
+    partition-count-independent (estimate, zeros, max_rho — all pure
+    functions of the MERGED registers), so the DuckDB oracle replays the
+    whole sketch + estimator bit-exactly (see `_HLL`'s SQL pact)."""
 
     def sketch_batch(t: pa.Table) -> pa.Table:
-        ids = t.column("user_id").to_numpy(zero_copy_only=False).astype(object)
-        hs = pd.util.hash_array(ids, categorize=False)
+        hs = _hll_hash64(t.column("user_id").to_numpy(zero_copy_only=False))
         return pa.table({"sketch": pa.array([_HLL.sketch(hs).tobytes()],
                                             pa.binary())})
 
@@ -667,12 +690,11 @@ def approx_distinct_users(sf_dir: str):
                                                 batch_size=None)
             for raw in b.column("sketch").to_pylist()]
     merged = _HLL.merge(raws)
-    n_sketches = len(raws)
     return pa.table(
         {
-            "estimate": pa.array([int(round(_HLL.estimate(merged)))], pa.int64()),
-            "n_sketches": pa.array([n_sketches], pa.int64()),
-            "sketch_bytes": pa.array([merged.nbytes], pa.int64()),
+            "estimate": pa.array([_HLL.estimate_int(merged)], pa.int64()),
+            "zeros": pa.array([int((merged == 0).sum())], pa.int64()),
+            "max_rho": pa.array([int(merged.max())], pa.int64()),
         }
     )
 

@@ -525,7 +525,9 @@ def test_hll_accuracy_vs_exact(registry, ray_session):
         ).fetchone()[0]
         e = int(est["estimate"].iloc[0])
         assert abs(e - exact) / exact <= 0.05, (sf, e, exact)
-        assert int(est["sketch_bytes"].iloc[0]) == 4096
+        # registers are near-saturated at real cardinality, none overflow
+        assert 0 <= int(est["zeros"].iloc[0]) < 4096
+        assert 1 <= int(est["max_rho"].iloc[0]) <= 64
 
 
 def test_gather_texts_touches_only_requested_ids(ray_session):
@@ -777,6 +779,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
     fixture_backed = {
         "crawl_order", "crawl_seen_set", "crawl_counters", "crawl_lineage",
         "curated_corpus", "corpus_release",
+        "page_rank", "page_indegree",  # link graph = the crawl fixture
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
