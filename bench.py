@@ -257,6 +257,10 @@ def run_queries_extra() -> dict:
         "page_indegree": lambda: graph.page_indegree(f"{fix}/pages.parquet"),
         "ann_ivfpq_topk": lambda: ann.ann_ivfpq_topk(SF_DIR),
         "cms_user_counts": lambda: text.cms_user_counts(SF_DIR),
+        "bm25_topk": lambda: text.bm25_topk(SF_DIR),
+        "semantic_dedup": lambda: ann.semantic_dedup(SF_DIR, threshold=0.45),
+        "approx_daily_active_users": lambda: text.approx_daily_active_users(
+            SF_DIR),
         "leakage_safe_split": lambda: text.leakage_safe_split(SF_DIR),
         # pid-keyed out_dir: a stale manifest would skip every write and
         # time the no-op resume path instead of the export

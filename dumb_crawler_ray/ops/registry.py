@@ -664,6 +664,65 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # BM25 top-k: the full ranking replayed in SQL — tf/df/dl from the
+    # shared token pact, idf + per-term score + explicit ordered sum in
+    # the SAME left-assoc float expression as the numpy side (ln == math
+    # .log, see text.bm25_topk's docstring), ties pinned by doc_id.
+    _BM25_VALUES = ", ".join(
+        f"('{qid}', {pos}, '{term}')"
+        for qid, ts in text.BM25_QUERIES for pos, term in enumerate(ts))
+    reg["bm25_topk"] = (
+        text.bm25_topk,
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM toks) AS total_tokens
+        ),
+        qterms(query_id, pos, term) AS (VALUES {_BM25_VALUES}),
+        tf AS (
+            SELECT q.query_id, q.pos, q.term, t.doc_id, count(*) AS tf
+            FROM toks t JOIN qterms q ON t.tok = q.term
+            GROUP BY q.query_id, q.pos, q.term, t.doc_id
+        ),
+        dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+                GROUP BY term),
+        per AS (
+            SELECT f.query_id, f.pos, f.doc_id,
+                   -- CAST: DuckDB would do tf*2.2 in exact DECIMAL (6.6)
+                   -- while numpy rounds 2.2 to double first (6.6000…05)
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                   (f.tf * CAST(2.2 AS DOUBLE)) /
+                   (f.tf + 1.2 * (1 - 0.75 + 0.75 * (l.dl /
+                        (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))) AS s
+            FROM tf f JOIN dfs d USING (term) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        piv AS (
+            SELECT query_id, doc_id,
+                   COALESCE(max(CASE WHEN pos = 0 THEN s END), 0.0) AS s0,
+                   COALESCE(max(CASE WHEN pos = 1 THEN s END), 0.0) AS s1,
+                   COALESCE(max(CASE WHEN pos = 2 THEN s END), 0.0) AS s2
+            FROM per GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, ((s0 + s1) + s2) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ((s0 + s1) + s2) DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM piv
+        )
+        SELECT query_id, doc_id, score, rank FROM ranked
+        WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+    )
+
     reg["doc_sample"] = (
         text.doc_sample,
         """

@@ -919,3 +919,134 @@ def cms_estimate(sketch: pa.Table, user_ids) -> np.ndarray:
             est = v if est is None else min(est, v)
         out[i] = est
     return out
+
+
+# --- BM25 retrieval ---------------------------------------------------------
+# Fixed query set (constants interpolated into the SQL oracle, the minhash
+# (a,b)-consts precedent). Terms are pairwise DISTINCT across queries so the
+# SQL df CTE needs no per-query dedup.
+BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q0", ["hash", "join", "merge"]),
+    ("q1", ["window", "sort", "order"]),
+    ("q2", ["dup", "stream", "filter"]),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(sf_dir: str, k: int = 10):
+    """Distributed BM25 (Robertson/Okapi) top-k retrieval for the fixed
+    `BM25_QUERIES` — the lexical-retrieval dual of `ann_bruteforce_topk`.
+
+    Scale shape: TWO streaming passes, no shuffle. Pass 1 reduces the
+    corpus to O(n_terms) stats — each batch emits one row of partials
+    (n_docs, total_tokens, per-term df) and the driver sums ≤ n_blocks
+    tiny rows. Pass 2 broadcasts the idf/avgdl constants (a handful of
+    floats, closure-captured) and every batch scores its docs locally +
+    emits its own top-k per query with PINNED ties (score DESC, doc_id
+    ASC) — the driver merges ≤ k·n_queries·n_blocks candidate rows.
+    Per-doc scores are pure functions of (tf, dl, constants), so the
+    result is partition-independent at any parallelism.
+
+    SQL-parity float pact (see the oracle in registry.py): idf =
+    math.log((N - df + 0.5)/(df + 0.5)) — DuckDB ln() matches CPython's
+    libm call; per-term score = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75
+    + 0.75 * (dl / avgdl))) with avgdl = float(total)/N, every operation
+    in the SAME left-assoc order both sides; a query's score is the
+    explicit ordered sum ((s0 + s1) + s2) with +0.0 for absent terms
+    (np.where forces the sign so COALESCE(+0.0) agrees). Docs matching
+    no query term are excluded (the SQL has no row for them)."""
+    import math
+
+    import ray
+
+    terms: list[str] = [t for _, ts in BM25_QUERIES for t in ts]
+    n_terms = len(terms)
+    term_idx = {t: j for j, t in enumerate(terms)}
+
+    def _tokenize(texts):
+        """(tf matrix, dl vector) for a batch — one C-level findall per
+        doc, counts scattered into the (n_docs, n_terms) tf matrix."""
+        tf = np.zeros((len(texts), n_terms), dtype=np.float64)
+        dl = np.zeros(len(texts), dtype=np.float64)
+        for i, s in enumerate(texts):
+            toks = re.findall(TOKEN_REGEX, s.lower())
+            dl[i] = len(toks)
+            for tok in toks:
+                j = term_idx.get(tok)
+                if j is not None:
+                    tf[i, j] += 1.0
+        return tf, dl
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        tf, dl = _tokenize(t.column("text").to_pylist())
+        row = {"n_docs": pa.array([len(t)], pa.int64()),
+               "total_tokens": pa.array([int(dl.sum())], pa.int64())}
+        for j in range(n_terms):
+            row[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    stats = _docs(sf_dir, ["text"]).map_batches(
+        partial_stats, batch_format="pyarrow", **remote_kwargs())
+    n_docs, total_tokens = 0, 0
+    df = np.zeros(n_terms, dtype=np.int64)
+    for b in stats.iter_batches(batch_format="pyarrow", batch_size=None):
+        n_docs += int(pc.sum(b.column("n_docs")).as_py() or 0)
+        total_tokens += int(pc.sum(b.column("total_tokens")).as_py() or 0)
+        for j in range(n_terms):
+            df[j] += int(pc.sum(b.column(f"df_{j}")).as_py() or 0)
+
+    empty = pa.table({"query_id": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if n_docs == 0 or total_tokens == 0:
+        return empty
+
+    avgdl = float(total_tokens) / n_docs           # SQL: CAST(total AS DOUBLE)/n
+    idf = np.array(
+        [math.log((n_docs - int(df[j]) + 0.5) / (int(df[j]) + 0.5))
+         for j in range(n_terms)], dtype=np.float64)
+    qcols = [(qid, [term_idx[t] for t in ts]) for qid, ts in BM25_QUERIES]
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        tf, dl = _tokenize(t.column("text").to_pylist())
+        ids = t.column("doc_id").to_numpy()
+        if len(ids) == 0:
+            return empty
+        norm = 1 - BM25_B + BM25_B * (dl / avgdl)
+        s = idf[None, :] * (tf * 2.2) / (tf + BM25_K1 * norm[:, None])
+        s = np.where(tf > 0, s, 0.0)               # +0.0 like SQL COALESCE
+        out = []
+        for qid, cols in qcols:
+            score = s[:, cols[0]]
+            for c in cols[1:]:
+                score = score + s[:, c]            # explicit ordered sum
+            hit = (tf[:, cols] > 0).any(axis=1)
+            h_ids, h_sc = ids[hit], score[hit]
+            order = np.lexsort((h_ids, -h_sc))[:k]  # pinned partial top-k
+            out.append(pa.table(
+                {"query_id": pa.array([qid] * len(order), pa.string()),
+                 "doc_id": pa.array(h_ids[order], pa.int64()),
+                 "score": pa.array(h_sc[order], pa.float64())}))
+        return pa.concat_tables(out)
+
+    cand = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score_batch, batch_format="pyarrow", **remote_kwargs())
+    parts = [b for b in cand.iter_batches(batch_format="pyarrow",
+                                          batch_size=None) if len(b)]
+    if not parts:
+        return empty
+    allc = pa.concat_tables(parts)
+    out = []
+    for qid, _ in qcols:
+        sub = allc.filter(pc.equal(allc.column("query_id"), qid))
+        ids = sub.column("doc_id").to_numpy()
+        sc = sub.column("score").to_numpy()
+        order = np.lexsort((ids, -sc))[:k]
+        out.append(pa.table(
+            {"query_id": pa.array([qid] * len(order), pa.string()),
+             "doc_id": pa.array(ids[order], pa.int64()),
+             "score": pa.array(sc[order], pa.float64()),
+             "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())}))
+    return pa.concat_tables(out)

@@ -1382,3 +1382,38 @@ def test_image_curation_full_reconciles(ray_session):
     want = cur["keep"] & caps["keep"] & align["keep"]
     assert (full["keep"] == want).all()
     assert 0 < full["keep"].sum() < len(full)   # rule actually selects
+
+
+def test_bm25_topk_matches_sql_and_invariants(registry, ray_session):
+    """BM25 vs the DuckDB oracle (bit-exact float pact), determinism,
+    rank contiguity, and the rare-term sanity check: every q2 top doc
+    must actually contain one of q2's terms."""
+    import duckdb
+    import re as _re
+
+    from dumb_crawler_ray.ops.text import BM25_QUERIES, TOKEN_REGEX
+
+    fn, sql = registry["bm25_topk"]
+    df = to_df(fn(SF))
+    pd.testing.assert_frame_equal(df, to_df(fn(SF)))  # deterministic
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    odf = con.sql(sql).df()
+    cols = sorted(df.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+    for qid, _terms in BM25_QUERIES:
+        sub = df[df["query_id"] == qid].sort_values("rank")
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        assert sub["score"].is_monotonic_decreasing or len(sub) <= 1
+    import pyarrow.parquet as pq
+    texts = dict(zip(
+        pq.read_table(f"{SF}/documents.parquet").column("doc_id").to_pylist(),
+        pq.read_table(f"{SF}/documents.parquet").column("text").to_pylist()))
+    q2_terms = dict(BM25_QUERIES)["q2"]
+    for did in df[df["query_id"] == "q2"]["doc_id"]:
+        toks = set(_re.findall(TOKEN_REGEX, texts[did].lower()))
+        assert toks & set(q2_terms), did
