@@ -205,20 +205,26 @@ class ImageEmbedWorker:
             np.float32
         )
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column("image_id").to_pylist()
-        flat = np.empty((len(ids), self.w.shape[0]), dtype=np.float32)
-        for i, data in enumerate(t.column("bytes").to_pylist()):
-            arr = codec.decode(data)
+    def embed_pixels(self, arrs: list[np.ndarray]) -> np.ndarray:
+        """Decoded pixel arrays → the exact float32 rounded-6 rows
+        `__call__` stores (shared with the fused one-decode pass)."""
+        flat = np.empty((len(arrs), self.w.shape[0]), dtype=np.float32)
+        for i, arr in enumerate(arrs):
             small = block_mean_resize(arr, self.side, self.side)
             flat[i] = small.reshape(-1).astype(np.float32) / 255.0
         emb = flat @ self.w  # one BLAS call per batch
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        return np.round(emb, 6)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        emb = self.embed_pixels(
+            [codec.decode(d) for d in t.column("bytes").to_pylist()])
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
                 "embedding": pa.array(
-                    [e.tolist() for e in np.round(emb, 6)],
+                    [e.tolist() for e in emb],
                     pa.list_(pa.float32()),
                 ),
             }
@@ -246,15 +252,23 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
-def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8):
+def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8,
+                         n_partitions: int | None = None):
     """Near-duplicate image pairs by perceptual hash, fully distributed:
     map_batches explodes each phash into its four 16-bit band buckets
     (multi-band blocking: candidate pairs must agree exactly on ≥1 band —
-    a grouping problem, never all-pairs), groupby(band).map_groups does the
-    in-bucket vectorized hamming, and groupby(a, b) dedupes pairs found in
-    several bands. Nothing materializes on the driver."""
+    a grouping problem, never all-pairs), ONE keyed repartition
+    co-locates each band bucket and a block-local lexsort segment scan
+    does the in-bucket vectorized hamming (NO per-group UDF dispatch —
+    the round-2 `groupby(band).map_groups` version paid one Python call
+    per distinct band value, ~26k dispatches / 37 s at bench scale vs
+    ~2 s for the segment scan), and a second keyed repartition + in-block
+    np.unique dedupes pairs found in several bands (hamming is a pure
+    function of the two phashes, so every band reports the same value —
+    dedup IS the min). Nothing materializes on the driver."""
     import ray
-    from ray.data.aggregate import Min
+
+    from .dedup import _hash_partition_count
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column("image_id").to_pylist()
@@ -276,38 +290,80 @@ def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8):
             }
         )
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+    def pairs_in_block(b: pa.Table) -> pa.Table:
+        """A keyed block holds EVERY row of its band values: lexsort by
+        band_key, triu-hamming per segment, ids kept sorted in-segment
+        so (a, b) is always ascending."""
         empty = pa.table({"a": pa.array([], pa.string()),
                           "b": pa.array([], pa.string()),
                           "hamming": pa.array([], pa.int64())})
-        if len(g) < 2:
+        if len(b) < 2:
             return empty
-        ids = np.asarray(g.column("image_id").to_pylist())
-        order = np.argsort(ids)
-        ids = ids[order]
-        u = np.asarray(g.column("phash").to_pylist(), dtype=np.int64)[order].view(
-            np.uint64
-        )
-        ii, jj = np.triu_indices(len(ids), 1)
-        d = _popcount64(u[ii] ^ u[jj])
-        keep = d <= max_hamming
+        keys = b.column("band_key").to_numpy()
+        ids = np.asarray(b.column("image_id").to_pylist())
+        u = np.asarray(b.column("phash").to_pylist(),
+                       dtype=np.int64).view(np.uint64)
+        o = np.lexsort((ids, keys))
+        keys, ids, u = keys[o], ids[o], u[o]
+        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        a_parts, b_parts, d_parts = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, 1)
+            d = _popcount64(u[s + ii] ^ u[s + jj])
+            keep = d <= max_hamming
+            a_parts.append(ids[s + ii[keep]])
+            b_parts.append(ids[s + jj[keep]])
+            d_parts.append(d[keep].astype(np.int64))
+        if not a_parts:
+            return empty
         return pa.table(
-            {
-                "a": pa.array(ids[ii[keep]], pa.string()),
-                "b": pa.array(ids[jj[keep]], pa.string()),
-                "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
-            }
-        )
+            {"a": pa.array(np.concatenate(a_parts), pa.string()),
+             "b": pa.array(np.concatenate(b_parts), pa.string()),
+             "hamming": pa.array(np.concatenate(d_parts), pa.int64())})
 
-    return (
-        ray.data.read_parquet(images_parquet, columns=["image_id", "phash"])
-        .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
-        .groupby("band_key")
-        .map_groups(pairs_in_bucket, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .sort(["a", "b"])
-    )
+    def dedup_block(b: pa.Table) -> pa.Table:
+        """The pair-keyed block holds every report of its pairs; distinct
+        (a, b) via integer codes (np.lexsort/np.unique reject object
+        arrays — the established codes workaround)."""
+        if len(b) < 2:
+            return b
+        a = np.asarray(b.column("a").to_pylist())
+        bb = np.asarray(b.column("b").to_pylist())
+        d = b.column("hamming").to_numpy()
+        ua, ca = np.unique(a, return_inverse=True)
+        ub, cb = np.unique(bb, return_inverse=True)
+        packed = ca.astype(np.int64) * len(ub) + cb
+        _u, idx = np.unique(packed, return_index=True)
+        return pa.table(
+            {"a": pa.array(a[idx], pa.string()),
+             "b": pa.array(bb[idx], pa.string()),
+             "hamming": pa.array(d[idx], pa.int64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = (
+            ray.data.read_parquet(images_parquet,
+                                  columns=["image_id", "phash"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["band_key"])
+            .map_batches(pairs_in_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .repartition(n_partitions, keys=["a", "b"])
+            .map_batches(dedup_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort(["a", "b"])
 
 
 def image_keeplist(images_parquet: str, max_hamming: int = 8,
@@ -430,22 +486,29 @@ class ImageQualityWorker:
         self.exposure_lo = exposure_lo
         self.exposure_hi = exposure_hi
 
+    def metrics(self, arr: np.ndarray):
+        """(mean_luma, rms, grad, low_contrast, bad_exposure) for ONE
+        decoded pixel array (shared with the fused one-decode pass)."""
+        gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        mean = float(gray.mean())
+        rms = float(gray.std())
+        gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+        gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+        return (round(mean, 4), round(rms, 4), round(float(gx + gy), 4),
+                rms < self.contrast_floor,
+                mean < self.exposure_lo or mean > self.exposure_hi)
+
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, lum_m, contrast, grad, flags_lc, flags_exp = [], [], [], [], [], []
         for iid, data in zip(t.column("image_id").to_pylist(),
                              t.column("bytes").to_pylist()):
-            arr = codec.decode(data).astype(np.float64)
-            gray = arr @ np.array([0.299, 0.587, 0.114])
-            mean = float(gray.mean())
-            rms = float(gray.std())
-            gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
-            gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+            mean, rms, g, lc, bad = self.metrics(codec.decode(data))
             ids.append(iid)
-            lum_m.append(round(mean, 4))
-            contrast.append(round(rms, 4))
-            grad.append(round(float(gx + gy), 4))
-            flags_lc.append(rms < self.contrast_floor)
-            flags_exp.append(mean < self.exposure_lo or mean > self.exposure_hi)
+            lum_m.append(mean)
+            contrast.append(rms)
+            grad.append(g)
+            flags_lc.append(lc)
+            flags_exp.append(bad)
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
@@ -599,6 +662,32 @@ CAP_MIN_TOKENS, CAP_MAX_TOKENS = 4, 64
 CAP_DISTINCT_NUM, CAP_DISTINCT_DEN = 2, 3  # distinct tokens ≥ 2/3 of tokens
 
 
+def caption_rule_columns(caption: pa.ChunkedArray | pa.Array):
+    """(n_cap_tokens, n_distinct_tokens, keep) for a caption column —
+    the pure-text part of `caption_stats`' keep rule, shared with the
+    fused curation pass so the two can never drift."""
+    import re
+
+    import pyarrow.compute as pc
+
+    from .text import TOKEN_REGEX
+
+    tok_re = re.compile(TOKEN_REGEX)
+    caps = caption.to_pylist()
+    n_tok = pc.cast(
+        pc.count_substring_regex(caption, pattern=TOKEN_REGEX), pa.int64())
+    n_distinct = pa.array(
+        [len({w.lower() for w in tok_re.findall(c)}) for c in caps],
+        pa.int64())
+    keep = pc.and_(
+        pc.and_(pc.greater_equal(n_tok, CAP_MIN_TOKENS),
+                pc.less_equal(n_tok, CAP_MAX_TOKENS)),
+        pc.greater_equal(
+            pc.multiply(pa.scalar(CAP_DISTINCT_DEN, pa.int64()), n_distinct),
+            pc.multiply(pa.scalar(CAP_DISTINCT_NUM, pa.int64()), n_tok)))
+    return n_tok, n_distinct, keep
+
+
 def caption_stats(images_parquet: str):
     """Image+caption pair curation stats — the metadata/caption-side
     quality pass of a multimodal training-data pipeline, over the exact
@@ -611,25 +700,11 @@ def caption_stats(images_parquet: str):
 
     One stateless map_batches pass; per-caption distinct counting is
     per-row state (same precedent as `filters.repetition_ratios`)."""
-    import re
-
     import pyarrow.compute as pc
     import ray
 
-    from .text import TOKEN_REGEX
-
-    tok_re = re.compile(TOKEN_REGEX)
-
     def fn(t: pa.Table) -> pa.Table:
-        caps = t.column("caption").to_pylist()
-        n_tok = pc.cast(
-            pc.count_substring_regex(t.column("caption"), pattern=TOKEN_REGEX),
-            pa.int64(),
-        )
-        n_distinct = pa.array(
-            [len({w.lower() for w in tok_re.findall(c)}) for c in caps],
-            pa.int64(),
-        )
+        n_tok, n_distinct, keep = caption_rule_columns(t.column("caption"))
         w = pc.cast(t.column("w"), pa.int64())
         h = pc.cast(t.column("h"), pa.int64())
         orientation = pc.if_else(
@@ -640,13 +715,6 @@ def caption_stats(images_parquet: str):
         n_bytes = pc.cast(pc.binary_length(t.column("bytes")), pa.int64())
         kpx = pc.divide(pc.multiply(n_bytes, pa.scalar(1000, pa.int64())),
                         pc.multiply(w, h))
-        keep = pc.and_(
-            pc.and_(pc.greater_equal(n_tok, CAP_MIN_TOKENS),
-                    pc.less_equal(n_tok, CAP_MAX_TOKENS)),
-            pc.greater_equal(
-                pc.multiply(pa.scalar(CAP_DISTINCT_DEN, pa.int64()), n_distinct),
-                pc.multiply(pa.scalar(CAP_DISTINCT_NUM, pa.int64()), n_tok)),
-        )
         return pa.table(
             {"image_id": t.column("image_id"),
              "n_cap_tokens": n_tok,
@@ -863,17 +931,18 @@ class CaptionEmbedWorker:
         self.n_buckets = n_buckets
         self.tok_re = re.compile(TOKEN_REGEX)
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def embed_captions(self, caps: list[str]) -> np.ndarray:
+        """Captions → the exact float32 rows `__call__` stores (shared
+        with the fused curation pass)."""
         from .dedup import _stable64_batch
 
-        ids = t.column("image_id").to_pylist()
         strs, bounds = [], [0]
-        for cap in t.column("caption").to_pylist():
+        for cap in caps:
             strs.extend(w.lower() for w in self.tok_re.findall(cap))
             bounds.append(len(strs))
         buckets = (_stable64_batch(strs) % np.uint64(self.n_buckets)
                    ).astype(np.int64)
-        emb = np.zeros((len(ids), self.w.shape[1]), dtype=np.float32)
+        emb = np.zeros((len(caps), self.w.shape[1]), dtype=np.float32)
         bounds_arr = np.asarray(bounds)
         nz = np.diff(bounds_arr) > 0
         if len(buckets):
@@ -881,6 +950,11 @@ class CaptionEmbedWorker:
                                    axis=0)
             emb[nz] = sums
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        return emb
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        emb = self.embed_captions(t.column("caption").to_pylist())
         return pa.table(
             {"image_id": pa.array(ids, pa.string()),
              "embedding": pa.array(emb.tolist(),
@@ -948,6 +1022,51 @@ def image_caption_alignment(images_parquet: str):
                               **remote_kwargs()).sort("image_id")
 
 
+class FusedImagePassWorker:
+    """ONE decode per image for the full curation decision: pixel
+    quality flags + the image-tower embedding from the SAME decoded
+    array. Composes the two single-purpose workers (their numeric code
+    is shared via `ImageQualityWorker.metrics` /
+    `ImageEmbedWorker.embed_pixels`, so the fused outputs are
+    bit-identical to the standalone stages — reconciliation-tested)."""
+
+    def __init__(self):
+        self.quality = ImageQualityWorker()
+        self.embed = ImageEmbedWorker()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        arrs = [codec.decode(d) for d in t.column("bytes").to_pylist()]
+        quality_ok = []
+        for arr in arrs:
+            _m, _r, _g, lc, bad = self.quality.metrics(arr)
+            quality_ok.append(not lc and not bad)
+        emb = self.embed.embed_pixels(arrs)
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             "quality_ok": pa.array(quality_ok, pa.bool_()),
+             "embedding": pa.array([e.tolist() for e in emb],
+                                   pa.list_(pa.float32()))})
+
+
+class FusedCaptionPassWorker:
+    """The caption side of the fused curation pass: keep rule
+    (`caption_rule_columns`) + the text-tower embedding
+    (`CaptionEmbedWorker.embed_captions`) in one scan."""
+
+    def __init__(self):
+        self.embed = CaptionEmbedWorker()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        caps = t.column("caption").to_pylist()
+        _nt, _nd, keep = caption_rule_columns(t.column("caption"))
+        emb = self.embed.embed_captions(caps)
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "caption_ok": keep,
+             "embedding": pa.array(emb.tolist(), pa.list_(pa.float32()))})
+
+
 def image_curation_full(images_parquet: str, max_hamming: int = 8):
     """The complete multimodal curation decision — the image-side
     analogue of `pipelines/curate.py`'s crawl→corpus composition:
@@ -957,40 +1076,74 @@ def image_curation_full(images_parquet: str, max_hamming: int = 8):
              ∧ caption rules            (token band + distinct fraction)
              ∧ cross-modal alignment    (CLIP-shape score ≥ threshold)
 
-    Each input stage produces one row of scalars per image sorted by
-    image_id, so they combine with positional `Dataset.zip`s. The stages
-    are `materialize()`d SEQUENTIALLY first: they carry their own actor
-    pools (quality decode pool; the alignment towers), and running them
-    concurrently under one zip could reserve every CPU on a small
-    cluster. Materializing here is the staged-checkpoint shape, not a
-    scale smell — each stage's output is a handful of scalar columns per
-    image (orders of magnitude smaller than the binary input), exactly
-    what a production pipeline would persist between phases anyway.
-    Deterministic; rows-only oracle with a reconciliation test."""
+    Fused scale shape: the binary payload is DECODED EXACTLY ONCE — one
+    image-side actor-pool pass emits (quality_ok, image embedding) from
+    the same decoded array, one caption-side pass emits (caption_ok,
+    text embedding), and they meet in a positional zip of co-sorted
+    outputs (assert-guarded) where the CLIP score is one dot product.
+    The round-2 version materialized the four standalone stages and
+    decoded every image three times (quality, embed tower, and again
+    inside their zips) — at 100 TB decode IS the pipeline cost, so the
+    fused pass is ~3× cheaper where it matters, while the standalone
+    stages stay available for à-la-carte use. The phash keep-list needs
+    no decode at all (phash is a stored column) and joins by a second
+    co-sorted zip. Numeric parity with the standalone stages is
+    guaranteed by construction: the fused workers call the exact same
+    `metrics`/`embed_pixels`/`embed_captions`/`caption_rule_columns`
+    code, reconciliation-tested. The actor budget is split 3:1
+    image:caption like `image_caption_alignment` (decode+matmul
+    dominates). Deterministic; rows-only oracle."""
     import pyarrow.compute as pc
     import ray
 
-    cur = image_curation(images_parquet, max_hamming=max_hamming).materialize()
-    caps = caption_stats(images_parquet).materialize()
-    align = image_caption_alignment(images_parquet).materialize()
+    from .vecutil import embedding_matrix
 
-    zipped = cur.zip(caps.select_columns(["image_id", "keep"])).zip(
-        align.select_columns(["image_id", "clip_score", "keep"]))
+    pool = actor_pool_size()
+    cap_conc = max(1, pool // 4)
+    img_conc = max(1, pool - cap_conc)
+    img = ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes"]
+    ).map_batches(FusedImagePassWorker, batch_format="pyarrow",
+                  batch_size=64, concurrency=img_conc,
+                  **remote_kwargs()).sort("image_id")
+    cap = ray.data.read_parquet(
+        images_parquet, columns=["image_id", "caption"]
+    ).map_batches(FusedCaptionPassWorker, batch_format="pyarrow",
+                  concurrency=cap_conc, **remote_kwargs()).sort("image_id")
 
-    def decide(t: pa.Table) -> pa.Table:
-        # zip suffixes duplicate columns left-to-right: keep (curation),
-        # keep_1 (caption rules), keep_2 (alignment)
-        for c in ("image_id_1", "image_id_2"):
-            assert pc.all(pc.equal(t.column("image_id"),
-                                   t.column(c))).as_py() in (True, None)
-        keep = pc.and_(pc.and_(t.column("keep"), t.column("keep_1")),
-                       t.column("keep_2"))
+    def score(t: pa.Table) -> pa.Table:
+        assert pc.all(pc.equal(t.column("image_id"),
+                               t.column("image_id_1"))).as_py() in (True, None)
+        a = embedding_matrix(t.column("embedding"))
+        b = embedding_matrix(t.column("embedding_1"))
+        s = np.round(np.einsum("ij,ij->i", a, b), 4)
         return pa.table(
             {"image_id": t.column("image_id"),
-             "is_cluster_keeper": t.column("is_cluster_keeper"),
              "quality_ok": t.column("quality_ok"),
-             "caption_ok": t.column("keep_1"),
-             "alignment_ok": t.column("keep_2"),
+             "caption_ok": t.column("caption_ok"),
+             "clip_score": pa.array(s, pa.float64()),
+             "alignment_ok": pa.array(s >= CLIP_KEEP_MIN, pa.bool_())})
+
+    scores = img.zip(cap).map_batches(
+        score, batch_format="pyarrow", **remote_kwargs()
+    ).sort("image_id").materialize()
+
+    keep_side = image_keeplist(images_parquet, max_hamming=max_hamming)
+    zipped = keep_side.select_columns(["image_id", "keep"]).zip(scores)
+
+    def decide(t: pa.Table) -> pa.Table:
+        # zip suffixes the right side's duplicate image_id with _1
+        assert pc.all(pc.equal(t.column("image_id"),
+                               t.column("image_id_1"))).as_py() in (True, None)
+        keep = pc.and_(
+            pc.and_(t.column("keep"), t.column("quality_ok")),
+            pc.and_(t.column("caption_ok"), t.column("alignment_ok")))
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "is_cluster_keeper": t.column("keep"),
+             "quality_ok": t.column("quality_ok"),
+             "caption_ok": t.column("caption_ok"),
+             "alignment_ok": t.column("alignment_ok"),
              "clip_score": t.column("clip_score"),
              "keep": keep})
 
