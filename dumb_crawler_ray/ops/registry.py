@@ -43,10 +43,11 @@ def _fixture_dir() -> str:
 
 
 def ensure_oracle_inputs() -> None:
-    """Materialize the fixture parquet the image_phash_near_dups oracle
-    SQL reads by path — the driver may run the DuckDB side before (or
-    without) the Ray query that would otherwise create it. Memoized by
-    write_fixture's meta.json, so repeat calls are a stat check."""
+    """Materialize the fixture parquet that path-reading oracle SQLs
+    (image_phash_near_dups, the crawl_* recursive-CTE oracles) depend
+    on — the driver may run the DuckDB side before (or without) the Ray
+    query that would otherwise create it. Memoized by write_fixture's
+    meta.json, so repeat calls are a stat check."""
     _fixture_dir()
 
 
@@ -97,7 +98,9 @@ def crawl_seen_set(sf_dir: str):
             "url_hash": pa.array([k for k, _ in items], pa.string()),
             "status": pa.array([v[0] for _, v in items], pa.int64()),
             "attempt": pa.array([v[1] for _, v in items], pa.int64()),
-            "error": pa.array([v[2] for _, v in items], pa.string()),
+            # '' (not null) for no-error rows: the SQL oracle comparison
+            # str-casts columns, and None/NaN stringify differently
+            "error": pa.array([v[2] or "" for _, v in items], pa.string()),
             "tags": pa.array([v[3] for _, v in items], pa.string()),
             "priority": pa.array([v[4] for _, v in items], pa.int64()),
         }
@@ -146,6 +149,250 @@ def crawl_counters(sf_dir: str):
             "value": pa.array([int(v) for _, v in items], pa.int64()),
         }
     )
+
+
+def _crawl_oracle_sqls() -> dict[str, str]:
+    """DuckDB oracles for the FLAGSHIP crawl views — the whole reference
+    crawl loop replayed in pure SQL over the fixture's pages.parquet.
+
+    The drained crawl's end state is order-independent (every insertable
+    URL is eventually fetched exactly once; the fixture has no url_hash
+    collisions, asserted in tests), so `crawl_seen_set` / `crawl_counters`
+    are a recursive-CTE reachability closure with the reference's gating
+    rules (tagger → first-hit-wins link filter → fetch outcome →
+    tag-gated storage, SURVEY.md M2/M4/M7/S8) as WHERE clauses.
+    `crawl_order` additionally replays the BSP scheduler itself: a
+    state-carrying recursive CTE re-emits the full frontier snapshot per
+    round and selects with the pinned total order (priority DESC,
+    url_hash ASC) under the per-domain politeness cap via two nested
+    window functions — the greedy cap-skip loop is equivalent to
+    "domain-rank ≤ cap, then first K in global order" because a row is
+    taken iff fewer than cap same-domain rows precede it among taken rows
+    (induction over the scan; `pipelines/oracle.py:105-123` is the spec).
+
+    All constants are interpolated from DEFAULT_CONFIG / the fixture
+    generator so config drift breaks the oracle loudly instead of
+    silently passing. Robots rules are off in DEFAULT_CONFIG
+    (politeness.respect_robots defaults false), hence no ROBOTS_DENIED
+    branch here; every seen row has attempt=1 (terminal failures never
+    requeue in-session, semantics.py quirk notes)."""
+    import re as _re
+
+    from ..config import JobConfig
+    from ..functions.expr import RESOURCE_REGEX
+    from ..sources.synthweb import DEFAULT_CONFIG, domains_for
+
+    cfg = JobConfig(DEFAULT_CONFIG)
+    k, cap = cfg.scheduler_batch_size, cfg.max_per_domain_per_round
+    assert not cfg.respect_robots, "crawl oracle SQL has no robots branch"
+    # transcribe the tagger config (fixed shape: internal = host regex,
+    # article = path regex, resource = isResource(path))
+    host_re = _re.fullmatch(r"matches\(host, '(.+)'\)",
+                            DEFAULT_CONFIG["tagger"]["internal"]).group(1)
+    art_re = _re.fullmatch(r"matches\(path, '(.+)'\)",
+                           DEFAULT_CONFIG["tagger"]["article"]).group(1)
+    # idExtractorPattern '.*-(?<id>[0-9]+)$' → RE2 capture group
+    id_re = DEFAULT_CONFIG["idExtractorPattern"].replace("(?<id>", "(")
+    prio_article = cfg.priorities.get("article", 0)
+    prio_other = cfg.priorities.get("other", 0)
+    # DuckDB single-quoted strings are NOT backslash-escaped: the Python
+    # regex literals pass through verbatim
+    res_re = RESOURCE_REGEX
+    host_sql = host_re
+    pages_path = f"/tmp/dcr_fixtures/sf{_FIXTURE_SCALE}/pages.parquet"
+    root_vals = ", ".join(f"('https://{d}/', '{d}')"
+                          for d in domains_for(_FIXTURE_SCALE))
+    seed_vals = ", ".join(f"('{s}')" for s in cfg.seeds)
+    # host()/path() of a url as SQL snippets (path '' → '/', the root)
+    host_of = "regexp_extract({u}, '^https?://([^/]*)', 1)"
+    path_of = ("coalesce(nullif(regexp_extract({u}, "
+               "'^https?://[^/]*(/.*)$', 1), ''), '/')")
+
+    def allowed(u: str) -> str:
+        """First-hit-wins filter: resource (blacklist) rejects, internal
+        (whitelist) accepts, fallthrough denies — over http links only
+        (extraction already guarantees http)."""
+        return (f"NOT regexp_full_match({path_of.format(u=u)}, '{res_re}')"
+                f" AND regexp_full_match({host_of.format(u=u)}, '{host_sql}')")
+
+    # shared WITH clauses: pages + roots + per-url fetch outcome + the
+    # extracted-link relation (stylesheet <link> + first-occurrence
+    # distinct outlinks per page; root index pages link every root and
+    # the first ≤20 same-domain page urls in table order) + the
+    # filter-allowed edge set
+    prelude = f"""
+pg AS (
+  SELECT url, domain, kind, valid, status_code, empty_body, outlinks,
+         image_refs,
+         row_number() OVER (PARTITION BY domain ORDER BY file_row_number)
+           AS dom_rn
+  FROM read_parquet('{pages_path}', file_row_number=true)
+),
+roots(url, domain) AS (SELECT * FROM (VALUES {root_vals}) t(u, d)),
+fetch_eval AS (
+  SELECT url, TRUE AS ok, NULL::VARCHAR AS err FROM roots
+  UNION ALL
+  SELECT url,
+         (status_code = 200 AND NOT empty_body AND NOT
+          (regexp_full_match(url, '{art_re}')
+           AND NOT (kind = 'article' AND valid))),
+         CASE WHEN status_code != 200
+                THEN 'INVALID_STATUS_CODE_' || status_code
+              WHEN empty_body THEN 'EMPTY_RESPONSE_BODY'
+              WHEN regexp_full_match(url, '{art_re}')
+                   AND NOT (kind = 'article' AND valid)
+                THEN 'CONTENT_VALIDATION_ERROR_article' END
+  FROM pg
+),
+extracted AS (
+  SELECT p.url AS src, 'https://' || p.domain || '/resource/style.css'
+         AS dst FROM pg p
+  UNION ALL
+  SELECT src, dst FROM (
+    SELECT p.url AS src, unnest(p.outlinks) AS dst FROM pg p
+  ) GROUP BY src, dst
+  UNION ALL
+  SELECT r1.url, r2.url FROM roots r1 CROSS JOIN roots r2
+  UNION ALL
+  SELECT r.url, p.url FROM roots r
+  JOIN pg p ON p.domain = r.domain AND p.dom_rn <= 20
+),
+edges AS (SELECT src, dst FROM extracted WHERE {allowed('dst')}),
+reach(url) AS (
+  SELECT * FROM (VALUES {seed_vals}) s(u)
+  UNION
+  SELECT e.dst FROM reach r
+  JOIN fetch_eval f ON f.url = r.url AND f.ok
+  JOIN edges e ON e.src = r.url
+),
+node AS (
+  SELECT r.url, coalesce(f.ok, FALSE) AS ok,
+         CASE WHEN f.url IS NULL THEN 'INVALID_STATUS_CODE_404'
+              ELSE f.err END AS err,
+         regexp_full_match(r.url, '{art_re}') AS is_article
+  FROM reach r LEFT JOIN fetch_eval f ON f.url = r.url
+)"""
+
+    seen_sql = f"""
+WITH RECURSIVE {prelude}
+SELECT
+  CASE WHEN regexp_full_match(n.url, '{id_re}')
+       THEN regexp_extract(n.url, '{id_re}', 1) ELSE md5(n.url) END
+    AS url_hash,
+  CASE WHEN n.ok THEN 2 ELSE 3 END::BIGINT AS status,
+  1::BIGINT AS attempt,
+  coalesce(n.err, '') AS error,
+  CASE WHEN concat_ws(',',
+    CASE WHEN regexp_full_match({path_of.format(u='n.url')}, '{res_re}')
+         THEN 'resource' END,
+    CASE WHEN regexp_full_match({host_of.format(u='n.url')}, '{host_sql}')
+         THEN 'internal' END,
+    CASE WHEN n.is_article THEN 'article' END) = '' THEN 'other'
+    ELSE concat_ws(',',
+    CASE WHEN regexp_full_match({path_of.format(u='n.url')}, '{res_re}')
+         THEN 'resource' END,
+    CASE WHEN regexp_full_match({host_of.format(u='n.url')}, '{host_sql}')
+         THEN 'internal' END,
+    CASE WHEN n.is_article THEN 'article' END) END AS tags,
+  CASE WHEN n.is_article THEN {prio_article}
+       WHEN NOT regexp_full_match({path_of.format(u='n.url')}, '{res_re}')
+        AND NOT regexp_full_match({host_of.format(u='n.url')}, '{host_sql}')
+       THEN {prio_other} ELSE 0 END::BIGINT AS priority
+FROM node n
+ORDER BY url_hash
+"""
+
+    counters_sql = f"""
+WITH RECURSIVE {prelude},
+stored_refs AS (
+  SELECT unnest(p.image_refs) AS iid
+  FROM node n JOIN pg p ON p.url = n.url
+  WHERE n.ok AND n.is_article
+),
+counts AS (
+  SELECT 'DISCOVERED_URLS' AS counter, count(*)::BIGINT AS value FROM node
+  UNION ALL SELECT 'PROCESSED_URLS', count(*) FROM node WHERE ok
+  UNION ALL SELECT 'SAVED_PAGES', count(*) FROM node WHERE ok AND is_article
+  UNION ALL SELECT 'NEW_SAVED_PAGES', count(*) FROM node
+    WHERE ok AND is_article
+  UNION ALL SELECT 'UNSAVED_PAGES', count(*) FROM node
+    WHERE ok AND NOT is_article
+  UNION ALL SELECT 'SAVED_IMAGES', count(DISTINCT iid) FROM stored_refs
+  UNION ALL SELECT 'DUP_IMAGE_REFS', count(*) - count(DISTINCT iid)
+    FROM stored_refs
+  UNION ALL SELECT 'ERROR_' || err, count(*) FROM node
+    WHERE err IS NOT NULL GROUP BY err
+  UNION ALL SELECT 'ALLOWED_LINKS',
+    (SELECT count(*) FROM node)
+    + (SELECT count(*) FROM node n JOIN edges e ON e.src = n.url WHERE n.ok)
+  UNION ALL SELECT 'IGNORED_LINKS',
+    (SELECT count(*) FROM node n JOIN extracted x ON x.src = n.url
+     WHERE n.ok AND NOT EXISTS (
+       SELECT 1 FROM edges e WHERE e.src = x.src AND e.dst = x.dst))
+)
+SELECT counter, value FROM counts WHERE value > 0 ORDER BY counter
+"""
+
+    order_sql = f"""
+WITH RECURSIVE {prelude},
+attrs AS (
+  SELECT u.url,
+         CASE WHEN regexp_full_match(u.url, '{id_re}')
+              THEN regexp_extract(u.url, '{id_re}', 1)
+              ELSE md5(u.url) END AS url_hash,
+         {host_of.format(u='u.url')} AS host,
+         CASE WHEN regexp_full_match(u.url, '{art_re}')
+              THEN {prio_article} ELSE 0 END AS priority,
+         coalesce(f.ok, FALSE) AS ok
+  FROM (SELECT url FROM pg UNION SELECT url FROM roots
+        UNION SELECT * FROM (VALUES {seed_vals}) s(u)) u
+  LEFT JOIN fetch_eval f ON f.url = u.url
+),
+step(round, url, state, done_round, done_rank) AS (
+  SELECT 0, s.url, 'Q', NULL::BIGINT, NULL::BIGINT
+  FROM (VALUES {seed_vals}) s(url)
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM step),
+    sel AS (
+      SELECT url, grank FROM (
+        SELECT url,
+               row_number() OVER (ORDER BY priority DESC, url_hash) AS grank
+        FROM (
+          SELECT c.url, a.priority, a.url_hash,
+                 row_number() OVER (PARTITION BY a.host
+                   ORDER BY a.priority DESC, a.url_hash) AS drank
+          FROM cur c JOIN attrs a ON a.url = c.url
+          WHERE c.state = 'Q'
+        ) WHERE drank <= {cap}
+      ) WHERE grank <= {k}
+    )
+    SELECT c.round + 1, c.url,
+           CASE WHEN s.url IS NOT NULL THEN 'D' ELSE c.state END,
+           coalesce(c.done_round,
+                    CASE WHEN s.url IS NOT NULL THEN c.round + 1 END),
+           coalesce(c.done_rank, s.grank)
+    FROM cur c LEFT JOIN sel s ON s.url = c.url
+    WHERE (SELECT count(*) FROM sel) > 0
+    UNION ALL
+    SELECT c.round + 1, e.dst, 'Q', NULL, NULL
+    FROM (SELECT url, round FROM cur) c
+    JOIN sel s ON s.url = c.url
+    JOIN attrs a ON a.url = c.url AND a.ok
+    JOIN edges e ON e.src = c.url
+    WHERE e.dst NOT IN (SELECT url FROM cur)
+    GROUP BY c.round, e.dst
+  )
+)
+SELECT row_number() OVER (ORDER BY done_round, done_rank) - 1 AS seq,
+       a.url_hash
+FROM (SELECT * FROM step QUALIFY round = max(round) OVER ()) f
+JOIN attrs a ON a.url = f.url
+WHERE f.state = 'D'
+ORDER BY seq
+"""
+    return {"crawl_seen_set": seen_sql, "crawl_counters": counters_sql,
+            "crawl_order": order_sql}
 
 
 def image_decode_stats(sf_dir: str):
@@ -1842,9 +2089,10 @@ def build_registry() -> dict[str, tuple]:
     reg["image_embeddings"] = (image_embeddings_q, None)
     reg["audio_features"] = (audio_features_q, None)
     reg["video_frame_sample"] = (video_frame_sample_q, None)
-    reg["crawl_order"] = (crawl_order, None)
-    reg["crawl_seen_set"] = (crawl_seen_set, None)
-    reg["crawl_counters"] = (crawl_counters, None)
+    _crawl_sqls = _crawl_oracle_sqls()
+    reg["crawl_order"] = (crawl_order, _crawl_sqls["crawl_order"])
+    reg["crawl_seen_set"] = (crawl_seen_set, _crawl_sqls["crawl_seen_set"])
+    reg["crawl_counters"] = (crawl_counters, _crawl_sqls["crawl_counters"])
     reg["crawl_lineage"] = (crawl_lineage, None)
     reg["curated_corpus"] = (curated_corpus, None)
     reg["corpus_release"] = (corpus_release_q, None)

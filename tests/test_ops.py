@@ -91,6 +91,7 @@ SQL_CHECKED = [
     "image_keeplist", "retention_cohorts", "filtered_ann_topk",
     "page_rank", "bigram_lm_scores", "page_indegree",
     "leakage_safe_split", "export_corpus", "cms_user_counts",
+    "crawl_seen_set", "crawl_order", "crawl_counters",
 ]
 
 
@@ -256,6 +257,46 @@ def test_sql_parity(registry, name):
     fn, sql = registry[name]
     assert sql is not None
     compare(name, fn(SF), sql)
+
+
+def test_crawl_oracle_sql_matches_simulator():
+    """The recursive-CTE crawl oracles must replay the Python simulator
+    bit-for-bit WITHOUT Ray: seen set (every field), the exact BSP fetch
+    order, and the counter map. Also asserts the oracle's stated
+    precondition — no url_hash collisions in the fixture (the SQL's
+    set-closure formulation needs hash↔url to be 1:1)."""
+    import duckdb
+
+    from dumb_crawler_ray.ops.registry import (_FIXTURE_SCALE, _FIXTURE_SEED,
+                                               _crawl_oracle_sqls,
+                                               ensure_oracle_inputs)
+    from dumb_crawler_ray.pipelines.oracle import simulate
+    from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG, SynthWeb
+
+    ensure_oracle_inputs()
+    sqls = _crawl_oracle_sqls()
+    web = SynthWeb.generate(seed=_FIXTURE_SEED, scale=_FIXTURE_SCALE)
+    res = simulate(DEFAULT_CONFIG, web)
+    # precondition: one url per hash in the drained store
+    assert len(res.seen_set) == len({h for h in res.seen_set})
+    con = duckdb.connect()
+
+    df = con.sql(sqls["crawl_seen_set"]).df()
+    got = {
+        r.url_hash: (r.status, r.attempt, r.error, r.tags, r.priority)
+        for r in df.itertuples()
+    }
+    want = {h: (v[0], v[1], v[2] or "", v[3], v[4])
+            for h, v in res.seen_set.items()}
+    assert got == want
+
+    df = con.sql(sqls["crawl_order"]).df()
+    assert list(df["url_hash"]) == res.crawl_order
+    assert list(df["seq"]) == list(range(len(res.crawl_order)))
+
+    df = con.sql(sqls["crawl_counters"]).df()
+    got_c = dict(zip(df["counter"], df["value"].astype(int)))
+    assert got_c == {k: int(v) for k, v in res.counters.items()}
 
 
 def test_simhash_locality(registry, ray_session):
