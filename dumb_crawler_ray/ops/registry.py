@@ -391,8 +391,65 @@ JOIN attrs a ON a.url = f.url
 WHERE f.state = 'D'
 ORDER BY seq
 """
+
+    # curated_corpus: the crawl→corpus END-TO-END flagship replayed in
+    # SQL. Reuses the BSP `step` replay for the stored pages' fetch-round
+    # numbers (the pipeline's fetch rounds are 0-based → done_round − 1),
+    # rebuilds the stored html's VISIBLE TEXT symbolically — a stored
+    # (ok, validated article) page's tag-stripped text is exactly
+    # 'Article body text. link 0 … link k−1 dup nf mail' where k is the
+    # raw outlink count (render_page_html emits one anchor per outlink
+    # incl. duplicates; <img>/<link> contribute no text; the dup/nf/mail
+    # anchors are constant) — then applies curate.py's metrics verbatim:
+    # md5(lower(text)) fingerprint, ≥20-char quality gate, min-url_hash
+    # survivor per fingerprint with the duplicate count.
+    order_head = order_sql.rpartition("SELECT row_number()")[0]
+    curated_sql = order_head + """
+, fetched AS (
+  SELECT f.url, f.done_round - 1 AS round, a.url_hash
+  FROM (SELECT * FROM step QUALIFY round = max(round) OVER ()) f
+  JOIN attrs a ON a.url = f.url
+  WHERE f.state = 'D'
+),
+stored AS (
+  SELECT fe.url_hash, fe.url, fe.round, len(p.outlinks) AS k
+  FROM fetched fe
+  JOIN node n ON n.url = fe.url AND n.ok AND n.is_article
+  JOIN pg p ON p.url = fe.url
+),
+link_texts AS (
+  -- 'link 0 … link k−1' per distinct outlink count (generate_series
+  -- takes constants only in DuckDB 1.0; 511 ≫ the generator's 12 max)
+  SELECT m.k, string_agg('link ' || g.x, ' ' ORDER BY g.x) AS txt
+  FROM (SELECT DISTINCT len(outlinks) AS k FROM pg) m
+  JOIN generate_series(0, 511) g(x) ON g.x < m.k
+  GROUP BY m.k
+),
+texts AS (
+  SELECT s.url_hash, s.url, s.round,
+         'Article body text. ' || lt.txt || ' dup nf mail' AS text
+  FROM stored s JOIN link_texts lt ON lt.k = s.k
+),
+metrics AS (
+  SELECT url_hash, url, round,
+         length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+         md5(lower(text)) AS fingerprint,
+         length(text) >= 20 AS quality_ok
+  FROM texts
+)
+SELECT url_hash, url, round, n_chars, n_tokens, fingerprint, quality_ok,
+       n_dups
+FROM (
+  SELECT *, count(*) OVER (PARTITION BY fingerprint) AS n_dups,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY url_hash)
+           AS rn
+  FROM metrics
+) WHERE rn = 1
+ORDER BY url_hash
+"""
     return {"crawl_seen_set": seen_sql, "crawl_counters": counters_sql,
-            "crawl_order": order_sql}
+            "crawl_order": order_sql, "curated_corpus": curated_sql}
 
 
 def image_decode_stats(sf_dir: str):
@@ -2094,6 +2151,6 @@ def build_registry() -> dict[str, tuple]:
     reg["crawl_seen_set"] = (crawl_seen_set, _crawl_sqls["crawl_seen_set"])
     reg["crawl_counters"] = (crawl_counters, _crawl_sqls["crawl_counters"])
     reg["crawl_lineage"] = (crawl_lineage, None)
-    reg["curated_corpus"] = (curated_corpus, None)
+    reg["curated_corpus"] = (curated_corpus, _crawl_sqls["curated_corpus"])
     reg["corpus_release"] = (corpus_release_q, None)
     return reg

@@ -91,7 +91,7 @@ SQL_CHECKED = [
     "image_keeplist", "retention_cohorts", "filtered_ann_topk",
     "page_rank", "bigram_lm_scores", "page_indegree",
     "leakage_safe_split", "export_corpus", "cms_user_counts",
-    "crawl_seen_set", "crawl_order", "crawl_counters",
+    "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
 ]
 
 
