@@ -656,6 +656,66 @@ def image_curation(images_parquet: str, max_hamming: int = 8):
                               **remote_kwargs()).sort("image_id")
 
 
+# ------------------------------------------------ aspect-ratio buckets
+
+# Fixed bucket ladder for resolution-bucketed image-training batch
+# packing (the SDXL-style multi-aspect scheme: batches are formed
+# within a bucket so every sample shares the target dims). Columns:
+# (bucket_id, target_w, target_h, reduced_w, reduced_h) — the reduced
+# aspect fraction drives the EXACT integer nearest-ratio rule below.
+ASPECT_LADDER = [
+    (0, 256, 256, 1, 1),
+    (1, 288, 224, 9, 7),
+    (2, 224, 288, 7, 9),
+    (3, 320, 192, 5, 3),
+    (4, 192, 320, 3, 5),
+    (5, 304, 208, 19, 13),
+    (6, 208, 304, 13, 19),
+]
+# common scale so |w/h − rw/rh| fractions compare as int64 products:
+# score_b = |w·rh_b − h·rw_b| · (D / rh_b), D = ∏ rh  (all denominators
+# positive, so multiplying through preserves order; ties → lowest id)
+_ASPECT_D = int(np.prod([rh for *_x, rh in ASPECT_LADDER]))
+
+
+def image_aspect_buckets(images_parquet: str):
+    """Assign every image to its nearest aspect-ratio bucket from
+    ASPECT_LADDER — the batch-packing prep step of a multi-aspect image
+    training pipeline. Metadata-only: reads (image_id, w, h), never the
+    binary payload (prune-at-the-read — decode is the 100 TB cost and
+    this op needs none of it). Nearest ratio is exact integer rational
+    arithmetic, bit-reproducible in the DuckDB oracle."""
+    import ray
+
+    rw = np.asarray([b[3] for b in ASPECT_LADDER], dtype=np.int64)
+    rh = np.asarray([b[4] for b in ASPECT_LADDER], dtype=np.int64)
+    wt = np.asarray([_ASPECT_D // b[4] for b in ASPECT_LADDER],
+                    dtype=np.int64)
+    tw = np.asarray([b[1] for b in ASPECT_LADDER], dtype=np.int64)
+    th = np.asarray([b[2] for b in ASPECT_LADDER], dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        # [n, n_buckets] exact scores; argmin takes the FIRST minimum =
+        # lowest bucket_id, matching the SQL tie-break
+        scores = np.abs(w[:, None] * rh[None, :]
+                        - h[:, None] * rw[None, :]) * wt[None, :]
+        b = np.argmin(scores, axis=1)
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "w": pa.array(w, pa.int64()),
+             "h": pa.array(h, pa.int64()),
+             "bucket_id": pa.array(b.astype(np.int64), pa.int64()),
+             "target_w": pa.array(tw[b], pa.int64()),
+             "target_h": pa.array(th[b], pa.int64())})
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "w", "h"]
+    ).map_batches(assign, batch_format="pyarrow",
+                  **remote_kwargs()).sort("image_id")
+
+
 # ----------------------------------------------- caption-pair curation
 
 CAP_MIN_TOKENS, CAP_MAX_TOKENS = 4, 64

@@ -2142,6 +2142,33 @@ def build_registry() -> dict[str, tuple]:
     reg["image_ann_topk"] = (image_ann_topk_q, None)
     reg["image_curation"] = (image_curation_q, None)
     reg["image_resize_meta"] = (image_resize_meta, None)
+    _ladder_vals = ", ".join(
+        f"({b}, {tw}, {th}, {rw}, {rh}, {multimodal._ASPECT_D // rh})"
+        for b, tw, th, rw, rh in multimodal.ASPECT_LADDER)
+    reg["image_aspect_buckets"] = (
+        lambda sf: multimodal.image_aspect_buckets(
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        WITH imgs AS (
+            SELECT image_id, w::BIGINT AS w, h::BIGINT AS h
+            FROM read_parquet('{_IMAGES_PQ}')
+        ), ladder(bucket_id, target_w, target_h, rw, rh, wt) AS (
+            SELECT * FROM (VALUES {_ladder_vals})
+        ), scored AS (
+            SELECT i.image_id, i.w, i.h,
+                   l.bucket_id::BIGINT AS bucket_id,
+                   l.target_w::BIGINT AS target_w,
+                   l.target_h::BIGINT AS target_h,
+                   abs(i.w * l.rh - i.h * l.rw) * l.wt AS score
+            FROM imgs i CROSS JOIN ladder l
+        )
+        SELECT image_id, w, h, bucket_id, target_w, target_h
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY image_id ORDER BY score, bucket_id) = 1
+        ORDER BY image_id
+        """,
+    )
     reg["image_features"] = (image_features_q, None)
     reg["image_embeddings"] = (image_embeddings_q, None)
     reg["audio_features"] = (audio_features_q, None)

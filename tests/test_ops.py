@@ -92,6 +92,7 @@ SQL_CHECKED = [
     "page_rank", "bigram_lm_scores", "page_indegree",
     "leakage_safe_split", "export_corpus", "cms_user_counts",
     "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
+    "image_aspect_buckets",
 ]
 
 
@@ -257,6 +258,25 @@ def test_sql_parity(registry, name):
     fn, sql = registry[name]
     assert sql is not None
     compare(name, fn(SF), sql)
+
+
+def test_image_aspect_buckets_nearest(registry, ray_session):
+    """Every assigned bucket must be the true argmin of the exact
+    rational distance |w/h − rw/rh| over the ladder, with ties going to
+    the lowest bucket_id, and the fixture must exercise >1 bucket."""
+    from fractions import Fraction
+
+    from dumb_crawler_ray.ops.multimodal import ASPECT_LADDER
+
+    df = to_df(registry["image_aspect_buckets"][0](SF))
+    assert len(df) > 0 and df["bucket_id"].nunique() > 1
+    for row in df.itertuples():
+        want = min(
+            ASPECT_LADDER,
+            key=lambda b: (abs(Fraction(row.w, row.h)
+                               - Fraction(b[3], b[4])), b[0]),
+        )
+        assert (row.bucket_id, row.target_w, row.target_h) == want[:3], row
 
 
 def test_crawl_oracle_sql_matches_simulator():
