@@ -33,20 +33,30 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     driver-side `pq.read_table` of the full file)."""
     import ray
 
+    return _first_n_by_id_over(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        "vec_id", n_queries)
+
+
+def _first_n_by_id_over(ds, id_col: str, n: int):
+    """`_load_queries`' distributed partial-min over ANY (id, embedding)
+    Dataset and id type (int vec_id or string image_id)."""
+
     def partial_min(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_numpy()
-        keep = np.argsort(ids)[:n_queries]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids)[:n]
         return t.take(keep)
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(partial_min, batch_format="pyarrow", **remote_kwargs())
-    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    out = ds.map_batches(partial_min, batch_format="pyarrow",
+                         **remote_kwargs())
+    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     if not batches:  # empty embeddings table → no queries
         return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64)
     cand = pa.concat_tables(batches)
-    ids = cand.column("vec_id").to_numpy()
-    order = np.argsort(ids)[:n_queries]
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)[:n]
     q = embedding_matrix(cand.column("embedding"))[order]
     return ids[order], q
 
@@ -137,9 +147,20 @@ def _train_centroids(sf_dir: str, cent: np.ndarray,
     (sum, count) partials, k×dim driver reduce. Deterministic."""
     import ray
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    return _train_centroids_over(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        cent, iters)
+
+
+def _train_centroids_over(ds, cent: np.ndarray, iters: int) -> np.ndarray:
+    """`_train_centroids` over ANY (id, embedding) Dataset — the seam
+    `multimodal.image_semantic_dedup` reuses with a MATERIALIZED
+    image-embedding dataset (each iteration re-reads plasma blocks, not
+    the binary payload)."""
+    import ray
+
     cent = cent.copy()
     for _ in range(iters):
         cent_ref = ray.put(cent)
@@ -549,6 +570,53 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return _merge_topk(rerank, qids, k)
 
 
+def _semdedup_prune_block(b: pa.Table, id_col: str, id_type, none_val,
+                          threshold: float) -> pa.Table:
+    """SemDeDup's within-cluster greedy keep-scan over ONE cluster-keyed
+    block (which holds every member of its clusters): ascending-id order
+    (pinned → parallelism-independent), a member is dropped when its
+    cosine to an already-kept member exceeds `threshold`. Shared by
+    `semantic_dedup` (int64 vec_id, none=-1) and
+    `multimodal.image_semantic_dedup` (string image_id, none='')."""
+    empty = pa.table({id_col: pa.array([], id_type),
+                      "cluster": pa.array([], pa.int64()),
+                      "keep": pa.array([], pa.bool_()),
+                      "dup_of": pa.array([], id_type),
+                      "nn_sim": pa.array([], pa.float64())})
+    if len(b) == 0:
+        return empty
+    out = []
+    clusters = b.column("cluster").to_numpy()
+    for c in np.unique(clusters):
+        sub = b.filter(pa.array(clusters == c))
+        ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(embedding_matrix(sub.column("embedding")))[order]
+        kept_idx: list[int] = []
+        keep = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), none_val, dtype=object)
+        nn_sim = np.zeros(len(ids), dtype=np.float64)
+        for i in range(len(ids)):
+            if kept_idx:
+                sims = mat[kept_idx] @ mat[i]
+                j = int(np.argmax(sims))
+                nn_sim[i] = round(float(sims[j]), SIM_DECIMALS)
+                if sims[j] > threshold:
+                    dup_of[i] = ids[kept_idx[j]]
+                    continue
+            keep[i] = True
+            kept_idx.append(i)
+        out.append(pa.table(
+            {id_col: pa.array(ids, id_type),
+             "cluster": pa.array(np.full(len(ids), c, np.int64()),
+                                 pa.int64()),
+             "keep": pa.array(keep, pa.bool_()),
+             "dup_of": pa.array(dup_of.tolist(), id_type),
+             "nn_sim": pa.array(nn_sim, pa.float64())}))
+    return pa.concat_tables(out)
+
+
 def semantic_dedup(sf_dir: str, k: int = 8, threshold: float = 0.9,
                    plant_copies: int = 0):
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
@@ -607,43 +675,7 @@ def semantic_dedup(sf_dir: str, k: int = 8, threshold: float = 0.9,
                          "embedding": t.column("embedding")})
 
     def greedy_prune(b: pa.Table) -> pa.Table:
-        empty = pa.table({"vec_id": pa.array([], pa.int64()),
-                          "cluster": pa.array([], pa.int64()),
-                          "keep": pa.array([], pa.bool_()),
-                          "dup_of": pa.array([], pa.int64()),
-                          "nn_sim": pa.array([], pa.float64())})
-        if len(b) == 0:
-            return empty
-        out = []
-        clusters = b.column("cluster").to_numpy()
-        for c in np.unique(clusters):
-            sub = b.filter(pa.array(clusters == c))
-            ids = sub.column("vec_id").to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            mat = _normalize(embedding_matrix(sub.column("embedding")))[order]
-            kept_idx: list[int] = []
-            keep = np.zeros(len(ids), dtype=bool)
-            dup_of = np.full(len(ids), -1, dtype=np.int64)
-            nn_sim = np.zeros(len(ids), dtype=np.float64)
-            for i in range(len(ids)):
-                if kept_idx:
-                    sims = mat[kept_idx] @ mat[i]
-                    j = int(np.argmax(sims))
-                    nn_sim[i] = round(float(sims[j]), SIM_DECIMALS)
-                    if sims[j] > threshold:
-                        dup_of[i] = ids[kept_idx[j]]
-                        continue
-                keep[i] = True
-                kept_idx.append(i)
-            out.append(pa.table(
-                {"vec_id": pa.array(ids, pa.int64()),
-                 "cluster": pa.array(np.full(len(ids), c, np.int64()),
-                                     pa.int64()),
-                 "keep": pa.array(keep, pa.bool_()),
-                 "dup_of": pa.array(dup_of, pa.int64()),
-                 "nn_sim": pa.array(nn_sim, pa.float64())}))
-        return pa.concat_tables(out)
+        return _semdedup_prune_block(b, "vec_id", pa.int64(), -1, threshold)
 
     n_partitions = min(_hash_partition_count(), max(2, k))
     ctx = ray.data.DataContext.get_current()

@@ -656,6 +656,82 @@ def image_curation(images_parquet: str, max_hamming: int = 8):
                               **remote_kwargs()).sort("image_id")
 
 
+# -------------------------------------------- embedding-space dedup
+
+def image_semantic_dedup(images_parquet: str, k: int = 8,
+                         threshold: float = 0.9):
+    """SemDeDup over IMAGE embeddings — the third member of the image
+    dedup family (exact byte dedup → phash near-dup → embedding-space
+    paraphrase dedup), the LAION-style pipeline order. Reuses
+    `ops/ann.py`'s generalized SemDeDup machinery (`_first_n_by_id_over`
+    init, `_train_centroids_over` Lloyd's loop, `_semdedup_prune_block`
+    greedy keep-scan) with string image_ids.
+
+    Scale shape: the binary payload is decoded EXACTLY ONCE — the
+    embed actor pool emits a (image_id, 64-dim f32) dataset that is
+    MATERIALIZED (orders of magnitude smaller than the images) and every
+    k-means iteration / the assign+prune chain re-reads those plasma
+    blocks, never the bytes. One keyed repartition on cluster id
+    co-locates members; deterministic at any parallelism (pinned
+    ascending-id scan). Rows-only oracle; invariants pytested."""
+    import ray
+
+    from .ann import (_first_n_by_id_over, _normalize,
+                      _semdedup_prune_block, _train_centroids_over)
+    from .dedup import _hash_partition_count
+    from .vecutil import embedding_matrix
+
+    emb = ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes"]
+    ).map_batches(ImageEmbedWorker, batch_format="pyarrow", batch_size=64,
+                  concurrency=actor_pool_size(),
+                  **remote_kwargs()).materialize()
+
+    ids, init = _first_n_by_id_over(emb, "image_id", k)
+    if len(ids) == 0:
+        return ray.data.from_arrow(pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "cluster": pa.array([], pa.int64()),
+             "keep": pa.array([], pa.bool_()),
+             "dup_of": pa.array([], pa.string()),
+             "nn_sim": pa.array([], pa.float64())}))
+    cent = _train_centroids_over(emb, _normalize(init), iters=5)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(embedding_matrix(t.column("embedding")))
+        cluster = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table({"image_id": t.column("image_id"),
+                         "cluster": pa.array(cluster, pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    def prune(b: pa.Table) -> pa.Table:
+        return _semdedup_prune_block(b, "image_id", pa.string(), "",
+                                     threshold)
+
+    n_partitions = min(_hash_partition_count(), max(2, k))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        # `emb` was materialized under the default context: rebuild from
+        # its plasma blocks so the keyed repartition plans under the
+        # scoped HASH_SHUFFLE strategy
+        mat = (
+            ray.data.from_arrow_refs(list(emb.to_arrow_refs()))
+            .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["cluster"])
+            .map_batches(prune, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(
+        list(mat.to_arrow_refs())).sort("image_id")
+
+
 # ------------------------------------------------ aspect-ratio buckets
 
 # Fixed bucket ladder for resolution-bucketed image-training batch

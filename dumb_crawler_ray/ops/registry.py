@@ -2142,6 +2142,9 @@ def build_registry() -> dict[str, tuple]:
     reg["image_ann_topk"] = (image_ann_topk_q, None)
     reg["image_curation"] = (image_curation_q, None)
     reg["image_resize_meta"] = (image_resize_meta, None)
+    reg["image_semantic_dedup"] = (
+        lambda sf: multimodal.image_semantic_dedup(
+            f"{_fixture_dir()}/images.parquet"), None)
     _ladder_vals = ", ".join(
         f"({b}, {tw}, {th}, {rw}, {rh}, {multimodal._ASPECT_D // rh})"
         for b, tw, th, rw, rh in multimodal.ASPECT_LADDER)

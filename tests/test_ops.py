@@ -279,6 +279,49 @@ def test_image_aspect_buckets_nearest(registry, ray_session):
         assert (row.bucket_id, row.target_w, row.target_h) == want[:3], row
 
 
+def test_image_semantic_dedup_invariants(registry, ray_session):
+    """SemDeDup over image embeddings: keepers within a cluster are
+    pairwise ≤ threshold, every drop names a kept image whose cosine
+    exceeds the threshold, output is deterministic, and the fixture's
+    planted near-identical images make the prune non-vacuous."""
+    import numpy as np
+
+    from dumb_crawler_ray.ops.ann import _normalize
+    from dumb_crawler_ray.ops.multimodal import ImageEmbedWorker
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+    from dumb_crawler_ray.ops.vecutil import embedding_matrix
+
+    df = to_df(registry["image_semantic_dedup"][0](SF))
+    pd.testing.assert_frame_equal(
+        df, to_df(registry["image_semantic_dedup"][0](SF)))  # deterministic
+    assert (~df["keep"]).sum() > 0          # planted dups actually pruned
+    assert df["keep"].sum() > 0
+
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    parts = sorted(glob.glob(f"{_fixture_dir()}/images.parquet/*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(p, columns=["image_id", "bytes"])
+                            for p in parts])
+    w = ImageEmbedWorker()
+    emb_tbl = w(tbl)
+    emb = dict(zip(
+        emb_tbl.column("image_id").to_pylist(),
+        _normalize(embedding_matrix(emb_tbl.column("embedding")))))
+
+    for c, sub in df.groupby("cluster"):
+        kept = sub[sub["keep"]]["image_id"].tolist()
+        m = np.stack([emb[i] for i in kept]) if kept else None
+        if m is not None and len(kept) > 1:
+            sims = m @ m.T
+            np.fill_diagonal(sims, 0.0)
+            assert sims.max() <= 0.9 + 1e-9, (c, sims.max())
+        for row in sub[~sub["keep"]].itertuples():
+            assert row.dup_of in kept
+            assert float(emb[row.image_id] @ emb[row.dup_of]) > 0.9 - 1e-9
+
+
 def test_crawl_oracle_sql_matches_simulator():
     """The recursive-CTE crawl oracles must replay the Python simulator
     bit-for-bit WITHOUT Ray: seen set (every field), the exact BSP fetch
