@@ -277,6 +277,15 @@ def run_queries_extra() -> dict:
             f"{fix}/images.parquet"),
         "image_curation_full": lambda: multimodal.image_curation_full(
             f"{fix}/images.parquet"),
+        "image_semantic_dedup": lambda: multimodal.image_semantic_dedup(
+            f"{fix}/images.parquet"),
+        "image_aspect_buckets": lambda: multimodal.image_aspect_buckets(
+            f"{fix}/images.parquet"),
+        "image_size_filter": lambda: multimodal.image_size_filter(
+            f"{fix}/images.parquet"),
+        "caption_to_image_topk": lambda: multimodal.caption_to_image_topk(
+            f"{fix}/images.parquet"),
+        "dataset_mixture": lambda: filters.dataset_mixture(SF_DIR),
     }
     timings = {}
     for name, fn in suite.items():

@@ -619,6 +619,64 @@ def source_balanced_sample(sf_dir: str):
     ).sort("doc_id")
 
 
+# ----------------------------------------------- epoch-weighted mixture
+
+# per-source epoch weights in SIXTEENTHS, picked by md5(source) % len —
+# 2.0×, 1.0×, 0.5×, 0.25× epochs (the LLaMA-style "sampling proportion"
+# column of a training-mixture table, hash-derived here so the op works
+# over any source vocabulary without a config table)
+MIX_W16_LADDER = (32, 16, 8, 4)
+
+
+def dataset_mixture(sf_dir: str):
+    """Epoch-weighted training-data mixture (the LLaMA/Pile recipe):
+    every source gets an epoch weight w (here ``MIX_W16_LADDER[
+    md5_u64(source) % 4] / 16``); a doc is emitted once per FULL epoch
+    (epoch = 0 .. ⌊w⌋−1) plus once more in the final fractional epoch iff
+
+        md5_u64(text) · 16  <  (w16 mod 16) · 2^64
+
+    — hash-threshold sampling at the fractional rate in EXACT integer
+    arithmetic (Python bigints / DuckDB HUGEINT), so the mixture is a
+    pure function of the row: independent of partitioning, cluster size
+    and run count, and the DuckDB oracle reproduces it row-for-row.
+
+    Scale shape: a stateless `map_batches` flat-emit — ZERO shuffles,
+    no per-source totals pass (the weight is hash-derived, not
+    frequency-derived; `source_balanced_sample` is the two-pass
+    frequency-driven sibling). Output rows ≈ mean(w) × input rows."""
+    import hashlib
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        srcs = t.column("source").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_id, out_src, out_ep, out_w = [], [], [], []
+        for did, src, txt in zip(ids, srcs, texts):
+            hs = int.from_bytes(
+                hashlib.md5(src.encode("utf-8")).digest()[:8], "big")
+            w16 = MIX_W16_LADDER[hs % len(MIX_W16_LADDER)]
+            n_full = w16 // 16
+            ht = int.from_bytes(
+                hashlib.md5(txt.encode("utf-8")).digest()[:8], "big")
+            n_epochs = n_full + (1 if ht * 16 < (w16 % 16) * SAMPLE_SCALE
+                                 else 0)
+            for e in range(n_epochs):
+                out_id.append(int(did))
+                out_src.append(src)
+                out_ep.append(e)
+                out_w.append(w16)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "source": pa.array(out_src, pa.string()),
+             "epoch": pa.array(out_ep, pa.int64()),
+             "weight_16": pa.array(out_w, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        emit, batch_format="pyarrow", **remote_kwargs()
+    ).sort(["doc_id", "epoch"])
+
+
 # ------------------------------------------------------ sequence packing
 
 PACK_BUDGET = 512   # token budget per packed training sequence

@@ -792,6 +792,46 @@ def image_aspect_buckets(images_parquet: str):
                   **remote_kwargs()).sort("image_id")
 
 
+# ------------------------------------------------ metadata size gate
+
+SIZE_MIN_SIDE = 48               # LAION-style minimum short side (px)
+ASPECT_MAX_NUM, ASPECT_MAX_DEN = 3, 2   # max long/short side = 3/2
+
+
+def image_size_filter(images_parquet: str):
+    """LAION-style metadata pre-gate — the FIRST stage of an image
+    curation pipeline, run before any byte ever leaves storage: drop
+    images whose short side is under ``SIZE_MIN_SIDE`` px or whose
+    aspect ratio (long/short side) exceeds ``ASPECT_MAX_NUM /
+    ASPECT_MAX_DEN``. Metadata-only: reads (image_id, w, h) columns,
+    never the binary payload — at 100 TB this gate prunes the decode
+    stages' input for the cost of a column scan. Exact integer
+    arithmetic (the aspect test cross-multiplies), bit-reproducible in
+    the DuckDB oracle."""
+    import ray
+
+    def gate(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        mn = np.minimum(w, h)
+        mx = np.maximum(w, h)
+        too_small = mn < SIZE_MIN_SIDE
+        bad_aspect = mx * ASPECT_MAX_DEN > mn * ASPECT_MAX_NUM
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "w": pa.array(w, pa.int64()),
+             "h": pa.array(h, pa.int64()),
+             "min_side": pa.array(mn, pa.int64()),
+             "too_small": pa.array(too_small, pa.bool_()),
+             "bad_aspect": pa.array(bad_aspect, pa.bool_()),
+             "keep": pa.array(~(too_small | bad_aspect), pa.bool_())})
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "w", "h"]
+    ).map_batches(gate, batch_format="pyarrow",
+                  **remote_kwargs()).sort("image_id")
+
+
 # ----------------------------------------------- caption-pair curation
 
 CAP_MIN_TOKENS, CAP_MAX_TOKENS = 4, 64
@@ -1156,6 +1196,89 @@ def image_caption_alignment(images_parquet: str):
 
     return zipped.map_batches(score, batch_format="pyarrow",
                               **remote_kwargs()).sort("image_id")
+
+
+def caption_to_image_topk(images_parquet: str, n_queries: int = 16,
+                          k: int = 5):
+    """Cross-modal retrieval (text→image): the first ``n_queries``
+    captions by image_id become text-tower query embeddings, ranked by
+    cosine against EVERY image-tower embedding — the retrieval-eval
+    shape of a CLIP-style dual encoder (query side tiny, corpus side the
+    whole dataset). Unlike `image_ann_topk`, a query's own image is NOT
+    excluded: with trained towers its rank is the retrieval metric.
+
+    Scale shape mirrors `image_ann_topk`: query selection is a
+    distributed partial-min (`ann._first_n_by_id_over` over the caption
+    tower — the driver merges ≤ n·n_blocks tiny rows), the query matrix
+    is broadcast ONCE via `ray.put`, each corpus batch emits its own
+    pinned-tie partial top-k, and the driver merges ≤ (k+1)·q·n_blocks
+    candidate rows. Rows-only oracle; exact parity with a local
+    single-process reimplementation is pytested."""
+    import ray
+
+    from .ann import _first_n_by_id_over
+
+    # both towers share one actor budget (image tower ~10× cost/row —
+    # same asymmetric split as `image_caption_alignment`)
+    pool = actor_pool_size()
+    cap_conc = max(1, pool // 4)
+    img_conc = max(1, pool - cap_conc)
+    qids, qm = _first_n_by_id_over(
+        caption_embeddings(images_parquet, concurrency=cap_conc),
+        "image_id", n_queries)
+    empty = pa.table({"query_id": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.string()),
+                      "sim": pa.array([], pa.float64())})
+    if len(qids) == 0:
+        return empty
+    q_ref = ray.put((qids, qm))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(q_ref)
+        vids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        mat = embedding_matrix(t.column("embedding"))
+        sims = qm @ mat.T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(len(ids_q)):
+            # pinned partial top-k: ties at the cutoff break by ascending
+            # neighbor id, so the candidate set is block-split-independent
+            idx = np.lexsort((vids, -sims[qi]))[:kk]
+            for j in idx:
+                out_q.append(str(ids_q[qi]))
+                out_n.append(str(vids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.string()),
+             "neighbor_id": pa.array(out_n, pa.string()),
+             "sim": pa.array(out_s, pa.float64())})
+
+    cand_batches = list(
+        image_embeddings(images_parquet, concurrency=img_conc)
+        .map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if not cand_batches:
+        return empty
+    cand = pa.concat_tables(cand_batches)
+    q = np.asarray(cand.column("query_id").to_pylist(), dtype=object)
+    n = np.asarray(cand.column("neighbor_id").to_pylist(), dtype=object)
+    s = cand.column("sim").to_numpy()
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for qid in qids:
+        m = q == qid
+        order = np.lexsort((n[m], -s[m]))[:k]
+        for r, (ni, si) in enumerate(zip(n[m][order], s[m][order]), start=1):
+            out_q.append(str(qid))
+            out_r.append(r)
+            out_n.append(str(ni))
+            out_s.append(round(float(si), 4))
+    return pa.table(
+        {"query_id": pa.array(out_q, pa.string()),
+         "rank": pa.array(out_r, pa.int64()),
+         "neighbor_id": pa.array(out_n, pa.string()),
+         "sim": pa.array(out_s, pa.float64())})
 
 
 class FusedImagePassWorker:

@@ -1492,6 +1492,41 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # epoch-weighted mixture: the hash-derived weight ladder and both
+    # hash thresholds replay in exact integer arithmetic; full epochs
+    # come from a constant-arg generate_series joined on e < ⌊w⌋
+    _mix_case = " ".join(
+        f"WHEN {i} THEN {w16}"
+        for i, w16 in enumerate(filters.MIX_W16_LADDER))
+    _mix_max_full = max(filters.MIX_W16_LADDER) // 16
+    reg["dataset_mixture"] = (
+        filters.dataset_mixture,
+        f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CASE ('0x' || substr(md5(source), 1, 16))::UBIGINT
+                            % {len(filters.MIX_W16_LADDER)}
+                        {_mix_case} END AS w16,
+                   ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+            FROM documents
+        ), full_ep AS (
+            SELECT doc_id, source, s.e AS epoch, w16
+            FROM d JOIN (SELECT unnest(generate_series(
+                             0, {_mix_max_full - 1})) AS e) s
+              ON s.e < w16 // 16
+        ), frac_ep AS (
+            SELECT doc_id, source, w16 // 16 AS epoch, w16
+            FROM d
+            WHERE CAST(h AS HUGEINT) * 16
+                  < (w16 % 16) * 18446744073709551616
+        )
+        SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+               CAST(w16 AS BIGINT) AS weight_16
+        FROM (SELECT * FROM full_ep UNION ALL SELECT * FROM frac_ep)
+        ORDER BY doc_id, epoch
+        """,
+    )
+
     # greedy packing is a cumulative scan with reset — a recursive CTE
     # walks each group in doc_id order carrying (accumulator, bin), the
     # exact replay of pack_block's loop; groups are ≤ PACK_GROUP docs so
@@ -2145,6 +2180,29 @@ def build_registry() -> dict[str, tuple]:
     reg["image_semantic_dedup"] = (
         lambda sf: multimodal.image_semantic_dedup(
             f"{_fixture_dir()}/images.parquet"), None)
+    reg["caption_to_image_topk"] = (
+        lambda sf: multimodal.caption_to_image_topk(
+            f"{_fixture_dir()}/images.parquet"), None)
+    # LAION-style metadata pre-gate: pure integer (w, h) arithmetic →
+    # fully SQL-checked over the fixture glob
+    reg["image_size_filter"] = (
+        lambda sf: multimodal.image_size_filter(
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        SELECT image_id,
+               CAST(w AS BIGINT) AS w,
+               CAST(h AS BIGINT) AS h,
+               CAST(least(w, h) AS BIGINT) AS min_side,
+               least(w, h) < {multimodal.SIZE_MIN_SIDE} AS too_small,
+               greatest(w, h) * {multimodal.ASPECT_MAX_DEN}
+                   > least(w, h) * {multimodal.ASPECT_MAX_NUM} AS bad_aspect,
+               NOT (least(w, h) < {multimodal.SIZE_MIN_SIDE}
+                    OR greatest(w, h) * {multimodal.ASPECT_MAX_DEN}
+                       > least(w, h) * {multimodal.ASPECT_MAX_NUM}) AS keep
+        FROM read_parquet('{_IMAGES_PQ}')
+        ORDER BY image_id
+        """,
+    )
     _ladder_vals = ", ".join(
         f"({b}, {tw}, {th}, {rw}, {rh}, {multimodal._ASPECT_D // rh})"
         for b, tw, th, rw, rh in multimodal.ASPECT_LADDER)

@@ -40,8 +40,10 @@ WORDS = (
 assert len(WORDS) == 64
 
 KINDS = ("article", "listing", "resource")
-W_CYCLE = (32, 64, 128)
-H_CYCLE = (32, 48, 96)
+# four dim classes: square, two 4:3 sizes, and one extreme-wide 4:1
+# banner — so metadata gates (min side, aspect) all have true positives
+W_CYCLE = (32, 64, 128, 256)
+H_CYCLE = (32, 48, 96, 64)
 
 
 def _rng(seed: int, idx: int, purpose: int) -> np.random.Generator:
@@ -55,7 +57,7 @@ def n_images(scale: int) -> int:
 
 
 def image_dims(idx: int) -> tuple[int, int]:
-    return W_CYCLE[idx % 3], H_CYCLE[idx % 3]
+    return W_CYCLE[idx % len(W_CYCLE)], H_CYCLE[idx % len(H_CYCLE)]
 
 
 def image_fmt(idx: int) -> str:
@@ -77,7 +79,7 @@ def source_pixels(seed: int, idx: int) -> np.ndarray:
     phash/near-dup operators have true positives to find.
     """
     w, h = image_dims(idx)
-    if idx % 16 == 15:  # planted near-dup of idx-1 (same dims: idx%3 differs!)
+    if idx % 16 == 15:  # planted near-dup of idx-1 (dims differ: idx%4 differs!)
         base = source_pixels(seed, idx - 1)
         rng = _rng(seed, idx, 3)
         noisy = base.astype(np.int16) + rng.integers(-6, 7, size=base.shape)
@@ -372,7 +374,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
 
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 6}
+    want = {"seed": seed, "scale": scale, "version": 7}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)

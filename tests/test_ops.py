@@ -92,7 +92,7 @@ SQL_CHECKED = [
     "page_rank", "bigram_lm_scores", "page_indegree",
     "leakage_safe_split", "export_corpus", "cms_user_counts",
     "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
-    "image_aspect_buckets",
+    "image_aspect_buckets", "image_size_filter", "dataset_mixture",
 ]
 
 
@@ -320,6 +320,84 @@ def test_image_semantic_dedup_invariants(registry, ray_session):
         for row in sub[~sub["keep"]].itertuples():
             assert row.dup_of in kept
             assert float(emb[row.image_id] @ emb[row.dup_of]) > 0.9 - 1e-9
+
+
+def test_caption_to_image_topk_matches_local(registry, ray_session):
+    """Cross-modal retrieval must equal a single-process brute-force
+    reimplementation exactly: same towers run locally, full cosine
+    matrix, same pinned (−sim, neighbor_id) tie-break — so the
+    distributed partial-top-k/merge machinery provably loses nothing."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.functions import codec
+    from dumb_crawler_ray.ops.multimodal import (CaptionEmbedWorker,
+                                                 ImageEmbedWorker)
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+    from dumb_crawler_ray.ops.vecutil import embedding_matrix
+
+    df = to_df(registry["caption_to_image_topk"][0](SF))
+    n_queries, k = 16, 5
+    parts = sorted(glob.glob(f"{_fixture_dir()}/images.parquet/*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+    ids = np.asarray(tbl.column("image_id").to_pylist(), dtype=object)
+    order = np.argsort(ids)
+    qsel = order[:n_queries]
+    cap_w = CaptionEmbedWorker()
+    qm = embedding_matrix(
+        pa.array(cap_w.embed_captions(
+            [tbl.column("caption").to_pylist()[i] for i in qsel]).tolist(),
+            pa.list_(pa.float32())))
+    img_w = ImageEmbedWorker()
+    arrs = [codec.decode(d) for d in tbl.column("bytes").to_pylist()]
+    mat = embedding_matrix(
+        pa.array(img_w.embed_pixels(arrs).tolist(), pa.list_(pa.float32())))
+    sims = qm @ mat.T
+    rows = []
+    for qi, i in enumerate(qsel):
+        top = np.lexsort((ids, -sims[qi]))[:k]
+        for r, j in enumerate(top, start=1):
+            rows.append((str(ids[i]), r, str(ids[j]),
+                         round(float(sims[qi, j]), 4)))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id",
+                                       "sim"])
+    got = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_image_size_filter_nonvacuous(registry, ray_session):
+    """The fixture must exercise BOTH gate flags (otherwise the SQL
+    parity test proves nothing about the flag arithmetic)."""
+    df = to_df(registry["image_size_filter"][0](SF))
+    assert df["too_small"].any() and (~df["too_small"]).any()
+    assert df["bad_aspect"].any() and (~df["bad_aspect"]).any()
+    assert df["keep"].any() and (~df["keep"]).any()
+    assert (df["keep"] == ~(df["too_small"] | df["bad_aspect"])).all()
+
+
+def test_dataset_mixture_nonvacuous(registry, ray_session):
+    """The hash-derived weight ladder must hit multi-epoch (w > 1),
+    fractional-only (w < 1) and dropped-doc cases over the test corpus,
+    and per-source mixture rates must track weight_16/16."""
+    df = to_df(registry["dataset_mixture"][0](SF))
+    assert df["epoch"].max() >= 1                     # some source w ≥ 2.0
+    by_src = df.groupby("source")["weight_16"].first()
+    assert by_src.nunique() >= 3                      # ladder is exercised
+    # a fractional-weight source keeps SOME but not ALL docs
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    n_in = docs.groupby("source").size()
+    for src, w16 in by_src.items():
+        n_out = (df[df["source"] == src]["doc_id"]).nunique()
+        if w16 >= 16:
+            assert n_out == n_in[src]                 # every doc appears
+        else:
+            assert 0 < n_out < n_in[src] or n_in[src] < 8
 
 
 def test_crawl_oracle_sql_matches_simulator():
@@ -889,6 +967,8 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_quality", "image_ann_topk", "image_curation",
         "image_caption_stats", "image_exact_dedup", "image_shard_pack",
         "image_caption_alignment", "image_curation_full",
+        "image_semantic_dedup", "image_aspect_buckets", "image_size_filter",
+        "caption_to_image_topk",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
