@@ -286,6 +286,9 @@ def run_queries_extra() -> dict:
         "caption_to_image_topk": lambda: multimodal.caption_to_image_topk(
             f"{fix}/images.parquet"),
         "dataset_mixture": lambda: filters.dataset_mixture(SF_DIR),
+        "export_image_shards": lambda: export.export_image_shards(
+            f"{fix}/images.parquet",
+            out_dir=f"/tmp/dcr_release/bench_imgs_{os.getpid()}"),
     }
     timings = {}
     for name, fn in suite.items():

@@ -198,6 +198,64 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
                           n_partitions=n_partitions)
 
 
+def export_image_shards(images_parquet: str, out_dir: str | None = None,
+                        n_partitions: int | None = None):
+    """Multimodal release sink — the image-side last mile: the
+    metadata+caption-gated image corpus (the DECODE-FREE gates:
+    `image_size_filter`'s integer size/aspect predicate and
+    `caption_rule_columns`' token band — applied inline, so no curation
+    table materializes first) written as resumable sorted parquet shards
+    of (image_id, bytes, w, h, caption) + manifest, via the same
+    tmp+rename / skip-unchanged writer as `export_corpus`. Identity =
+    image_id, fingerprint length = octet_length(bytes) (binary content
+    proxy), so re-exports are byte-identical and resume shard-by-shard.
+    The decode-side curation ops (quality/alignment/dedup keep-lists)
+    compose UPSTREAM by filtering the input table. The manifest is
+    fully SQL-checked — same md5-bucket + bit_xor replay as
+    `export_corpus`, plus the gate predicates."""
+    import ray
+
+    from .multimodal import (ASPECT_MAX_DEN, ASPECT_MAX_NUM, SIZE_MIN_SIDE,
+                             caption_rule_columns)
+
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(os.path.dirname(
+            images_parquet.rstrip("/"))))
+        out_dir = f"/tmp/dcr_release/images_{base}_s{DEFAULT_SHARDS}"
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        mn = np.minimum(w, h)
+        mx = np.maximum(w, h)
+        size_ok = (mn >= SIZE_MIN_SIDE) & (mx * ASPECT_MAX_DEN
+                                           <= mn * ASPECT_MAX_NUM)
+        _nt, _nd, cap_ok = caption_rule_columns(t.column("caption"))
+        t = t.filter(pa.array(size_ok
+                              & cap_ok.to_numpy(zero_copy_only=False)))
+        ids = t.column("image_id").to_pylist()
+        lens = pc.binary_length(t.column("bytes")).to_numpy()
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "bytes": t.column("bytes"),
+             "w": t.column("w"),
+             "h": t.column("h"),
+             "caption": t.column("caption"),
+             "shard": pa.array(_shard_of(ids), pa.int64()),
+             "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
+
+    def build():
+        return ray.data.read_parquet(
+            images_parquet,
+            columns=["image_id", "bytes", "w", "h", "caption"],
+        ).map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+
+    return export_sharded(build, out_dir, "image_id",
+                          n_partitions=n_partitions)
+
+
 def corpus_release(ckpt_dir: str, out_dir: str | None = None,
                    n_partitions: int | None = None):
     """The flagship composition's last mile: crawl checkpoint → curated

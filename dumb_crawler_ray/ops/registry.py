@@ -1758,6 +1758,40 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # multimodal release sink: the decode-free gates (size/aspect +
+    # caption band) and the md5-bucket + bit_xor manifest all replay in
+    # SQL — a fully-oracle-checked BINARY sink manifest
+    reg["export_image_shards"] = (
+        lambda sf: export.export_image_shards(
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        WITH kept AS (
+            SELECT image_id, octet_length(bytes) AS blen
+            FROM read_parquet('{_IMAGES_PQ}')
+            WHERE least(w, h) >= {multimodal.SIZE_MIN_SIDE}
+              AND greatest(w, h) * {multimodal.ASPECT_MAX_DEN}
+                  <= least(w, h) * {multimodal.ASPECT_MAX_NUM}
+              AND len(regexp_extract_all(caption, '[A-Za-z0-9]+'))
+                  BETWEEN {multimodal.CAP_MIN_TOKENS}
+                      AND {multimodal.CAP_MAX_TOKENS}
+              AND {multimodal.CAP_DISTINCT_DEN} * len(list_distinct(
+                      regexp_extract_all(lower(caption), '[a-z0-9]+')))
+                  >= {multimodal.CAP_DISTINCT_NUM}
+                      * len(regexp_extract_all(caption, '[A-Za-z0-9]+'))
+        )
+        SELECT CAST(('0x' || substr(md5(image_id), 1, 8)) AS BIGINT)
+                   % {export.DEFAULT_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(bit_xor(
+                   CAST(('0x' || substr(md5(image_id || ':' ||
+                                        CAST(blen AS VARCHAR)),
+                                        1, 16)) AS UBIGINT)
+                   & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+                   AS fingerprint
+        FROM kept GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     # dedup-aware split: cluster members share a split — the recursive
     # transitive-closure reps (jaccard_clusters oracle) + doc_split's md5
     # bucket arithmetic, keyed on COALESCE(rep, doc_id)

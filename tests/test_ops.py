@@ -93,6 +93,7 @@ SQL_CHECKED = [
     "leakage_safe_split", "export_corpus", "cms_user_counts",
     "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
     "image_aspect_buckets", "image_size_filter", "dataset_mixture",
+    "export_image_shards",
 ]
 
 
@@ -152,6 +153,56 @@ def test_export_corpus_roundtrip_and_resume(ray_session, tmp_path):
     after = {f: os.path.getmtime(f) for f in shard_files}
     assert after[victim] > mtimes[victim]
     assert all(after[f] == mtimes[f] for f in shard_files if f != victim)
+
+
+def test_export_image_shards_roundtrip_and_resume(ray_session, tmp_path):
+    """The multimodal sink: shards re-read to exactly the GATED subset of
+    the image table (size/aspect + caption rules), a second run skips
+    every shard, and the gate actually drops rows (non-vacuous)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import export
+    from dumb_crawler_ray.ops.multimodal import (ASPECT_MAX_DEN,
+                                                 ASPECT_MAX_NUM,
+                                                 SIZE_MIN_SIDE,
+                                                 caption_rule_columns)
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+
+    src = f"{_fixture_dir()}/images.parquet"
+    out = str(tmp_path / "img_export")
+    m1 = export.export_image_shards(src, out_dir=out).to_pandas()
+
+    parts = sorted(glob.glob(f"{src}/*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(
+        p, columns=["image_id", "bytes", "w", "h", "caption"])
+        for p in parts])
+    w = tbl.column("w").to_numpy().astype(np.int64)
+    h = tbl.column("h").to_numpy().astype(np.int64)
+    mn, mx = np.minimum(w, h), np.maximum(w, h)
+    size_ok = (mn >= SIZE_MIN_SIDE) & (mx * ASPECT_MAX_DEN
+                                       <= mn * ASPECT_MAX_NUM)
+    _a, _b, cap_ok = caption_rule_columns(tbl.column("caption"))
+    want = tbl.filter(pa.array(
+        size_ok & cap_ok.to_numpy(zero_copy_only=False))).to_pandas()
+    assert 0 < len(want) < len(tbl)              # the gate bites
+    assert m1["n_docs"].sum() == len(want)
+
+    shard_files = sorted(
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet"))
+    got = pd.concat([pq.read_table(f).to_pandas() for f in shard_files])
+    got = got.sort_values("image_id").reset_index(drop=True)
+    want = want[got.columns].sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    m2 = export.export_image_shards(src, out_dir=out).to_pandas()
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
 
 
 def test_leakage_safe_split_guard_and_paths(ray_session):
@@ -968,7 +1019,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_caption_stats", "image_exact_dedup", "image_shard_pack",
         "image_caption_alignment", "image_curation_full",
         "image_semantic_dedup", "image_aspect_buckets", "image_size_filter",
-        "caption_to_image_topk",
+        "caption_to_image_topk", "export_image_shards",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
