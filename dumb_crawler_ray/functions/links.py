@@ -26,13 +26,15 @@ use for ``validationSelectors`` / ``CONTAINSELEMENT``
 (space) and child (``>``) combinators, ``,`` selector groups, and the two
 Jsoup pseudo-classes real validation configs use: ``:contains(text)``
 (case-insensitive match against the element's own+descendant normalized
-text, org.jsoup.select.Evaluator$ContainsText) and ``:has(selector)``
+text, org.jsoup.select.Evaluator$ContainsText), ``:has(selector)``
 (element with a matching descendant; the inner selector may use the full
-supported grammar except further parenthesized pseudo-classes). Selectors
+supported grammar except further parenthesized pseudo-classes) and
+``:nth-child(an+b | odd | even | k)`` (1-based sibling index,
+org.jsoup.select.QueryParser#cssNthElement). Selectors
 without pseudo-classes run on the streaming single-pass matcher;
 pseudo-class selectors build a lightweight DOM tree (validation pages are
 small — the tree path is per-selector opt-in). Remaining unsupported
-syntax (``:nth-child`` etc.) is handled gracefully: logged once per
+syntax (``:first-of-type`` etc.) is handled gracefully: logged once per
 selector and treated as not-matching — never raised, so an exotic config
 selector cannot crash the fetch stage mid-crawl.
 """
@@ -136,6 +138,41 @@ class _UnsupportedSelector(Exception):
     pass
 
 
+_NTH = re.compile(
+    r"^\s*(?:(?P<odd>odd)|(?P<even>even)"
+    r"|(?P<a>[+-]?\d*)n\s*(?:(?P<sign>[+-])\s*(?P<b>\d+))?"
+    r"|(?P<k>[+-]?\d+))\s*$", re.IGNORECASE)
+
+
+def _parse_nth(arg: str) -> tuple[int, int]:
+    """`:nth-child` argument → (a, b) of the an+b CSS/Jsoup grammar
+    (org.jsoup.select.QueryParser#cssNthElement): odd/even, bare k,
+    and the full an+b form with optional signs and spaces."""
+    m = _NTH.match(arg)
+    if not m:
+        raise _UnsupportedSelector(f":nth-child({arg})")
+    if m.group("odd"):
+        return 2, 1
+    if m.group("even"):
+        return 2, 0
+    if m.group("k") is not None:
+        return 0, int(m.group("k"))
+    a_str = m.group("a")
+    a = 1 if a_str in ("", "+") else (-1 if a_str == "-" else int(a_str))
+    b = int(m.group("b")) if m.group("b") else 0
+    if m.group("sign") == "-":
+        b = -b
+    return a, b
+
+
+def _nth_matches(a: int, b: int, idx: int) -> bool:
+    """1-based sibling index `idx` satisfies an+b for some integer n ≥ 0."""
+    if a == 0:
+        return idx == b
+    n, rem = divmod(idx - b, a)
+    return rem == 0 and n >= 0
+
+
 def _parse_compound(src: str):
     m = _COMPOUND.fullmatch(src.strip())
     if not m or (m.group("tag") is None and not m.group("rest")):
@@ -166,6 +203,8 @@ def _parse_compound(src: str):
                 # inner selector: full grammar minus nested parens (the
                 # tokenizer rejects those → unsupported, logged no-match)
                 preds.append(("has", _parse_selector(arg), None))
+            elif pseudo == "nth-child":
+                preds.append(("nthchild", _parse_nth(arg), None))
             else:
                 raise _UnsupportedSelector(src)
         else:
@@ -252,6 +291,11 @@ def _compound_matches(preds, name: str, attrs: dict, node=None,
         elif kind == "has":
             if node is None or not _subtree_exists(node, arg, ctx):
                 return False
+        elif kind == "nthchild":
+            # tree path only: `idx` is the 1-based element index among
+            # the parent's element children (roots count as siblings)
+            if node is None or not _nth_matches(*arg, node.idx):
+                return False
         else:  # attr
             val = attrs.get(arg)
             if val is None:
@@ -297,7 +341,7 @@ class _Node:
     (so `:contains` sees text across child boundaries in reading order);
     `children` is the element-only view for structural walks."""
 
-    __slots__ = ("name", "attrs", "children", "content", "_text")
+    __slots__ = ("name", "attrs", "children", "content", "_text", "idx")
 
     def __init__(self, name: str, attrs: dict):
         self.name = name
@@ -305,6 +349,7 @@ class _Node:
         self.children: list[_Node] = []
         self.content: list = []  # str | _Node, document order
         self._text: str | None = None
+        self.idx = 1  # 1-based element index among parent's children
 
 
 def _node_text(node: _Node) -> str:
@@ -344,8 +389,10 @@ def _build_tree(html: str) -> list[_Node]:
         if stack:
             stack[-1].children.append(node)
             stack[-1].content.append(node)
+            node.idx = len(stack[-1].children)
         else:
             roots.append(node)
+            node.idx = len(roots)
         if name not in _VOID and not _is_self_closing(body):
             stack.append(node)
     if stack and pos < len(html):
@@ -483,7 +530,7 @@ def _tree_exists(html: str, parsed) -> bool:
 
 
 def _needs_tree(parsed) -> bool:
-    return any(kind in ("contains", "has")
+    return any(kind in ("contains", "has", "nthchild")
                for chain in parsed for _, preds in chain
                for kind, _a, _e in preds)
 

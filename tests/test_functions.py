@@ -288,7 +288,7 @@ def test_css_selector_combinators_and_attrs():
     # unsupported syntax: logged, False, never raises
     assert not T("p + b")
     assert not T("")
-    assert not T("div:nth-child(2)")
+    assert not T("div:first-of-type")
 
 
 def test_css_pseudo_contains_and_has():
@@ -332,6 +332,49 @@ def test_css_pseudo_contains_and_has():
     # no-match, never raises
     assert not T("ul:has(li:contains(cart))")
     assert not T("ul:has(li:has(a))")
+
+
+def test_css_pseudo_nth_child():
+    """Jsoup :nth-child(an+b) truth table — 1-based element index among
+    the parent's element children; text nodes don't count."""
+    html = (
+        '<html><body><ul>'
+        'text node'
+        '<li id="a">one</li>'
+        '<li id="b">two</li>'
+        '<li id="c">three</li>'
+        '<li id="d">four</li>'
+        '</ul></body></html>'
+    )
+    T = lambda s: css_select_exists(html, s)
+    # bare index (1-based; the text node is not a child element)
+    assert T("li:nth-child(1)")
+    assert T("#a:nth-child(1)")
+    assert not T("#a:nth-child(2)")
+    assert T("#d:nth-child(4)")
+    assert not T("li:nth-child(5)")
+    assert not T("li:nth-child(0)")
+    # odd / even
+    assert T("#c:nth-child(odd)")
+    assert not T("#c:nth-child(even)")
+    assert T("#b:nth-child(EVEN)")      # case-insensitive
+    # an+b forms (n ranges over 0,1,2,...)
+    assert T("#c:nth-child(2n+1)")
+    assert not T("#b:nth-child(2n+1)")
+    assert T("#b:nth-child(2n)")        # b omitted → 2n
+    assert T("#a:nth-child(n)")         # bare n → matches every element
+    assert T("#d:nth-child(3n+1)")      # 1, 4, 7, ...
+    assert not T("#c:nth-child(3n+1)")
+    assert T("#b:nth-child(-n+2)")      # first two only
+    assert not T("#c:nth-child(-n+2)")
+    assert T("#b:nth-child( 2n + 0 )")  # whitespace tolerated
+    # combinator interaction + guards
+    assert T("ul > li:nth-child(2)")
+    assert not T("ul:nth-child(2)")     # ul is body's first element child
+    assert T("body:nth-child(1) li")
+    # malformed argument → unsupported, logged no-match, never raises
+    assert not T("li:nth-child(x)")
+    assert not T("li:nth-child()")
 
 
 def test_extract_links_ignores_comments_and_scripts():
