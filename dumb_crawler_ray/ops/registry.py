@@ -118,6 +118,25 @@ def crawl_lineage(sf_dir: str):
     return ds.to_table().sort_by([("round", "ascending"), ("shard", "ascending")])
 
 
+def crawl_lineage_counts(sf_dir: str):
+    """Per-ROUND lineage totals — `crawl_lineage` summed over shards,
+    restricted to the SQL-replayable columns (shard routing is siphash —
+    not SQL-expressible — and exact_probes/wall_ms are bloom-state/clock
+    artifacts; candidates_in / discovered / fetched / failed are pure
+    functions of the crawl and get a FULL recursive-CTE oracle)."""
+    import pyarrow.dataset as pads
+
+    r = _crawl_result()
+    t = pads.dataset(f"{r.ckpt_dir}/lineage", format="parquet").to_table()
+    cols = ["candidates_in", "discovered", "robots_denied", "fetched",
+            "failed"]
+    g = t.group_by("round").aggregate([(c, "sum") for c in cols])
+    g = g.sort_by([("round", "ascending")])
+    return pa.table(
+        {"round": g.column("round"),
+         **{c: g.column(f"{c}_sum") for c in cols}})
+
+
 def curated_corpus(sf_dir: str):
     """End-to-end flagship composition: the crawl checkpoint's pages feed
     the curation pipeline (latest-wins → text extraction → quality →
@@ -448,8 +467,58 @@ FROM (
 ) WHERE rn = 1
 ORDER BY url_hash
 """
+    # crawl_lineage_counts: the per-round lineage totals derived from the
+    # SAME BSP `step` replay — candidates_in(r) = distinct allowed links
+    # offered by round-r ok-fetched pages (the round-level first-occurrence
+    # dedup ≡ DISTINCT; the fixture has no url_hash collisions), and
+    # discovered(r) = offers whose FIRST offer round is r and that are not
+    # seeds (the frontier's exact seen-check over everything ever
+    # inserted). Seeds commit under round −1 (crawl.py seed phase).
+    lineage_sql = order_sql.rpartition("SELECT row_number()")[0] + f"""
+, final AS (SELECT * FROM step QUALIFY round = max(round) OVER ()),
+fetched_r AS (
+  SELECT f.url, f.done_round - 1 AS r, a.ok
+  FROM final f JOIN attrs a ON a.url = f.url
+  WHERE f.state = 'D'
+),
+offers AS (
+  SELECT DISTINCT e.dst, fr.r
+  FROM fetched_r fr JOIN edges e ON e.src = fr.url
+  WHERE fr.ok
+),
+first_offer AS (SELECT dst, min(r) AS fr FROM offers GROUP BY dst),
+seeds_t(url) AS (VALUES {seed_vals}),
+fcounts AS (
+  SELECT r, count(*) AS n_f,
+         sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS n_fail
+  FROM fetched_r GROUP BY r
+),
+ocounts AS (SELECT r, count(*) AS n_c FROM offers GROUP BY r),
+dcounts AS (
+  SELECT fo.fr AS r, count(*) AS n_d FROM first_offer fo
+  WHERE fo.dst NOT IN (SELECT url FROM seeds_t) GROUP BY fo.fr
+)
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(candidates_in AS BIGINT) AS candidates_in,
+       CAST(discovered AS BIGINT) AS discovered,
+       CAST(robots_denied AS BIGINT) AS robots_denied,
+       CAST(fetched AS BIGINT) AS fetched,
+       CAST(failed AS BIGINT) AS failed
+FROM (
+  SELECT -1 AS round,
+         (SELECT count(DISTINCT url) FROM seeds_t) AS candidates_in,
+         (SELECT count(DISTINCT url) FROM seeds_t) AS discovered,
+         0 AS robots_denied, 0 AS fetched, 0 AS failed
+  UNION ALL
+  SELECT f.r, coalesce(o.n_c, 0), coalesce(d.n_d, 0), 0, f.n_f, f.n_fail
+  FROM fcounts f
+  LEFT JOIN ocounts o ON o.r = f.r
+  LEFT JOIN dcounts d ON d.r = f.r
+) ORDER BY round
+"""
     return {"crawl_seen_set": seen_sql, "crawl_counters": counters_sql,
-            "crawl_order": order_sql, "curated_corpus": curated_sql}
+            "crawl_order": order_sql, "curated_corpus": curated_sql,
+            "crawl_lineage_counts": lineage_sql}
 
 
 def image_decode_stats(sf_dir: str):
@@ -2273,6 +2342,8 @@ def build_registry() -> dict[str, tuple]:
     reg["crawl_seen_set"] = (crawl_seen_set, _crawl_sqls["crawl_seen_set"])
     reg["crawl_counters"] = (crawl_counters, _crawl_sqls["crawl_counters"])
     reg["crawl_lineage"] = (crawl_lineage, None)
+    reg["crawl_lineage_counts"] = (crawl_lineage_counts,
+                                   _crawl_sqls["crawl_lineage_counts"])
     reg["curated_corpus"] = (curated_corpus, _crawl_sqls["curated_corpus"])
     reg["corpus_release"] = (corpus_release_q, None)
     return reg
