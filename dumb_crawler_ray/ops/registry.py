@@ -200,6 +200,7 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     from ..config import JobConfig
     from ..functions.expr import RESOURCE_REGEX
     from ..sources.synthweb import DEFAULT_CONFIG, domains_for
+    from .export import DEFAULT_SHARDS
 
     cfg = JobConfig(DEFAULT_CONFIG)
     k, cap = cfg.scheduler_batch_size, cfg.max_per_domain_per_round
@@ -456,16 +457,36 @@ metrics AS (
          md5(lower(text)) AS fingerprint,
          length(text) >= 20 AS quality_ok
   FROM texts
-)
-SELECT url_hash, url, round, n_chars, n_tokens, fingerprint, quality_ok,
-       n_dups
-FROM (
-  SELECT *, count(*) OVER (PARTITION BY fingerprint) AS n_dups,
-         row_number() OVER (PARTITION BY fingerprint ORDER BY url_hash)
-           AS rn
-  FROM metrics
-) WHERE rn = 1
-ORDER BY url_hash
+),
+curated AS (
+  SELECT url_hash, url, round, n_chars, n_tokens, fingerprint, quality_ok,
+         n_dups
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY fingerprint) AS n_dups,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY url_hash)
+             AS rn
+    FROM metrics
+  ) WHERE rn = 1
+)"""
+    curated_core = curated_sql
+    curated_sql = curated_core + """
+SELECT * FROM curated ORDER BY url_hash
+"""
+    # corpus_release: the flagship's release manifest — curated quality
+    # rows through the export writer's md5-bucket + bit_xor fingerprint
+    # pact (identity url_hash, length n_chars), same replay as the
+    # export_corpus / export_image_shards oracles
+    release_sql = curated_core + f"""
+SELECT CAST(('0x' || substr(md5(url_hash), 1, 8)) AS BIGINT)
+           % {DEFAULT_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(
+           CAST(('0x' || substr(md5(url_hash || ':' ||
+                                CAST(n_chars AS VARCHAR)),
+                                1, 16)) AS UBIGINT)
+           & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+           AS fingerprint
+FROM curated WHERE quality_ok GROUP BY 1 ORDER BY 1
 """
     # crawl_lineage_counts: the per-round lineage totals derived from the
     # SAME BSP `step` replay — candidates_in(r) = distinct allowed links
@@ -518,7 +539,8 @@ FROM (
 """
     return {"crawl_seen_set": seen_sql, "crawl_counters": counters_sql,
             "crawl_order": order_sql, "curated_corpus": curated_sql,
-            "crawl_lineage_counts": lineage_sql}
+            "crawl_lineage_counts": lineage_sql,
+            "corpus_release": release_sql}
 
 
 def image_decode_stats(sf_dir: str):
@@ -2345,5 +2367,6 @@ def build_registry() -> dict[str, tuple]:
     reg["crawl_lineage_counts"] = (crawl_lineage_counts,
                                    _crawl_sqls["crawl_lineage_counts"])
     reg["curated_corpus"] = (curated_corpus, _crawl_sqls["curated_corpus"])
-    reg["corpus_release"] = (corpus_release_q, None)
+    reg["corpus_release"] = (corpus_release_q,
+                             _crawl_sqls["corpus_release"])
     return reg

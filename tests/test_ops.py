@@ -93,7 +93,7 @@ SQL_CHECKED = [
     "leakage_safe_split", "export_corpus", "cms_user_counts",
     "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
     "image_aspect_buckets", "image_size_filter", "dataset_mixture",
-    "export_image_shards", "crawl_lineage_counts",
+    "export_image_shards", "crawl_lineage_counts", "corpus_release",
 ]
 
 
