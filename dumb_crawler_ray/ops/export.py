@@ -37,18 +37,19 @@ import pyarrow.parquet as pq
 from ..rayutil import remote_kwargs
 
 FP_MASK = (1 << 63) - 1  # keep XOR results inside signed int64 / BIGINT
-DEFAULT_SHARDS = 16
+DEFAULT_SHARDS = 16  # fixture-scale default; size n_shards so a shard fits
+# one block at the target volume (a shard is co-located in ONE task)
 
 
 def _id_strs(ids) -> list:
     return [i if isinstance(i, str) else str(int(i)) for i in ids]
 
 
-def _shard_of(ids) -> np.ndarray:
+def _shard_of(ids, n_shards: int = DEFAULT_SHARDS) -> np.ndarray:
     import hashlib
 
     return np.fromiter(
-        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % DEFAULT_SHARDS
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n_shards
          for s in _id_strs(ids)),
         dtype=np.int64, count=len(ids))
 
@@ -167,15 +168,16 @@ def export_sharded(assigned_fn, out_dir: str, id_col: str,
 
 
 def export_corpus(sf_dir: str, out_dir: str | None = None,
-                  n_partitions: int | None = None):
-    """Export `documents` as {DEFAULT_SHARDS} sorted parquet shards under
+                  n_partitions: int | None = None,
+                  n_shards: int = DEFAULT_SHARDS):
+    """Export `documents` as `n_shards` sorted parquet shards under
     `out_dir` (default keyed by input path under /tmp), returning the
     manifest table (shard, n_docs, fingerprint) sorted by shard."""
     import ray
 
     if out_dir is None:
         base = os.path.basename(os.path.abspath(sf_dir))
-        out_dir = f"/tmp/dcr_export/{base}_s{DEFAULT_SHARDS}"
+        out_dir = f"/tmp/dcr_export/{base}_s{n_shards}"
 
     def assign(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -185,7 +187,7 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
             {"doc_id": t.column("doc_id"),
              "text": t.column("text"),
              "source": t.column("source"),
-             "shard": pa.array(_shard_of(ids), pa.int64()),
+             "shard": pa.array(_shard_of(ids, n_shards), pa.int64()),
              "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
 
     def build():
@@ -199,7 +201,8 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
 
 
 def export_image_shards(images_parquet: str, out_dir: str | None = None,
-                        n_partitions: int | None = None):
+                        n_partitions: int | None = None,
+                        n_shards: int = DEFAULT_SHARDS):
     """Multimodal release sink — the image-side last mile: the
     metadata+caption-gated image corpus (the DECODE-FREE gates:
     `image_size_filter`'s integer size/aspect predicate and
@@ -221,7 +224,7 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
     if out_dir is None:
         base = os.path.basename(os.path.abspath(os.path.dirname(
             images_parquet.rstrip("/"))))
-        out_dir = f"/tmp/dcr_release/images_{base}_s{DEFAULT_SHARDS}"
+        out_dir = f"/tmp/dcr_release/images_{base}_s{n_shards}"
 
     def assign(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -243,7 +246,7 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
              "w": t.column("w"),
              "h": t.column("h"),
              "caption": t.column("caption"),
-             "shard": pa.array(_shard_of(ids), pa.int64()),
+             "shard": pa.array(_shard_of(ids, n_shards), pa.int64()),
              "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
 
     def build():
@@ -257,7 +260,8 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
 
 
 def corpus_release(ckpt_dir: str, out_dir: str | None = None,
-                   n_partitions: int | None = None):
+                   n_partitions: int | None = None,
+                   n_shards: int = DEFAULT_SHARDS):
     """The flagship composition's last mile: crawl checkpoint → curated
     corpus (`pipelines/curate.py`) → quality rows only → resumable
     release shards + manifest. Identity = url_hash, fingerprint length =
@@ -268,14 +272,14 @@ def corpus_release(ckpt_dir: str, out_dir: str | None = None,
 
     if out_dir is None:
         base = os.path.basename(os.path.abspath(ckpt_dir))
-        out_dir = f"/tmp/dcr_release/{base}_s{DEFAULT_SHARDS}"
+        out_dir = f"/tmp/dcr_release/{base}_s{n_shards}"
 
     def assign(t: pa.Table) -> pa.Table:
         t = t.filter(t.column("quality_ok"))
         ids = t.column("url_hash").to_numpy(zero_copy_only=False)
         lens = t.column("n_chars").to_numpy()
         return t.append_column(
-            "shard", pa.array(_shard_of(ids), pa.int64())
+            "shard", pa.array(_shard_of(ids, n_shards), pa.int64())
         ).append_column("fp", pa.array(_fingerprints(ids, lens), pa.int64()))
 
     # curate_corpus materializes internally and returns a rebuilt

@@ -154,6 +154,12 @@ def test_export_corpus_roundtrip_and_resume(ray_session, tmp_path):
     assert after[victim] > mtimes[victim]
     assert all(after[f] == mtimes[f] for f in shard_files if f != victim)
 
+    # shard count is a scale knob: a non-default n_shards still covers
+    # every row exactly once
+    out4 = str(tmp_path / "export4")
+    m4 = export.export_corpus(SF, out_dir=out4, n_shards=4).to_pandas()
+    assert len(m4) == 4 and m4["n_docs"].sum() == 500
+
 
 def test_export_image_shards_roundtrip_and_resume(ray_session, tmp_path):
     """The multimodal sink: shards re-read to exactly the GATED subset of
