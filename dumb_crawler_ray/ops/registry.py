@@ -118,6 +118,45 @@ def crawl_lineage(sf_dir: str):
     return ds.to_table().sort_by([("round", "ascending"), ("shard", "ascending")])
 
 
+def crawl_domain_stats(sf_dir: str):
+    """Per-domain crawl totals — the ops dashboard view: discovered /
+    fetched / failed / stored-article counts per host, from the
+    checkpoint's frontier_inserts table (url_hash → domain attribution;
+    the first insert of a hash carries its domain) joined to the drained
+    seen set. FULL recursive-CTE oracle over the same `node` closure as
+    crawl_seen_set."""
+    import pyarrow.dataset as pads
+
+    from ..pipelines import semantics as S
+
+    r = _crawl_result()
+    ins = pads.dataset(
+        f"{r.ckpt_dir}/frontier_inserts", format="parquet"
+    ).to_table(columns=["url_hash", "domain"]).to_pandas()
+    ins = ins.drop_duplicates("url_hash")
+    rows: dict[str, list[int]] = {}
+    for h, d in zip(ins["url_hash"], ins["domain"]):
+        v = r.seen_set.get(h)
+        if v is None:
+            continue
+        status, _a, _e, tags, _p = v
+        acc = rows.setdefault(d, [0, 0, 0, 0])
+        acc[0] += 1
+        if status == S.PROCESSED:
+            acc[1] += 1
+            if "article" in tags.split(","):
+                acc[3] += 1
+        elif status == S.FAILED:
+            acc[2] += 1
+    doms = sorted(rows)
+    return pa.table(
+        {"domain": pa.array(doms, pa.string()),
+         "discovered": pa.array([rows[d][0] for d in doms], pa.int64()),
+         "fetched": pa.array([rows[d][1] for d in doms], pa.int64()),
+         "failed": pa.array([rows[d][2] for d in doms], pa.int64()),
+         "stored": pa.array([rows[d][3] for d in doms], pa.int64())})
+
+
 def crawl_lineage_counts(sf_dir: str):
     """Per-ROUND lineage totals — `crawl_lineage` summed over shards,
     restricted to the SQL-replayable columns (shard routing is siphash —
@@ -537,10 +576,22 @@ FROM (
   LEFT JOIN dcounts d ON d.r = f.r
 ) ORDER BY round
 """
+    # crawl_domain_stats: per-host totals straight off the `node` closure
+    domain_sql = f"""
+WITH RECURSIVE {prelude}
+SELECT {host_of.format(u='n.url')} AS domain,
+       CAST(count(*) AS BIGINT) AS discovered,
+       CAST(sum(CASE WHEN n.ok THEN 1 ELSE 0 END) AS BIGINT) AS fetched,
+       CAST(sum(CASE WHEN NOT n.ok THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       CAST(sum(CASE WHEN n.ok AND n.is_article THEN 1 ELSE 0 END)
+            AS BIGINT) AS stored
+FROM node n GROUP BY 1 ORDER BY 1
+"""
     return {"crawl_seen_set": seen_sql, "crawl_counters": counters_sql,
             "crawl_order": order_sql, "curated_corpus": curated_sql,
             "crawl_lineage_counts": lineage_sql,
-            "corpus_release": release_sql}
+            "corpus_release": release_sql,
+            "crawl_domain_stats": domain_sql}
 
 
 def image_decode_stats(sf_dir: str):
@@ -2366,6 +2417,8 @@ def build_registry() -> dict[str, tuple]:
     reg["crawl_lineage"] = (crawl_lineage, None)
     reg["crawl_lineage_counts"] = (crawl_lineage_counts,
                                    _crawl_sqls["crawl_lineage_counts"])
+    reg["crawl_domain_stats"] = (crawl_domain_stats,
+                                 _crawl_sqls["crawl_domain_stats"])
     reg["curated_corpus"] = (curated_corpus, _crawl_sqls["curated_corpus"])
     reg["corpus_release"] = (corpus_release_q,
                              _crawl_sqls["corpus_release"])

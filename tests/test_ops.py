@@ -94,6 +94,7 @@ SQL_CHECKED = [
     "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
     "image_aspect_buckets", "image_size_filter", "dataset_mixture",
     "export_image_shards", "crawl_lineage_counts", "corpus_release",
+    "crawl_domain_stats",
 ]
 
 
@@ -1017,7 +1018,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         pq.write_table(src.slice(0, 0), str(d / f"{t}.parquet"))
     fixture_backed = {
         "crawl_order", "crawl_seen_set", "crawl_counters", "crawl_lineage",
-        "crawl_lineage_counts",
+        "crawl_lineage_counts", "crawl_domain_stats",
         "curated_corpus", "corpus_release",
         "page_rank", "page_indegree",  # link graph = the crawl fixture
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
