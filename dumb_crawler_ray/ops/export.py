@@ -259,6 +259,107 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
                           n_partitions=n_partitions)
 
 
+def curated_image_release(images_parquet: str, out_dir: str | None = None,
+                          n_partitions: int | None = None,
+                          n_shards: int = DEFAULT_SHARDS,
+                          max_hamming: int = 8):
+    """The image-side flagship last mile — the analogue of
+    `corpus_release` on the image axis: the FULL staged curation
+    decision (`image_curation_full`: phash-cluster keeper ∧ pixel
+    quality ∧ caption rules ∧ CLIP alignment — bytes decoded exactly
+    once inside it) gates the image table, and the keepers are written
+    as resumable sorted parquet shards + manifest.
+
+    Scale shape: the decision is a tiny (image_id, keep) dataset; it
+    co-locates with the image rows via ONE keyed repartition on
+    image_id (union of schema-aligned row kinds — Ray's hash join
+    cannot finalize empty partitions), the block-local filter keeps
+    decided images, and the shard exchange + parallel worker writes are
+    the shared `export_sharded` machinery. The binary payload crosses
+    the wire twice (curation read + export read), never the driver.
+    Deterministic crawl-side inputs ⇒ byte-identical re-release;
+    reconciliation-tested (shards == decision keepers)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import _hash_partition_count
+    from .multimodal import image_curation_full
+
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(os.path.dirname(
+            images_parquet.rstrip("/"))))
+        out_dir = f"/tmp/dcr_release/curated_images_{base}_s{n_shards}"
+
+    decision = image_curation_full(
+        images_parquet, max_hamming=max_hamming
+    ).select_columns(["image_id", "keep"]).materialize()
+
+    def dec_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "bytes": pa.nulls(len(t), pa.binary()),
+             "w": pa.nulls(len(t), pa.int32()),
+             "h": pa.nulls(len(t), pa.int32()),
+             "caption": pa.nulls(len(t), pa.string()),
+             "keep": t.column("keep"),
+             "is_img": pa.array(np.zeros(len(t), np.int8()), pa.int8())})
+
+    def img_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "bytes": t.column("bytes"),
+             "w": t.column("w"),
+             "h": t.column("h"),
+             "caption": t.column("caption"),
+             "keep": pa.array(np.zeros(len(t), bool), pa.bool_()),
+             "is_img": pa.array(np.ones(len(t), np.int8()), pa.int8())})
+
+    def attach(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "bytes": pa.array([], pa.binary()),
+             "w": pa.array([], pa.int32()),
+             "h": pa.array([], pa.int32()),
+             "caption": pa.array([], pa.string()),
+             "shard": pa.array([], pa.int64()),
+             "fp": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        is_img = b.column("is_img").to_numpy().astype(bool)
+        ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+        keep = b.column("keep").to_numpy(zero_copy_only=False).astype(bool)
+        kept_ids = set(ids[(~is_img) & keep])
+        mask = is_img & np.fromiter((i in kept_ids for i in ids),
+                                    dtype=bool, count=len(ids))
+        sub = b.filter(pa.array(mask)).drop_columns(["keep", "is_img"])
+        if len(sub) == 0:
+            return empty
+        sids = sub.column("image_id").to_pylist()
+        lens = pc.binary_length(sub.column("bytes")).to_numpy()
+        return sub.append_column(
+            "shard", pa.array(_shard_of(sids, n_shards), pa.int64())
+        ).append_column(
+            "fp", pa.array(_fingerprints(sids, lens), pa.int64()))
+
+    n_co = n_partitions if n_partitions is not None else _hash_partition_count()
+
+    def build():
+        dec = ray.data.from_arrow_refs(
+            list(decision.to_arrow_refs())
+        ).map_batches(dec_rows, batch_format="pyarrow", **remote_kwargs())
+        imgs = ray.data.read_parquet(
+            images_parquet,
+            columns=["image_id", "bytes", "w", "h", "caption"],
+        ).map_batches(img_rows, batch_format="pyarrow", **remote_kwargs())
+        return imgs.union(dec).repartition(
+            n_co, keys=["image_id"]
+        ).map_batches(attach, batch_format="pyarrow", batch_size=None,
+                      **remote_kwargs())
+
+    return export_sharded(build, out_dir, "image_id",
+                          n_partitions=n_partitions)
+
+
 def corpus_release(ckpt_dir: str, out_dir: str | None = None,
                    n_partitions: int | None = None,
                    n_shards: int = DEFAULT_SHARDS):

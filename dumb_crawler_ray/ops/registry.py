@@ -2422,4 +2422,8 @@ def build_registry() -> dict[str, tuple]:
     reg["curated_corpus"] = (curated_corpus, _crawl_sqls["curated_corpus"])
     reg["corpus_release"] = (corpus_release_q,
                              _crawl_sqls["corpus_release"])
+    reg["curated_image_release"] = (
+        lambda sf: export.curated_image_release(
+            f"{_fixture_dir()}/images.parquet",
+            out_dir="/tmp/dcr_release/curated_images_fixture_s16"), None)
     return reg

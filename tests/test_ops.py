@@ -212,6 +212,46 @@ def test_export_image_shards_roundtrip_and_resume(ray_session, tmp_path):
     assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
 
 
+def test_curated_image_release_reconciles_and_resumes(ray_session,
+                                                      tmp_path):
+    """The image-side flagship last mile: shards hold EXACTLY the
+    curation decision's keepers (ids and bytes), and a second run skips
+    every shard."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import export
+    from dumb_crawler_ray.ops.multimodal import image_curation_full
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+
+    src = f"{_fixture_dir()}/images.parquet"
+    out = str(tmp_path / "curated_release")
+    m1 = export.curated_image_release(src, out_dir=out).to_pandas()
+
+    dec = image_curation_full(src).to_pandas()
+    keepers = set(dec[dec["keep"]]["image_id"])
+    assert 0 < len(keepers) < len(dec)
+    assert m1["n_docs"].sum() == len(keepers)
+
+    shard_files = sorted(
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet"))
+    got = pd.concat([pq.read_table(f).to_pandas() for f in shard_files])
+    assert set(got["image_id"]) == keepers
+    src_tbl = pd.concat([
+        pq.read_table(p, columns=["image_id", "bytes"]).to_pandas()
+        for p in sorted(glob.glob(f"{src}/*.parquet"))])
+    src_bytes = dict(zip(src_tbl["image_id"], src_tbl["bytes"]))
+    for iid, data in zip(got["image_id"], got["bytes"]):
+        assert bytes(data) == bytes(src_bytes[iid])
+
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    m2 = export.curated_image_release(src, out_dir=out).to_pandas()
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
+
+
 def test_leakage_safe_split_guard_and_paths(ray_session):
     """Near-dup cluster members MUST share a split (the leakage guard),
     and the broadcast and dataset-resident annotate paths must agree."""
@@ -1028,6 +1068,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_caption_alignment", "image_curation_full",
         "image_semantic_dedup", "image_aspect_buckets", "image_size_filter",
         "caption_to_image_topk", "export_image_shards",
+        "curated_image_release",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
