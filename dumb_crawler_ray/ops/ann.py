@@ -617,7 +617,10 @@ def _semdedup_prune_block(b: pa.Table, id_col: str, id_type, none_val,
     return pa.concat_tables(out)
 
 
-def semantic_dedup(sf_dir: str, k: int = 8, threshold: float = 0.9,
+SEMDEDUP_TARGET_CLUSTER = 4096  # auto-k sizes clusters to ~this many rows
+
+
+def semantic_dedup(sf_dir: str, k: int | None = 8, threshold: float = 0.9,
                    plant_copies: int = 0):
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then greedily prune WITHIN each cluster — a member is dropped when
@@ -634,7 +637,10 @@ def semantic_dedup(sf_dir: str, k: int = 8, threshold: float = 0.9,
     deterministic at any parallelism). Within-cluster work is
     O(n_c · kept_c) BLAS — the method's inherent cost; at 10^9+ vectors a
     deployment raises k so clusters stay ~10^4-10^6 (SemDeDup's own
-    recipe) rather than sharding a cluster across blocks.
+    recipe) rather than sharding a cluster across blocks. ``k=None``
+    implements that recipe: k = max(8, ⌈n / SEMDEDUP_TARGET_CLUSTER⌉)
+    from one metadata-cheap count, so parallelism (and per-block memory)
+    grows with the corpus instead of being fixed by a default.
 
     `plant_copies=n` injects exact duplicates in-flight (vec_id +
     PLANT_ID_OFFSET, the embedding_near_dup_pairs precedent); an exact
@@ -646,6 +652,10 @@ def semantic_dedup(sf_dir: str, k: int = 8, threshold: float = 0.9,
 
     from .dedup import PLANT_ID_OFFSET, _hash_partition_count
 
+    if k is None:
+        n = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
+        k = max(8, -(-n // SEMDEDUP_TARGET_CLUSTER))
     qids, init = _load_queries(sf_dir, k)
     if len(qids) == 0:
         return pa.table({"vec_id": pa.array([], pa.int64()),

@@ -658,7 +658,7 @@ def image_curation(images_parquet: str, max_hamming: int = 8):
 
 # -------------------------------------------- embedding-space dedup
 
-def image_semantic_dedup(images_parquet: str, k: int = 8,
+def image_semantic_dedup(images_parquet: str, k: int | None = 8,
                          threshold: float = 0.9):
     """SemDeDup over IMAGE embeddings — the third member of the image
     dedup family (exact byte dedup → phash near-dup → embedding-space
@@ -673,7 +673,9 @@ def image_semantic_dedup(images_parquet: str, k: int = 8,
     k-means iteration / the assign+prune chain re-reads those plasma
     blocks, never the bytes. One keyed repartition on cluster id
     co-locates members; deterministic at any parallelism (pinned
-    ascending-id scan). Rows-only oracle; invariants pytested."""
+    ascending-id scan). ``k=None`` applies SemDeDup's own scale recipe:
+    k = max(8, ⌈n / SEMDEDUP_TARGET_CLUSTER⌉), so prune parallelism
+    grows with the corpus. Rows-only oracle; invariants pytested."""
     import ray
 
     from .ann import (_first_n_by_id_over, _normalize,
@@ -687,6 +689,9 @@ def image_semantic_dedup(images_parquet: str, k: int = 8,
                   concurrency=actor_pool_size(),
                   **remote_kwargs()).materialize()
 
+    if k is None:
+        from .ann import SEMDEDUP_TARGET_CLUSTER
+        k = max(8, -(-emb.count() // SEMDEDUP_TARGET_CLUSTER))
     ids, init = _first_n_by_id_over(emb, "image_id", k)
     if len(ids) == 0:
         return ray.data.from_arrow(pa.table(

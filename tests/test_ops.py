@@ -467,6 +467,20 @@ def test_caption_to_image_topk_matches_local(registry, ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_semantic_dedup_auto_k(registry, ray_session):
+    """k=None applies SemDeDup's scale recipe: at test scale it resolves
+    to the floor (8) and must equal the default-k result exactly; the
+    formula itself must grow with n so clusters stay bounded."""
+    from dumb_crawler_ray.ops import ann
+
+    auto = to_df(ann.semantic_dedup(SF, k=None))
+    fixed = to_df(ann.semantic_dedup(SF, k=8))
+    pd.testing.assert_frame_equal(auto, fixed)
+    T = ann.SEMDEDUP_TARGET_CLUSTER
+    assert max(8, -(-10**9 // T)) == (10**9 + T - 1) // T  # grows with n
+    assert max(8, -(-100 // T)) == 8                       # floor holds
+
+
 def test_image_size_filter_nonvacuous(registry, ray_session):
     """The fixture must exercise BOTH gate flags (otherwise the SQL
     parity test proves nothing about the flag arithmetic)."""
