@@ -15,6 +15,8 @@ a tiny driver-side merge — no all-to-all shuffle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -443,39 +445,23 @@ def _kmeans_l2(mat: np.ndarray, k: int, seed: int, iters: int = 10):
     return cent
 
 
-def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-                   n_centroids: int = 16, n_probe: int = 6,
-                   m_subs: int = 8, pq_bits: int = 4):
-    """IVF + product quantization — the ANN shape that actually fits
-    100 TB: vectors are stored as M uint8 codebook codes (here 8×4 bits
-    ≈ 1% of a float32 d=64 vector), candidate scoring is asymmetric
-    distance computation (one M×2^bits lookup table per query, built
-    once and broadcast), and only the merged candidate set is RERANKED
-    with exact cosine over vectors fetched by a distributed `np.isin`
-    filter (the `_gather_texts` shape — O(candidates) driver memory).
-
-    Pipeline: bounded-sample training (coarse quantizer + per-subspace
-    L2 codebooks, seeded + fixed iterations → deterministic) → one
-    ENCODE pass emitting (vec_id, cell, codes) — the compressed index a
-    deployment would persist — → ADC scan with per-batch partial top-k
-    gated by the query's `n_probe` cells → exact rerank. Approximate →
-    rows-only oracle; recall vs `ann_bruteforce` and determinism are
-    pytested (same contract as `ann_ivf`)."""
+def _ivfpq_train(sf_dir: str, n_centroids: int, m_subs: int,
+                 pq_bits: int):
+    """Bounded-sample IVF+PQ training (coarse quantizer + per-subspace
+    L2 codebooks; seeded + fixed iterations → deterministic). Returns
+    (coarse, books, sub_dim)."""
     import ray
-
-    qids, qmat = _load_queries(sf_dir, n_queries)
-    if len(qids) == 0:
-        return _empty_topk()
-    qn = _normalize(qmat)
 
     sample_ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     ).limit(4096)
-    sample = _normalize(np.concatenate([
-        embedding_matrix(tb.column("embedding"))
-        for tb in sample_ds.iter_batches(batch_format="pyarrow",
-                                         batch_size=None)
-    ]))
+    mats = [embedding_matrix(tb.column("embedding"))
+            for tb in sample_ds.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)]
+    if not mats:  # empty embeddings table → degenerate (never scanned)
+        return (np.zeros((n_centroids, 0)),
+                np.zeros((m_subs, 1 << pq_bits, 0)), 0)
+    sample = _normalize(np.concatenate(mats))
     dim = sample.shape[1]
     sub = dim // m_subs
     n_codes = 1 << pq_bits
@@ -484,6 +470,15 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         _kmeans_l2(sample[:, m * sub:(m + 1) * sub], n_codes, seed=100 + m)
         for m in range(m_subs)
     ])  # (M, n_codes, sub)
+    return coarse, books, sub
+
+
+def _ivfpq_encode(sf_dir: str, coarse: np.ndarray, books: np.ndarray,
+                  sub: int):
+    """One encode pass → the compressed index Dataset (vec_id, cell,
+    codes) — ~1% of the float payload moves from here on."""
+    import ray
+
     train_ref = ray.put((coarse, books))
 
     def encode(t: pa.Table) -> pa.Table:
@@ -500,10 +495,19 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
              "cell": pa.array(cells, pa.int64()),
              "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
 
-    # the compressed index: ~1% of the float payload moves from here on
-    codes_ds = ray.data.read_parquet(
+    return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(encode, batch_format="pyarrow", **remote_kwargs())
+
+
+def _ivfpq_search(codes_ds, sf_dir: str, qids: np.ndarray, qn: np.ndarray,
+                  coarse: np.ndarray, books: np.ndarray, sub: int,
+                  k: int, n_probe: int, m_subs: int) -> pa.Table:
+    """ADC scan over a codes Dataset (per-batch partial top-3k gated by
+    the query's n_probe cells, pinned ties) + exact rerank of the merged
+    candidate set over vectors fetched by a distributed np.isin filter
+    (O(candidates) driver memory)."""
+    import ray
 
     # ADC tables: table[q, m, c] = <q_sub_m, book[m][c]> — inner-product
     # contribution of code c in subspace m (built once, broadcast)
@@ -568,6 +572,106 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                        "neighbor_id": pa.array(cn, pa.int64()),
                        "sim": pa.array(exact, pa.float64())})
     return _merge_topk(rerank, qids, k)
+
+
+def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                   n_centroids: int = 16, n_probe: int = 6,
+                   m_subs: int = 8, pq_bits: int = 4):
+    """IVF + product quantization — the ANN shape that actually fits
+    100 TB: vectors are stored as M uint8 codebook codes (here 8×4 bits
+    ≈ 1% of a float32 d=64 vector), candidate scoring is asymmetric
+    distance computation (one M×2^bits lookup table per query, built
+    once and broadcast), and only the merged candidate set is RERANKED
+    with exact cosine over vectors fetched by a distributed `np.isin`
+    filter (the `_gather_texts` shape — O(candidates) driver memory).
+
+    Pipeline: bounded-sample training (`_ivfpq_train`) → one encode
+    pass (`_ivfpq_encode` — the compressed index `ann_index_export`
+    persists) → ADC scan + exact rerank (`_ivfpq_search`). Approximate →
+    rows-only oracle; recall vs `ann_bruteforce` and determinism are
+    pytested (same contract as `ann_ivf`)."""
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_topk()
+    qn = _normalize(qmat)
+    coarse, books, sub = _ivfpq_train(sf_dir, n_centroids, m_subs, pq_bits)
+    codes_ds = _ivfpq_encode(sf_dir, coarse, books, sub)
+    return _ivfpq_search(codes_ds, sf_dir, qids, qn, coarse, books, sub,
+                         k, n_probe, m_subs)
+
+
+def ann_index_export(sf_dir: str, out_dir: str | None = None,
+                     n_centroids: int = 16, m_subs: int = 8,
+                     pq_bits: int = 4, n_shards: int | None = None):
+    """Persist the IVF+PQ index as a RESUMABLE artifact — the
+    build-once / serve-many separation a production vector store needs:
+    `trained.npz` (coarse quantizer + codebooks, tiny, tmp+rename
+    atomic) plus the compressed codes table written through the shared
+    `export_sharded` machinery (md5-bucket shards of vec_id, sorted
+    files, skip-unchanged manifest — a re-export after an embeddings
+    refresh rewrites only the shards whose codes changed; fingerprints
+    digest (vec_id, cell, codes)). Returns the manifest table.
+    `ann_index_search` serves queries from the artifact alone."""
+    import ray
+
+    from .dedup import _md5_64_batch
+    from .export import (DEFAULT_SHARDS, FP_MASK, _shard_of,
+                         export_sharded)
+
+    if n_shards is None:
+        n_shards = DEFAULT_SHARDS
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(sf_dir))
+        out_dir = f"/tmp/dcr_ann_index/{base}_c{n_centroids}m{m_subs}"
+    os.makedirs(out_dir, exist_ok=True)
+    coarse, books, sub = _ivfpq_train(sf_dir, n_centroids, m_subs, pq_bits)
+    tmp = os.path.join(out_dir, f"trained.npz.tmp.{os.getpid()}")
+    with open(tmp, "wb") as fh:
+        np.savez(fh, coarse=coarse, books=books)
+    os.replace(tmp, os.path.join(out_dir, "trained.npz"))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_pylist()
+        cells = t.column("cell").to_numpy()
+        codes = t.column("codes").to_pylist()
+        strs = [f"{v}:{int(c)}:{bytes(cd).hex()}"
+                for v, c, cd in zip(ids, cells, codes)]
+        fp = (_md5_64_batch(strs) & np.uint64(FP_MASK)).view(np.int64)
+        return t.append_column(
+            "shard", pa.array(_shard_of(ids, n_shards), pa.int64())
+        ).append_column("fp", pa.array(fp, pa.int64()))
+
+    def build():
+        return _ivfpq_encode(sf_dir, coarse, books, sub).map_batches(
+            assign, batch_format="pyarrow", **remote_kwargs())
+
+    return export_sharded(build, os.path.join(out_dir, "codes"), "vec_id")
+
+
+def ann_index_search(sf_dir: str, index_dir: str, n_queries: int = 5,
+                     k: int = 10, n_probe: int = 6):
+    """Serve ANN queries from a persisted `ann_index_export` artifact:
+    load the tiny trained arrays on the driver, stream the compressed
+    codes shards as a Dataset through the same ADC scan + exact rerank
+    as the inline `ann_ivfpq_topk` (sf_dir supplies the query vectors
+    and the rerank embeddings — at serve time those are the only float
+    reads; the index is ~1% of the payload)."""
+    import ray
+
+    with np.load(os.path.join(index_dir, "trained.npz")) as z:
+        coarse, books = z["coarse"], z["books"]
+    m_subs = books.shape[0]
+    sub = books.shape[2]
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_topk()
+    qn = _normalize(qmat)
+    codes_ds = ray.data.read_parquet(
+        os.path.join(index_dir, "codes"),
+        columns=["vec_id", "cell", "codes"],
+        file_extensions=["parquet"])  # skip the sibling manifest.json
+    return _ivfpq_search(codes_ds, sf_dir, qids, qn, coarse, books, sub,
+                         k, n_probe, m_subs)
 
 
 def _semdedup_prune_block(b: pa.Table, id_col: str, id_type, none_val,

@@ -2100,6 +2100,15 @@ def build_registry() -> dict[str, tuple]:
     # --- not SQL-expressible (driver records rows-only checks) ---
     reg["ann_ivf_topk"] = (ann.ann_ivf, None)
     reg["ann_ivfpq_topk"] = (ann.ann_ivfpq_topk, None)
+
+    def _ann_index_search_q(sf):
+        import os as _os
+        base = _os.path.basename(_os.path.abspath(sf))
+        idx = f"/tmp/dcr_ann_index/{base}_c16m8"
+        ann.ann_index_export(sf, out_dir=idx)  # resumable build/refresh
+        return ann.ann_index_search(sf, idx)
+
+    reg["ann_index_search"] = (_ann_index_search_q, None)
     # planted copies + a sub-random-cosine threshold keep the evidence
     # non-vacuous on the random-embedding table (max natural cos ≈ 0.51)
     reg["semantic_dedup"] = (

@@ -467,6 +467,37 @@ def test_caption_to_image_topk_matches_local(registry, ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_ann_index_export_search_roundtrip(ray_session, tmp_path):
+    """The persisted IVF+PQ artifact must serve the SAME results as the
+    inline pipeline (identical training seeds + arithmetic), re-export
+    must skip every unchanged shard, and the codes table must cover
+    every vector exactly once."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import ann
+
+    out = str(tmp_path / "ann_idx")
+    m1 = ann.ann_index_export(SF, out_dir=out).to_pandas()
+    n_vec = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert m1["n_docs"].sum() == n_vec
+    assert os.path.exists(f"{out}/trained.npz")
+
+    direct = ann.ann_ivfpq_topk(SF).to_pandas()
+    served = to_df(ann.ann_index_search(SF, out))
+    pd.testing.assert_frame_equal(
+        served.reset_index(drop=True), direct.reset_index(drop=True))
+
+    codes_dir = f"{out}/codes"
+    shard_files = sorted(f"{codes_dir}/{f}" for f in os.listdir(codes_dir)
+                         if f.endswith(".parquet"))
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    m2 = ann.ann_index_export(SF, out_dir=out).to_pandas()
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
+
+
 def test_semantic_dedup_auto_k(registry, ray_session):
     """k=None applies SemDeDup's scale recipe: at test scale it resolves
     to the floor (8) and must equal the default-k result exactly; the
