@@ -759,6 +759,21 @@ ASPECT_LADDER = [
 _ASPECT_D = int(np.prod([rh for *_x, rh in ASPECT_LADDER]))
 
 
+def assign_aspect_buckets(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-ratio bucket ids for (w, h) arrays — the ONLY
+    assignment authority (`image_aspect_buckets`, `image_resize_to_bucket`
+    and the tests all call it). Exact integer rational arithmetic:
+    score_b = |w·rh_b − h·rw_b| · (D / rh_b); argmin takes the FIRST
+    minimum = lowest bucket_id, matching the SQL tie-break."""
+    rw = np.asarray([b[3] for b in ASPECT_LADDER], dtype=np.int64)
+    rh = np.asarray([b[4] for b in ASPECT_LADDER], dtype=np.int64)
+    wt = np.asarray([_ASPECT_D // b[4] for b in ASPECT_LADDER],
+                    dtype=np.int64)
+    scores = np.abs(w[:, None] * rh[None, :]
+                    - h[:, None] * rw[None, :]) * wt[None, :]
+    return np.argmin(scores, axis=1).astype(np.int64)
+
+
 def image_aspect_buckets(images_parquet: str):
     """Assign every image to its nearest aspect-ratio bucket from
     ASPECT_LADDER — the batch-packing prep step of a multi-aspect image
@@ -768,26 +783,18 @@ def image_aspect_buckets(images_parquet: str):
     arithmetic, bit-reproducible in the DuckDB oracle."""
     import ray
 
-    rw = np.asarray([b[3] for b in ASPECT_LADDER], dtype=np.int64)
-    rh = np.asarray([b[4] for b in ASPECT_LADDER], dtype=np.int64)
-    wt = np.asarray([_ASPECT_D // b[4] for b in ASPECT_LADDER],
-                    dtype=np.int64)
     tw = np.asarray([b[1] for b in ASPECT_LADDER], dtype=np.int64)
     th = np.asarray([b[2] for b in ASPECT_LADDER], dtype=np.int64)
 
     def assign(t: pa.Table) -> pa.Table:
         w = t.column("w").to_numpy().astype(np.int64)
         h = t.column("h").to_numpy().astype(np.int64)
-        # [n, n_buckets] exact scores; argmin takes the FIRST minimum =
-        # lowest bucket_id, matching the SQL tie-break
-        scores = np.abs(w[:, None] * rh[None, :]
-                        - h[:, None] * rw[None, :]) * wt[None, :]
-        b = np.argmin(scores, axis=1)
+        b = assign_aspect_buckets(w, h)
         return pa.table(
             {"image_id": t.column("image_id"),
              "w": pa.array(w, pa.int64()),
              "h": pa.array(h, pa.int64()),
-             "bucket_id": pa.array(b.astype(np.int64), pa.int64()),
+             "bucket_id": pa.array(b, pa.int64()),
              "target_w": pa.array(tw[b], pa.int64()),
              "target_h": pa.array(th[b], pa.int64())})
 
@@ -795,6 +802,60 @@ def image_aspect_buckets(images_parquet: str):
         images_parquet, columns=["image_id", "w", "h"]
     ).map_batches(assign, batch_format="pyarrow",
                   **remote_kwargs()).sort("image_id")
+
+
+class BucketResizeWorker:
+    """Decode → nearest-ratio bucket → block-mean resize to the bucket's
+    target resolution → re-encode: the materializing half of the SDXL
+    multi-aspect prep (X70 assigns, this stage produces the
+    training-ready pixels). One decode per image; per-actor state is the
+    ladder target arrays."""
+
+    def __init__(self):
+        self.tw = np.asarray([b[1] for b in ASPECT_LADDER], dtype=np.int64)
+        self.th = np.asarray([b[2] for b in ASPECT_LADDER], dtype=np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        buckets = assign_aspect_buckets(w, h)
+        blobs = []
+        for data, b in zip(t.column("bytes").to_pylist(), buckets):
+            arr = codec.decode(data)
+            out = block_mean_resize(arr, int(self.tw[b]), int(self.th[b]))
+            blobs.append(codec.encode(out, "png"))
+        blob_arr = pa.array(blobs, pa.binary())
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "bucket_id": pa.array(buckets, pa.int64()),
+             "target_w": pa.array(self.tw[buckets], pa.int64()),
+             "target_h": pa.array(self.th[buckets], pa.int64()),
+             "bytes": blob_arr,
+             "n_bytes": pc.cast(pc.binary_length(blob_arr), pa.int64())})
+
+
+def image_resize_to_bucket(images_parquet: str,
+                           concurrency: int | None = None,
+                           batch_size: int = 64):
+    """Materialize every image at its aspect bucket's target resolution
+    (`BucketResizeWorker` actor pool) — the step after X70's metadata
+    assignment in a multi-aspect training pipeline. The bucket decision
+    is the same `assign_aspect_buckets` authority as the SQL-checked
+    metadata op, reconciliation-tested. Rows-only (pixels re-encoded)."""
+    import ray
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes", "w", "h"]
+    ).map_batches(
+        BucketResizeWorker,
+        batch_format="pyarrow",
+        **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None
+        else actor_pool_size(),
+    ).sort("image_id")
 
 
 # ------------------------------------------------ metadata size gate

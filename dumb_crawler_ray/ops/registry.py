@@ -2368,6 +2368,9 @@ def build_registry() -> dict[str, tuple]:
     reg["caption_to_image_topk"] = (
         lambda sf: multimodal.caption_to_image_topk(
             f"{_fixture_dir()}/images.parquet"), None)
+    reg["image_resize_to_bucket"] = (
+        lambda sf: multimodal.image_resize_to_bucket(
+            f"{_fixture_dir()}/images.parquet"), None)
     # LAION-style metadata pre-gate: pure integer (w, h) arithmetic →
     # fully SQL-checked over the fixture glob
     reg["image_size_filter"] = (

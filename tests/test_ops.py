@@ -512,6 +512,22 @@ def test_semantic_dedup_auto_k(registry, ray_session):
     assert max(8, -(-100 // T)) == 8                       # floor holds
 
 
+def test_image_resize_to_bucket_reconciles(registry, ray_session):
+    """Resized output must decode to exactly its bucket's target dims,
+    and the bucket decision must equal the SQL-checked metadata op's."""
+    from dumb_crawler_ray.functions import codec
+
+    resized = to_df(registry["image_resize_to_bucket"][0](SF))
+    meta = to_df(registry["image_aspect_buckets"][0](SF))
+    merged = resized.merge(meta, on="image_id", suffixes=("", "_meta"))
+    assert len(merged) == len(resized) == len(meta)
+    assert (merged["bucket_id"] == merged["bucket_id_meta"]).all()
+    assert (merged["target_w"] == merged["target_w_meta"]).all()
+    for row in resized.head(24).itertuples():
+        arr = codec.decode(bytes(row.bytes))
+        assert arr.shape == (row.target_h, row.target_w, 3)
+
+
 def test_image_size_filter_nonvacuous(registry, ray_session):
     """The fixture must exercise BOTH gate flags (otherwise the SQL
     parity test proves nothing about the flag arithmetic)."""
@@ -1113,7 +1129,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_caption_alignment", "image_curation_full",
         "image_semantic_dedup", "image_aspect_buckets", "image_size_filter",
         "caption_to_image_topk", "export_image_shards",
-        "curated_image_release",
+        "curated_image_release", "image_resize_to_bucket",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
