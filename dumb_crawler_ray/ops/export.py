@@ -328,9 +328,7 @@ def curated_image_release(images_parquet: str, out_dir: str | None = None,
         is_img = b.column("is_img").to_numpy().astype(bool)
         ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
         keep = b.column("keep").to_numpy(zero_copy_only=False).astype(bool)
-        kept_ids = set(ids[(~is_img) & keep])
-        mask = is_img & np.fromiter((i in kept_ids for i in ids),
-                                    dtype=bool, count=len(ids))
+        mask = is_img & np.isin(ids, ids[(~is_img) & keep])
         sub = b.filter(pa.array(mask)).drop_columns(["keep", "is_img"])
         if len(sub) == 0:
             return empty

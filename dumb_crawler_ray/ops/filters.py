@@ -644,33 +644,42 @@ def dataset_mixture(sf_dir: str):
     Scale shape: a stateless `map_batches` flat-emit — ZERO shuffles,
     no per-source totals pass (the weight is hash-derived, not
     frequency-derived; `source_balanced_sample` is the two-pass
-    frequency-driven sibling). Output rows ≈ mean(w) × input rows."""
-    import hashlib
+    frequency-driven sibling). Output rows ≈ mean(w) × input rows.
+    Fully vectorized: one md5 per DISTINCT source + one batched text
+    md5; the fractional test `h·16 < frac16·2^64` is evaluated as
+    `h < frac16·2^60` (both sides exactly divisible by 16) so it stays
+    inside uint64."""
+    from .dedup import _md5_64_batch
+
+    ladder = np.asarray(MIX_W16_LADDER, dtype=np.int64)
 
     def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string()),
+             "epoch": pa.array([], pa.int64()),
+             "weight_16": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
         ids = t.column("doc_id").to_numpy()
-        srcs = t.column("source").to_pylist()
-        texts = t.column("text").to_pylist()
-        out_id, out_src, out_ep, out_w = [], [], [], []
-        for did, src, txt in zip(ids, srcs, texts):
-            hs = int.from_bytes(
-                hashlib.md5(src.encode("utf-8")).digest()[:8], "big")
-            w16 = MIX_W16_LADDER[hs % len(MIX_W16_LADDER)]
-            n_full = w16 // 16
-            ht = int.from_bytes(
-                hashlib.md5(txt.encode("utf-8")).digest()[:8], "big")
-            n_epochs = n_full + (1 if ht * 16 < (w16 % 16) * SAMPLE_SCALE
-                                 else 0)
-            for e in range(n_epochs):
-                out_id.append(int(did))
-                out_src.append(src)
-                out_ep.append(e)
-                out_w.append(w16)
+        srcs = np.asarray(t.column("source").to_pylist(), dtype=object)
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        w16 = ladder[(_md5_64_batch(uniq) % np.uint64(len(ladder)))
+                     .astype(np.int64)][inv]
+        ht = _md5_64_batch(t.column("text").to_pylist())
+        frac = (w16 % 16).astype(np.uint64) << np.uint64(60)
+        n_epochs = (w16 // 16) + (ht < frac)
+        total = int(n_epochs.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(len(ids)), n_epochs)
+        starts = np.cumsum(n_epochs) - n_epochs
+        epoch = np.arange(total) - np.repeat(starts, n_epochs)
         return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()),
-             "source": pa.array(out_src, pa.string()),
-             "epoch": pa.array(out_ep, pa.int64()),
-             "weight_16": pa.array(out_w, pa.int64())})
+            {"doc_id": pa.array(ids[rep], pa.int64()),
+             "source": pa.array(srcs[rep].tolist(), pa.string()),
+             "epoch": pa.array(epoch, pa.int64()),
+             "weight_16": pa.array(w16[rep], pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
         emit, batch_format="pyarrow", **remote_kwargs()
