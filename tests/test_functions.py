@@ -377,6 +377,27 @@ def test_css_pseudo_nth_child():
     assert not T("li:nth-child()")
 
 
+def test_nth_matches_definition_property():
+    """`_nth_matches(a, b, idx)` ⟺ ∃ n ≥ 0 with a·n + b = idx — checked
+    against the definition over the full small-parameter grid (covers
+    a = 0, negative a, negative b)."""
+    from dumb_crawler_ray.functions.links import _nth_matches, _parse_nth
+
+    for a in range(-5, 6):
+        for b in range(-10, 11):
+            for idx in range(1, 31):
+                want = (idx == b) if a == 0 else any(
+                    a * n + b == idx for n in range(0, 60))
+                assert _nth_matches(a, b, idx) == want, (a, b, idx)
+    # grammar spot checks against the parser
+    assert _parse_nth("odd") == (2, 1)
+    assert _parse_nth("even") == (2, 0)
+    assert _parse_nth("7") == (0, 7)
+    assert _parse_nth("-n+3") == (-1, 3)
+    assert _parse_nth("+2n-1") == (2, -1)
+    assert _parse_nth(" 3N + 4 ") == (3, 4)
+
+
 def test_extract_links_ignores_comments_and_scripts():
     """Jsoup does not surface links inside comments or script bodies —
     neither does the regex scan after block stripping."""
