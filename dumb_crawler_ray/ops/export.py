@@ -61,15 +61,23 @@ def _fingerprints(ids, lens) -> np.ndarray:
     return (_md5_64_batch(strs) & np.uint64(FP_MASK)).view(np.int64)
 
 
+def _write_parquet_shard(tbl: pa.Table, path: str) -> None:
+    pq.write_table(tbl, path, row_group_size=4096)
+
+
 def export_sharded(assigned_fn, out_dir: str, id_col: str,
-                   n_partitions: int | None = None) -> pa.Table:
+                   n_partitions: int | None = None,
+                   write_shard=_write_parquet_shard,
+                   shard_ext: str = ".parquet") -> pa.Table:
     """Write the Dataset built by `assigned_fn()` (must carry `shard` +
-    `fp` columns) as one sorted parquet file per shard under `out_dir`,
+    `fp` columns) as one sorted shard file per shard under `out_dir`,
     skipping shards unchanged vs the previous manifest. Returns the
     manifest table. Takes a BUILDER, not a Dataset: datasets capture
     their DataContext at creation, so the whole chain must be
     constructed under the scoped HASH_SHUFFLE override or the keyed
-    repartition refuses to plan."""
+    repartition refuses to plan. `write_shard(tbl, path)` is the format
+    seam — parquet by default, a deterministic tar for WebDataset-style
+    releases (`export_webdataset`)."""
     import ray
 
     from .dedup import _hash_partition_count
@@ -109,14 +117,14 @@ def export_sharded(assigned_fn, out_dir: str, id_col: str,
             n = int(hi - lo)
             fp = int(np.bitwise_xor.reduce(
                 fps[lo:hi].view(np.uint64)) & np.uint64(FP_MASK))
-            path = os.path.join(out, f"shard-{sh:04d}.parquet")
+            path = os.path.join(out, f"shard-{sh:04d}{shard_ext}")
             rec = prev.get(str(sh))
             skip = (rec is not None and rec.get("n_docs") == n
                     and rec.get("fingerprint") == fp and os.path.exists(path))
             if not skip:
                 tbl = b.slice(lo, n).drop_columns(["shard", "fp"])
                 tmp = path + f".tmp.{os.getpid()}"
-                pq.write_table(tbl, tmp, row_group_size=4096)
+                write_shard(tbl, tmp)
                 os.replace(tmp, path)  # atomic: readers never see partials
             out_s.append(sh)
             out_n.append(n)

@@ -1900,6 +1900,28 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # WebDataset tar sink: ungated, so the manifest oracle is the pure
+    # md5-bucket + bit_xor replay over every image row
+    reg["export_webdataset"] = (
+        lambda sf: __import__(
+            "dumb_crawler_ray.sources.webdataset",
+            fromlist=["export_webdataset"]).export_webdataset(
+                f"{_fixture_dir()}/images.parquet"),
+        f"""
+        SELECT CAST(('0x' || substr(md5(image_id), 1, 8)) AS BIGINT)
+                   % {export.DEFAULT_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(bit_xor(
+                   CAST(('0x' || substr(md5(image_id || ':' ||
+                                        CAST(octet_length(bytes)
+                                             AS VARCHAR)),
+                                        1, 16)) AS UBIGINT)
+                   & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+                   AS fingerprint
+        FROM read_parquet('{_IMAGES_PQ}') GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     # multimodal release sink: the decode-free gates (size/aspect +
     # caption band) and the md5-bucket + bit_xor manifest all replay in
     # SQL — a fully-oracle-checked BINARY sink manifest

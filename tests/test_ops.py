@@ -94,7 +94,7 @@ SQL_CHECKED = [
     "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
     "image_aspect_buckets", "image_size_filter", "dataset_mixture",
     "export_image_shards", "crawl_lineage_counts", "corpus_release",
-    "crawl_domain_stats",
+    "crawl_domain_stats", "export_webdataset",
 ]
 
 
@@ -210,6 +210,54 @@ def test_export_image_shards_roundtrip_and_resume(ray_session, tmp_path):
     m2 = export.export_image_shards(src, out_dir=out).to_pandas()
     pd.testing.assert_frame_equal(m1, m2)
     assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
+
+
+def test_webdataset_round_trip(ray_session, tmp_path):
+    """Tar shards must read back to exactly the image table (minus the
+    derived phash column), re-export must be BYTE-identical even after
+    the manifest is removed (deterministic tar: pinned mtime/uid/mode),
+    and an unchanged re-export skips every shard."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+    from dumb_crawler_ray.sources.webdataset import (export_webdataset,
+                                                     read_webdataset)
+
+    src = f"{_fixture_dir()}/images.parquet"
+    out = str(tmp_path / "wds")
+    m1 = export_webdataset(src, out_dir=out).to_pandas()
+
+    want = pa.concat_tables([
+        pq.read_table(p, columns=["image_id", "bytes", "w", "h", "fmt",
+                                  "caption"])
+        for p in sorted(glob.glob(f"{src}/*.parquet"))]).to_pandas()
+    assert m1["n_docs"].sum() == len(want)
+
+    got = read_webdataset(out).to_pandas()
+    got = got.sort_values("image_id").reset_index(drop=True)
+    want = want[got.columns].sort_values("image_id").reset_index(drop=True)
+    got["bytes"] = got["bytes"].map(bytes)
+    want["bytes"] = want["bytes"].map(bytes)
+    pd.testing.assert_frame_equal(got, want)
+
+    shard_files = sorted(
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".tar"))
+    digests = {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+               for f in shard_files}
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    m2 = export_webdataset(src, out_dir=out).to_pandas()
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
+
+    os.remove(f"{out}/manifest.json")  # force a full rewrite
+    export_webdataset(src, out_dir=out)
+    assert {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in shard_files} == digests  # byte-identical tars
 
 
 def test_curated_image_release_reconciles_and_resumes(ray_session,
@@ -1130,6 +1178,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_semantic_dedup", "image_aspect_buckets", "image_size_filter",
         "caption_to_image_topk", "export_image_shards",
         "curated_image_release", "image_resize_to_bucket",
+        "export_webdataset",
         "audio_features", "video_frame_sample",
     }
     for name, (fn, _sql) in registry.items():
