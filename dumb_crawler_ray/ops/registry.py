@@ -120,41 +120,104 @@ def crawl_lineage(sf_dir: str):
 
 def crawl_domain_stats(sf_dir: str):
     """Per-domain crawl totals — the ops dashboard view: discovered /
-    fetched / failed / stored-article counts per host, from the
-    checkpoint's frontier_inserts table (url_hash → domain attribution;
-    the first insert of a hash carries its domain) joined to the drained
-    seen set. FULL recursive-CTE oracle over the same `node` closure as
-    crawl_seen_set."""
-    import pyarrow.dataset as pads
+    fetched / failed / stored-article counts per host, computed
+    DISTRIBUTED over the checkpoint tables (at 10^9 URLs neither table
+    fits a driver): frontier_inserts rows (url_hash → domain; the first
+    insert of a hash carries it) union frontier_updates rows (url_hash →
+    terminal status, tags) co-locate in ONE keyed repartition on
+    url_hash, each block emits per-domain partial counts, and the
+    driver merges ≤ n_blocks × n_domains tiny rows. FULL recursive-CTE
+    oracle over the same `node` closure as crawl_seen_set."""
+    import numpy as np
+    import ray
 
     from ..pipelines import semantics as S
+    from .dedup import _hash_partition_count
 
     r = _crawl_result()
-    ins = pads.dataset(
-        f"{r.ckpt_dir}/frontier_inserts", format="parquet"
-    ).to_table(columns=["url_hash", "domain"]).to_pandas()
-    ins = ins.drop_duplicates("url_hash")
-    rows: dict[str, list[int]] = {}
-    for h, d in zip(ins["url_hash"], ins["domain"]):
-        v = r.seen_set.get(h)
-        if v is None:
-            continue
-        status, _a, _e, tags, _p = v
-        acc = rows.setdefault(d, [0, 0, 0, 0])
-        acc[0] += 1
-        if status == S.PROCESSED:
-            acc[1] += 1
-            if "article" in tags.split(","):
-                acc[3] += 1
-        elif status == S.FAILED:
-            acc[2] += 1
-    doms = sorted(rows)
+
+    def ins_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url_hash": t.column("url_hash"),
+             "domain": t.column("domain"),
+             "status": pa.nulls(len(t), pa.int64()),
+             "is_art": pa.nulls(len(t), pa.bool_())})
+
+    def upd_rows(t: pa.Table) -> pa.Table:
+        is_art = [("article" in tg) for tg in t.column("tags").to_pylist()]
+        return pa.table(
+            {"url_hash": t.column("url_hash"),
+             "domain": pa.nulls(len(t), pa.string()),
+             "status": t.column("status"),
+             "is_art": pa.array(is_art, pa.bool_())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"domain": pa.array([], pa.string()),
+             "discovered": pa.array([], pa.int64()),
+             "fetched": pa.array([], pa.int64()),
+             "failed": pa.array([], pa.int64()),
+             "stored": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        df = b.to_pandas()
+        # the block holds EVERY row of its hashes: collapse per hash
+        # (first non-null of each side), then count per domain
+        g = df.groupby("url_hash", sort=False).agg(
+            domain=("domain", "first"), status=("status", "first"),
+            is_art=("is_art", "first"))
+        g = g[g["domain"].notna() & g["status"].notna()]
+        if not len(g):
+            return empty
+        fetched = g["status"] == S.PROCESSED
+        failed = g["status"] == S.FAILED
+        stored = fetched & g["is_art"].fillna(False).astype(bool)
+        out = g.assign(n=1, f=fetched.astype(np.int64),
+                       x=failed.astype(np.int64),
+                       s=stored.astype(np.int64)).groupby("domain")[
+            ["n", "f", "x", "s"]].sum()
+        return pa.table(
+            {"domain": pa.array(out.index.tolist(), pa.string()),
+             "discovered": pa.array(out["n"].to_numpy(), pa.int64()),
+             "fetched": pa.array(out["f"].to_numpy(), pa.int64()),
+             "failed": pa.array(out["x"].to_numpy(), pa.int64()),
+             "stored": pa.array(out["s"].to_numpy(), pa.int64())})
+
+    n_parts = max(2, min(8, _hash_partition_count()))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        ins = ray.data.read_parquet(
+            f"{r.ckpt_dir}/frontier_inserts",
+            columns=["url_hash", "domain"],
+        ).map_batches(ins_rows, batch_format="pyarrow", **remote_kwargs())
+        upd = ray.data.read_parquet(
+            f"{r.ckpt_dir}/frontier_updates",
+            columns=["url_hash", "status", "tags"],
+        ).map_batches(upd_rows, batch_format="pyarrow", **remote_kwargs())
+        parts = (
+            ins.union(upd)
+            .repartition(n_parts, keys=["url_hash"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None,
+                         **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    batches = list(ray.data.from_arrow_refs(
+        list(parts.to_arrow_refs())
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    merged = pa.concat_tables(batches)
+    g = merged.group_by("domain").aggregate(
+        [("discovered", "sum"), ("fetched", "sum"), ("failed", "sum"),
+         ("stored", "sum")]).sort_by([("domain", "ascending")])
     return pa.table(
-        {"domain": pa.array(doms, pa.string()),
-         "discovered": pa.array([rows[d][0] for d in doms], pa.int64()),
-         "fetched": pa.array([rows[d][1] for d in doms], pa.int64()),
-         "failed": pa.array([rows[d][2] for d in doms], pa.int64()),
-         "stored": pa.array([rows[d][3] for d in doms], pa.int64())})
+        {"domain": g.column("domain"),
+         "discovered": g.column("discovered_sum"),
+         "fetched": g.column("fetched_sum"),
+         "failed": g.column("failed_sum"),
+         "stored": g.column("stored_sum")})
 
 
 def crawl_lineage_counts(sf_dir: str):
