@@ -289,6 +289,11 @@ def run_queries_extra() -> dict:
         "export_image_shards": lambda: export.export_image_shards(
             f"{fix}/images.parquet",
             out_dir=f"/tmp/dcr_release/bench_imgs_{os.getpid()}"),
+        "export_webdataset": lambda: __import__(
+            "dumb_crawler_ray.sources.webdataset",
+            fromlist=["export_webdataset"]).export_webdataset(
+                f"{fix}/images.parquet",
+                out_dir=f"/tmp/dcr_release/bench_wds_{os.getpid()}"),
     }
     timings = {}
     for name, fn in suite.items():
