@@ -686,6 +686,132 @@ def dataset_mixture(sf_dir: str):
     ).sort(["doc_id", "epoch"])
 
 
+# ------------------------------------------------- eval decontamination
+
+CONTAM_CLONE_PERIOD = 50   # every 50th doc (an eval member) cloned to train
+CONTAM_CLONE_OFFSET = 1_000_001  # offset breaks doc_id % 10 ≡ 0 (eval-ness)
+
+
+def eval_decontaminate(sf_dir: str, force_distributed: bool = False):
+    """Document-level train/eval decontamination (the companion of the
+    k-gram `contamination_overlap`): a TRAIN doc is contaminated when
+    its exact text fingerprint (md5 of lowercased text) also appears in
+    the EVAL split (doc_id % 10 == 0, the benchmark convention shared
+    with X44). To make the check non-vacuous on the fixture, every
+    ``CONTAM_CLONE_PERIOD``-th doc — an eval member — is cloned
+    in-flight into train under doc_id + CONTAM_CLONE_OFFSET (the
+    pii_scrub precedent: the same UNION ALL derivation in SQL, no
+    derived fixture), so those clones MUST be flagged.
+
+    Scale shape (the size-gated anti-join): the eval fingerprint set is
+    collected and broadcast once below `BROADCAST_ROW_LIMIT`; above it
+    (or under `force_distributed`) fingerprints ride the dataset — eval
+    fp rows ∪ train rows co-locate in ONE keyed repartition on fp and
+    each block flags locally. Both paths equivalence-tested."""
+    import hashlib
+
+    import ray
+
+    from .dedup import _hash_partition_count
+    from .relational import BROADCAST_ROW_LIMIT
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        fps = [hashlib.md5(s.lower().encode("utf-8")).hexdigest()
+               for s in texts]
+        clone_mask = ids % CONTAM_CLONE_PERIOD == 0
+        out_ids = np.concatenate([ids, ids[clone_mask]
+                                  + CONTAM_CLONE_OFFSET])
+        out_fps = fps + [fps[i] for i in np.flatnonzero(clone_mask)]
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "fp": pa.array(out_fps, pa.string())})
+
+    def base_ds():
+        # datasets capture their DataContext at creation: the distributed
+        # path must rebuild this chain under the scoped HASH_SHUFFLE
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            rows, batch_format="pyarrow", **remote_kwargs())
+
+    base = base_ds()
+
+    def eval_fps_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        ev = t.filter(pa.array(ids % 10 == 0))
+        fps = np.unique(np.asarray(ev.column("fp").to_pylist(),
+                                   dtype=object))
+        return pa.table({"fp": pa.array(fps.tolist(), pa.string())})
+
+    n_eval_fps = base.map_batches(eval_fps_partial, batch_format="pyarrow",
+                                  **remote_kwargs()).count()
+    if not force_distributed and n_eval_fps <= BROADCAST_ROW_LIMIT:
+        fp_set = set()
+        for b in base.map_batches(eval_fps_partial, batch_format="pyarrow",
+                                  **remote_kwargs()).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            fp_set.update(b.column("fp").to_pylist())
+        fp_ref = ray.put(fp_set)
+
+        def flag(t: pa.Table) -> pa.Table:
+            fps = ray.get(fp_ref)
+            ids = t.column("doc_id").to_numpy()
+            train = t.filter(pa.array(ids % 10 != 0))
+            contaminated = [f in fps for f in
+                            train.column("fp").to_pylist()]
+            return pa.table(
+                {"doc_id": train.column("doc_id"),
+                 "contaminated": pa.array(contaminated, pa.bool_())})
+
+        return base.map_batches(flag, batch_format="pyarrow",
+                                **remote_kwargs()).sort("doc_id")
+
+    # distributed path: eval fps ∪ train rows co-locate on fp
+    def split_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        is_eval = ids % 10 == 0
+        ev = t.filter(pa.array(is_eval))
+        tr = t.filter(pa.array(~is_eval))
+        return pa.table(
+            {"doc_id": pa.array(
+                np.concatenate([np.full(len(ev), -1, np.int64),
+                                tr.column("doc_id").to_numpy()]),
+                pa.int64()),
+             "fp": pa.array(ev.column("fp").to_pylist()
+                            + tr.column("fp").to_pylist(), pa.string())})
+
+    def flag_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "contaminated": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy()
+        fps = np.asarray(b.column("fp").to_pylist(), dtype=object)
+        ev_fps = fps[ids < 0]
+        train = ids >= 0
+        return pa.table(
+            {"doc_id": pa.array(ids[train], pa.int64()),
+             "contaminated": pa.array(np.isin(fps[train], ev_fps),
+                                      pa.bool_())})
+
+    n_parts = max(2, min(8, _hash_partition_count()))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        flagged = (
+            base_ds().map_batches(split_rows, batch_format="pyarrow",
+                                  **remote_kwargs())
+            .repartition(n_parts, keys=["fp"])
+            .map_batches(flag_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(
+        list(flagged.to_arrow_refs())).sort("doc_id")
+
+
 # ------------------------------------------------------ sequence packing
 
 PACK_BUDGET = 512   # token budget per packed training sequence

@@ -1562,6 +1562,28 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # document-level decontamination: the in-flight clone derivation and
+    # the md5 fingerprint anti-join replay verbatim in SQL
+    reg["eval_decontaminate"] = (
+        filters.eval_decontaminate,
+        f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        planted AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + {filters.CONTAM_CLONE_OFFSET}, text FROM base
+            WHERE doc_id % {filters.CONTAM_CLONE_PERIOD} = 0
+        ),
+        ev AS (
+            SELECT DISTINCT md5(lower(text)) AS fp FROM planted
+            WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id,
+               md5(lower(text)) IN (SELECT fp FROM ev) AS contaminated
+        FROM planted WHERE doc_id % 10 != 0 ORDER BY doc_id
+        """,
+    )
+
     reg["contamination_overlap"] = (
         filters.contamination_overlap,
         f"""

@@ -94,7 +94,7 @@ SQL_CHECKED = [
     "crawl_seen_set", "crawl_order", "crawl_counters", "curated_corpus",
     "image_aspect_buckets", "image_size_filter", "dataset_mixture",
     "export_image_shards", "crawl_lineage_counts", "corpus_release",
-    "crawl_domain_stats", "export_webdataset",
+    "crawl_domain_stats", "export_webdataset", "eval_decontaminate",
 ]
 
 
@@ -584,6 +584,25 @@ def test_image_size_filter_nonvacuous(registry, ray_session):
     assert df["bad_aspect"].any() and (~df["bad_aspect"]).any()
     assert df["keep"].any() and (~df["keep"]).any()
     assert (df["keep"] == ~(df["too_small"] | df["bad_aspect"])).all()
+
+
+def test_eval_decontaminate_paths_and_planted(registry, ray_session):
+    """The broadcast and keyed-co-location anti-join paths must agree
+    exactly, and every planted eval clone must come back flagged."""
+    from dumb_crawler_ray.ops.filters import (CONTAM_CLONE_OFFSET,
+                                              CONTAM_CLONE_PERIOD,
+                                              eval_decontaminate)
+
+    fast = to_df(eval_decontaminate(SF))
+    dist = to_df(eval_decontaminate(SF, force_distributed=True))
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
+    clones = fast[fast["doc_id"] >= CONTAM_CLONE_OFFSET]
+    assert len(clones) > 0
+    assert clones["contaminated"].all()          # planted dups flagged
+    assert (~fast["contaminated"]).sum() > 0     # clean docs exist
+    assert ((clones["doc_id"] - CONTAM_CLONE_OFFSET)
+            % CONTAM_CLONE_PERIOD == 0).all()
 
 
 def test_dataset_mixture_nonvacuous(registry, ray_session):
