@@ -289,6 +289,10 @@ def run_queries_extra() -> dict:
         "export_image_shards": lambda: export.export_image_shards(
             f"{fix}/images.parquet",
             out_dir=f"/tmp/dcr_release/bench_imgs_{os.getpid()}"),
+        "eval_decontaminate": lambda: filters.eval_decontaminate(SF_DIR),
+        "bpe_train": lambda: __import__(
+            "dumb_crawler_ray.ops.bpe",
+            fromlist=["bpe_train"]).bpe_train(SF_DIR),
         "export_webdataset": lambda: __import__(
             "dumb_crawler_ray.sources.webdataset",
             fromlist=["export_webdataset"]).export_webdataset(

