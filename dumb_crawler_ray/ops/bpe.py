@@ -74,6 +74,14 @@ def bpe_train_local(word_counts: dict, n_merges: int) -> list[tuple]:
 def bpe_train(sf_dir: str, n_merges: int = DEFAULT_MERGES):
     """Distributed BPE training; returns the merge table
     (rank, left, right, merged_count)."""
+    merges, _state = _bpe_train_state(sf_dir, n_merges)
+    return merges
+
+
+def _bpe_train_state(sf_dir: str, n_merges: int):
+    """The training loop, returning (merge table, final word-table
+    Dataset) — `bpe_token_counts` consumes the state to segment the
+    corpus without re-deriving it."""
     import re
 
     import ray
@@ -145,7 +153,126 @@ def bpe_train(sf_dir: str, n_merges: int = DEFAULT_MERGES):
         {"rank": pa.array([m[0] for m in merges], pa.int64()),
          "left": pa.array([m[1] for m in merges], pa.string()),
          "right": pa.array([m[2] for m in merges], pa.string()),
-         "merged_count": pa.array([m[3] for m in merges], pa.int64())})
+         "merged_count": pa.array([m[3] for m in merges],
+                                  pa.int64())}), state
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = DEFAULT_MERGES):
+    """Per-document LEARNED-BPE token counts — the downstream consumer
+    of `bpe_train`, replacing regex token counting with the induced
+    subword vocabulary.
+
+    Scale shape (the X31 tf⨝df single-shuffle join): the trained word
+    table maps word → token count (word = symbols concatenated — merge-
+    invariant); per-doc (word, count) rows union with word-table rows,
+    ONE keyed repartition on word co-locates them, blocks emit per-doc
+    partials, and a small groupby-sum lands one row per doc. The
+    vocabulary is never broadcast. FULL chained-CTE oracle (the
+    training CTEs + the segment-count join)."""
+    import re
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _hash_partition_count
+    from .text import TOKEN_REGEX
+
+    _merges, state = _bpe_train_state(sf_dir, n_merges)
+    tok_re = re.compile(TOKEN_REGEX)
+
+    def vocab_rows(t: pa.Table) -> pa.Table:
+        syms = t.column("syms").to_pylist()
+        return pa.table(
+            {"word": pa.array([s.replace(" ", "") for s in syms],
+                              pa.string()),
+             "doc_id": pa.array(np.full(len(syms), -1, np.int64),
+                                pa.int64()),
+             "c": pa.array([s.count(" ") + 1 for s in syms], pa.int64())})
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        out_doc, out_word, out_c = [], [], []
+        for did, txt in zip(t.column("doc_id").to_numpy(),
+                            t.column("text").to_pylist()):
+            words, counts = np.unique(
+                np.asarray(tok_re.findall(txt.lower()), dtype=object),
+                return_counts=True)
+            out_doc.extend([int(did)] * len(words))
+            out_word.extend(words.tolist())
+            out_c.extend(counts.astype(np.int64).tolist())
+        return pa.table({"word": pa.array(out_word, pa.string()),
+                         "doc_id": pa.array(out_doc, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    def join_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy()
+        words = np.asarray(b.column("word").to_pylist(), dtype=object)
+        cs = b.column("c").to_numpy()
+        is_vocab = ids < 0
+        nt = dict(zip(words[is_vocab], cs[is_vocab]))
+        docs = ~is_vocab
+        contrib = np.asarray([int(c) * int(nt[w])
+                              for w, c in zip(words[docs], cs[docs])],
+                             dtype=np.int64)
+        part = pa.table({"doc_id": pa.array(ids[docs], pa.int64()),
+                         "n_part": pa.array(contrib, pa.int64())})
+        agg = part.group_by("doc_id").aggregate([("n_part", "sum")])
+        return pa.table({"doc_id": agg.column("doc_id"),
+                         "n_part": agg.column("n_part_sum")})
+
+    n_parts = max(2, min(8, _hash_partition_count()))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        vocab = ray.data.from_arrow_refs(
+            list(state.to_arrow_refs())
+        ).map_batches(vocab_rows, batch_format="pyarrow",
+                      **remote_kwargs())
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(doc_rows, batch_format="pyarrow", **remote_kwargs())
+        parts = (
+            docs.union(vocab)
+            .repartition(n_parts, keys=["word"])
+            .map_batches(join_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(
+        list(parts.to_arrow_refs())
+    ).groupby("doc_id").aggregate(
+        Sum("n_part", alias_name="n_bpe_tokens")).sort("doc_id")
+
+
+def bpe_token_counts_oracle_sql(n_merges: int = DEFAULT_MERGES) -> str:
+    """Training CTEs + the segment-count join: word = replace(syms,' ','')
+    (symbol concatenation is merge-invariant), token count per word =
+    the final state's symbol count."""
+    train = bpe_oracle_sql(n_merges)
+    head = train[:train.index("\nSELECT 0 AS rank")]
+    return head + f"""
+, vocab AS MATERIALIZED (
+    SELECT replace(syms, ' ', '') AS word,
+           len(string_split(syms, ' ')) AS nt
+    FROM s{n_merges}
+),
+docwords AS (
+    SELECT doc_id, word, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    ) GROUP BY doc_id, word
+)
+SELECT doc_id, CAST(sum(c * nt) AS BIGINT) AS n_bpe_tokens
+FROM docwords JOIN vocab USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def bpe_oracle_sql(n_merges: int = DEFAULT_MERGES) -> str:

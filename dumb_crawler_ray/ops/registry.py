@@ -1587,6 +1587,8 @@ def build_registry() -> dict[str, tuple]:
     # BPE tokenizer training: the full run (wordcount, every pinned pair
     # pick, every rewrite) replays in chained CTEs — see ops/bpe.py
     reg["bpe_train"] = (bpe.bpe_train, bpe.bpe_oracle_sql())
+    reg["bpe_token_counts"] = (bpe.bpe_token_counts,
+                               bpe.bpe_token_counts_oracle_sql())
 
     reg["contamination_overlap"] = (
         filters.contamination_overlap,
