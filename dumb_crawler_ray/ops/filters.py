@@ -742,14 +742,20 @@ def eval_decontaminate(sf_dir: str, force_distributed: bool = False):
                                    dtype=object))
         return pa.table({"fp": pa.array(fps.tolist(), pa.string())})
 
-    n_eval_fps = base.map_batches(eval_fps_partial, batch_format="pyarrow",
-                                  **remote_kwargs()).count()
-    if not force_distributed and n_eval_fps <= BROADCAST_ROW_LIMIT:
+    fp_set: set | None = None
+    if not force_distributed:
+        # ONE streaming pass over per-block distinct fps; abort to the
+        # distributed path the moment the set outgrows the gate (so the
+        # gate is exact on the DISTINCT count, with no pre-pass)
         fp_set = set()
         for b in base.map_batches(eval_fps_partial, batch_format="pyarrow",
                                   **remote_kwargs()).iter_batches(
                 batch_format="pyarrow", batch_size=None):
             fp_set.update(b.column("fp").to_pylist())
+            if len(fp_set) > BROADCAST_ROW_LIMIT:
+                fp_set = None
+                break
+    if fp_set is not None:
         fp_ref = ray.put(fp_set)
 
         def flag(t: pa.Table) -> pa.Table:
