@@ -267,6 +267,61 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
                           n_partitions=n_partitions)
 
 
+def compact_pages(ckpt_dir: str, out_dir: str | None = None,
+                  n_partitions: int | None = None,
+                  n_shards: int = DEFAULT_SHARDS):
+    """Checkpoint compaction — the WARC-compaction analogue for the
+    page-fragment store: a long crawl accumulates one `pages` parquet
+    fragment per round per worker, every read of which must replay
+    latest-version-wins; compaction rewrites the store as `n_shards`
+    sorted, deduplicated (latest version only) shards + manifest, so
+    downstream reads are a plain scan and resume is shard-level.
+
+    Shape: ONE keyed repartition on url_hash co-locates every stored
+    version, the shared `latest_version_block` segment scan keeps the
+    (max round, max rank) row, and the X64 writer lands the shards
+    (fingerprint length = octet_length of the stored html, so an
+    incremental re-crawl re-compacts only shards whose pages changed).
+    `curate_corpus` over a compacted store equals `curate_corpus` over
+    the raw fragments — reconciliation-tested."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..pipelines.curate import latest_version_block
+    from .dedup import _hash_partition_count
+
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(ckpt_dir))
+        out_dir = f"/tmp/dcr_compact/{base}_s{n_shards}"
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("url_hash").to_pylist()
+        lens = pc.utf8_length(
+            pc.cast(t.column("html"), pa.string())).to_numpy()
+        return t.append_column(
+            "shard", pa.array(_shard_of(ids, n_shards), pa.int64())
+        ).append_column(
+            "fp", pa.array(_fingerprints(ids, lens), pa.int64()))
+
+    n_co = n_partitions if n_partitions is not None \
+        else _hash_partition_count()
+
+    def build():
+        return (
+            ray.data.read_parquet(
+                f"{ckpt_dir}/pages",
+                columns=["url_hash", "url", "html", "round", "rank"],
+            )
+            .repartition(n_co, keys=["url_hash"])
+            .map_batches(latest_version_block, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+        )
+
+    return export_sharded(build, out_dir, "url_hash",
+                          n_partitions=n_partitions)
+
+
 def curated_image_release(images_parquet: str, out_dir: str | None = None,
                           n_partitions: int | None = None,
                           n_shards: int = DEFAULT_SHARDS,

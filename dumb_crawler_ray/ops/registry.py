@@ -2547,6 +2547,10 @@ def build_registry() -> dict[str, tuple]:
     reg["curated_corpus"] = (curated_corpus, _crawl_sqls["curated_corpus"])
     reg["corpus_release"] = (corpus_release_q,
                              _crawl_sqls["corpus_release"])
+    reg["compact_pages"] = (
+        lambda sf: export.compact_pages(
+            _crawl_result().ckpt_dir,
+            out_dir="/tmp/dcr_compact/crawl_fixture_s16"), None)
     reg["curated_image_release"] = (
         lambda sf: export.curated_image_release(
             f"{_fixture_dir()}/images.parquet",

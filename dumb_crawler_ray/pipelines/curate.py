@@ -56,6 +56,23 @@ def _segment_bounds(inv: np.ndarray):
     return starts, ends
 
 
+def latest_version_block(b: pa.Table) -> pa.Table:
+    """One url_hash-keyed block holds EVERY stored version of its
+    hashes, so latest-wins is a block-local lexsort segment scan (the
+    `ngram_jaccard_pairs` shape) — no per-URL UDF dispatch. Shared by
+    `curate_corpus` and the checkpoint compactor (`ops/export.py
+    compact_pages`)."""
+    if len(b) == 0:
+        return b
+    hashes = np.asarray(b.column("url_hash").to_pylist(), dtype=object)
+    # np.lexsort rejects object arrays → integer codes via np.unique
+    _, inv = np.unique(hashes, return_inverse=True)
+    order = np.lexsort((b.column("rank").to_numpy(),
+                        b.column("round").to_numpy(), inv))
+    _, ends = _segment_bounds(inv[order])
+    return b.take(order[ends - 1])  # last of each run = max round, rank
+
+
 def curate_corpus(ckpt_dir: str, min_chars: int = 20,
                   gopher_gate: bool = False):
     """Run the curation pipeline over a crawl checkpoint's pages table.
@@ -68,19 +85,7 @@ def curate_corpus(ckpt_dir: str, min_chars: int = 20,
     chains. Off by default so the base output stays byte-stable."""
     import ray
 
-    def latest_in_block(b: pa.Table) -> pa.Table:
-        """One keyed-repartition block holds EVERY stored version of its
-        url_hashes, so latest-wins is a block-local lexsort segment scan
-        (the `ngram_jaccard_pairs` shape) — no per-URL UDF dispatch."""
-        if len(b) == 0:
-            return b
-        hashes = np.asarray(b.column("url_hash").to_pylist(), dtype=object)
-        # np.lexsort rejects object arrays → integer codes via np.unique
-        _, inv = np.unique(hashes, return_inverse=True)
-        order = np.lexsort((b.column("rank").to_numpy(),
-                            b.column("round").to_numpy(), inv))
-        _, ends = _segment_bounds(inv[order])
-        return b.take(order[ends - 1])  # last of each run = max round, rank
+    latest_in_block = latest_version_block
 
     def text_and_quality(t: pa.Table) -> pa.Table:
         text = extract_text_expr(

@@ -261,6 +261,44 @@ def test_webdataset_round_trip(ray_session, tmp_path):
             for f in shard_files} == digests  # byte-identical tars
 
 
+def test_compact_pages_reconciles_and_resumes(ray_session, tmp_path):
+    """Compaction must preserve curation semantics exactly: running the
+    curate pipeline over the compacted store equals running it over the
+    raw per-round fragments, every stored url_hash appears exactly once,
+    and a second compaction skips every shard."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import export
+    from dumb_crawler_ray.ops.registry import _crawl_result
+    from dumb_crawler_ray.pipelines.curate import curate_corpus
+
+    r = _crawl_result()
+    out = str(tmp_path / "compact")
+    m1 = export.compact_pages(r.ckpt_dir, out_dir=out).to_pandas()
+
+    shard_files = sorted(
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet"))
+    got = pd.concat([pq.read_table(f).to_pandas() for f in shard_files])
+    assert got["url_hash"].is_unique
+    assert m1["n_docs"].sum() == len(got)
+
+    fake = tmp_path / "fakeckpt" / "pages"
+    fake.mkdir(parents=True)
+    for f in shard_files:
+        os.link(f, fake / os.path.basename(f))
+    a = curate_corpus(r.ckpt_dir).to_pandas()
+    b = curate_corpus(str(tmp_path / "fakeckpt")).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    m2 = export.compact_pages(r.ckpt_dir, out_dir=out).to_pandas()
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
+
+
 def test_curated_image_release_reconciles_and_resumes(ray_session,
                                                       tmp_path):
     """The image-side flagship last mile: shards hold EXACTLY the
@@ -1212,7 +1250,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         pq.write_table(src.slice(0, 0), str(d / f"{t}.parquet"))
     fixture_backed = {
         "crawl_order", "crawl_seen_set", "crawl_counters", "crawl_lineage",
-        "crawl_lineage_counts", "crawl_domain_stats",
+        "crawl_lineage_counts", "crawl_domain_stats", "compact_pages",
         "curated_corpus", "corpus_release",
         "page_rank", "page_indegree",  # link graph = the crawl fixture
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
