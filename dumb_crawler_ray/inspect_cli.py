@@ -11,6 +11,7 @@ round fragments" and the url_index lookup becomes a parquet filter.
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed [round] # failed validations
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> failed-page <url_hash> [out.html]
     python -m dumb_crawler_ray.inspect_cli <ckpt_dir> import-warc <warc_file_or_dir> [--config cfg.json]
+    python -m dumb_crawler_ray.inspect_cli <ckpt_dir> compact [out_dir]
 
 import-warc hashes urls with the job config's idExtractorPattern, sourced
 from --config, else the checkpoint manifest's ``config`` entry, else a
@@ -143,6 +144,17 @@ def main(argv: list[str]) -> int:
             return 2
         n = import_warc(argv[2], ckpt, cfg)
         print(f"imported {n} pages from {argv[2]}")
+    elif cmd == "compact":
+        import ray
+
+        from .ops.export import compact_pages
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False)
+        out = argv[2] if len(argv) > 2 else None
+        m = compact_pages(ckpt, out_dir=out)
+        total = sum(m.column("n_docs").to_pylist())
+        print(f"compacted {total} pages into {len(m)} shards")
     else:
         print(__doc__)
         return 2
