@@ -116,6 +116,125 @@ class FrameSampleWorker:
         )
 
 
+VAD_FRAME_S = 0.02       # 20 ms analysis frames
+VAD_RMS_THRESHOLD = 0.01  # frame active iff frame RMS exceeds this
+
+
+class AudioVadWorker:
+    """Energy-based voice-activity segmentation — the audio-side
+    curation primitive (silence stripping / speech-span extraction for
+    ASR-style training data): 20 ms frame RMS (one vectorized reshape
+    per clip), threshold, contiguous active runs → one row per segment
+    with timing and energy."""
+
+    def __init__(self, use_external_codec: bool = False):
+        self.decode = (
+            decode_external_audio if use_external_codec
+            else (lambda data, fmt=None: media.decode_audio(data))
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, segs, starts, ends, nfr, energy = [], [], [], [], [], []
+        for aid, data in zip(t.column("audio_id").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            x, sr = self.decode(data)
+            flen = max(1, int(sr * VAD_FRAME_S))
+            n_frames = len(x) // flen
+            fr = x[:n_frames * flen].reshape(n_frames, flen)
+            rms = np.sqrt((fr * fr).mean(axis=1))
+            active = rms > VAD_RMS_THRESHOLD
+            if not active.any():
+                continue
+            bounds = np.flatnonzero(np.diff(
+                np.concatenate([[False], active, [False]]).astype(np.int8)))
+            for si, (lo, hi) in enumerate(zip(bounds[::2], bounds[1::2])):
+                ids.append(aid)
+                segs.append(si)
+                starts.append(round(lo * flen / sr, 4))
+                ends.append(round(hi * flen / sr, 4))
+                nfr.append(int(hi - lo))
+                energy.append(round(float(rms[lo:hi].mean()), 6))
+        return pa.table(
+            {"audio_id": pa.array(ids, pa.string()),
+             "seg_idx": pa.array(segs, pa.int64()),
+             "start_s": pa.array(starts, pa.float64()),
+             "end_s": pa.array(ends, pa.float64()),
+             "n_frames": pa.array(nfr, pa.int64()),
+             "mean_rms": pa.array(energy, pa.float64())})
+
+
+def audio_vad_segments(audio_parquet: str, concurrency: int | None = None,
+                       batch_size: int = 64):
+    import ray
+
+    return ray.data.read_parquet(
+        audio_parquet, columns=["audio_id", "bytes"]
+    ).map_batches(
+        AudioVadWorker, batch_format="pyarrow", **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None
+        else actor_pool_size(),
+    ).sort(["audio_id", "seg_idx"])
+
+
+SCENE_CUT_THRESHOLD = 16.0  # mean |Δpixel| between consecutive frames
+
+
+class SceneCutWorker:
+    """Frame-difference scene-cut detection — the video-side curation
+    primitive (clip segmentation for video-training data): decode
+    consecutive frames, mean absolute pixel difference, a cut wherever
+    the diff exceeds SCENE_CUT_THRESHOLD (smooth pans drift a few
+    gray-levels per frame; a scene change jumps ~uniform-random
+    distance). One summary row per clip so no-cut clips stay visible."""
+
+    def __init__(self, use_external_codec: bool = False):
+        self.use_external = use_external_codec
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vids, ncuts, first, maxd = [], [], [], []
+        for vid, data in zip(t.column("video_id").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            if self.use_external:
+                decode_external_video(data, "h264")  # raises
+            offsets = media.video_frame_offsets(data)
+            prev = None
+            cuts = []
+            worst = 0.0
+            for fi, (off, ln) in enumerate(offsets):
+                arr = media.decode_video_frame(data, off, ln).astype(
+                    np.int16)
+                if prev is not None:
+                    d = float(np.abs(arr - prev).mean())
+                    worst = max(worst, d)
+                    if d > SCENE_CUT_THRESHOLD:
+                        cuts.append(fi)
+                prev = arr
+            vids.append(vid)
+            ncuts.append(len(cuts))
+            first.append(cuts[0] if cuts else -1)
+            maxd.append(round(worst, 4))
+        return pa.table(
+            {"video_id": pa.array(vids, pa.string()),
+             "n_cuts": pa.array(ncuts, pa.int64()),
+             "first_cut_idx": pa.array(first, pa.int64()),
+             "max_frame_diff": pa.array(maxd, pa.float64())})
+
+
+def video_scene_cuts(video_parquet: str, concurrency: int | None = None,
+                     batch_size: int = 16):
+    import ray
+
+    return ray.data.read_parquet(
+        video_parquet, columns=["video_id", "bytes"]
+    ).map_batches(
+        SceneCutWorker, batch_format="pyarrow", **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None
+        else actor_pool_size(),
+    ).sort("video_id")
+
+
 def video_frame_sample(video_parquet: str, every_k: int = 4,
                        concurrency: int | None = None, batch_size: int = 16):
     """Small batch_size on purpose: each row carries a whole clip of

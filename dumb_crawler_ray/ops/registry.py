@@ -2535,6 +2535,12 @@ def build_registry() -> dict[str, tuple]:
     reg["image_embeddings"] = (image_embeddings_q, None)
     reg["audio_features"] = (audio_features_q, None)
     reg["video_frame_sample"] = (video_frame_sample_q, None)
+    reg["audio_vad_segments"] = (
+        lambda sf: media.audio_vad_segments(
+            f"{_media_dir()}/audio.parquet"), None)
+    reg["video_scene_cuts"] = (
+        lambda sf: media.video_scene_cuts(
+            f"{_media_dir()}/video.parquet"), None)
     _crawl_sqls = _crawl_oracle_sqls()
     reg["crawl_order"] = (crawl_order, _crawl_sqls["crawl_order"])
     reg["crawl_seen_set"] = (crawl_seen_set, _crawl_sqls["crawl_seen_set"])

@@ -84,11 +84,19 @@ def gen_audio(seed: int, n: int, sample_rate: int = 8000) -> pa.Table:
         amp = rng.uniform(0.2, 0.9)
         wave = amp * 0.6 * np.sin(2 * np.pi * f1 * t / sample_rate)
         wave += amp * 0.4 * np.sin(2 * np.pi * f2 * t / sample_rate)
+        cap = f"tone mix {f1:.0f}Hz+{f2:.0f}Hz amp {amp:.2f}"
+        if i % 3 == 0:
+            # every 3rd clip is GATED: 5 × 0.2 s segments, the odd ones
+            # silent — planted structure so VAD segmentation has true
+            # positives (continuous clips stay the common case)
+            seg = (t // (sample_rate // 5)) % 2 == 0
+            wave = wave * seg
+            cap += " gated"
         ids.append(f"aud-{seed}-{i:06d}")
         blobs.append(encode_audio(wave, sample_rate))
         srs.append(sample_rate)
         lens.append(len(t))
-        caps.append(f"tone mix {f1:.0f}Hz+{f2:.0f}Hz amp {amp:.2f}")
+        caps.append(cap)
     return pa.table(
         {
             "audio_id": pa.array(ids, pa.string()),
@@ -108,13 +116,22 @@ def gen_video(seed: int, n: int, w: int = 48, h: int = 32,
     for i in range(n):
         base = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
         drift = rng.integers(1, 5)
-        frames = [
-            np.clip(base.astype(np.int16) + k * drift, 0, 255).astype(np.uint8)
-            for k in range(n_frames)
-        ]
+        cut_at = n_frames // 2 if i % 3 == 0 else None
+        if cut_at is not None:
+            # every 3rd clip has a planted SCENE CUT halfway: the second
+            # half drifts from an independent base
+            base2 = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+        frames = []
+        for k in range(n_frames):
+            if cut_at is not None and k >= cut_at:
+                f = base2.astype(np.int16) + (k - cut_at) * drift
+            else:
+                f = base.astype(np.int16) + k * drift
+            frames.append(np.clip(f, 0, 255).astype(np.uint8))
         ids.append(f"vid-{seed}-{i:06d}")
         blobs.append(encode_video(frames))
-        caps.append(f"synthetic pan drift {drift}")
+        caps.append(f"synthetic pan drift {drift}"
+                    + (f" cut@{cut_at}" if cut_at is not None else ""))
     return pa.table(
         {
             "video_id": pa.array(ids, pa.string()),
@@ -139,7 +156,7 @@ def write_media_fixture(out_dir, seed: int = 42, n_audio: int = 256,
 
     out = Path(out_dir)
     meta = out / "media_meta.json"
-    want = {"seed": seed, "n_audio": n_audio, "n_video": n_video, "version": 1}
+    want = {"seed": seed, "n_audio": n_audio, "n_video": n_video, "version": 2}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)

@@ -74,7 +74,50 @@ def test_video_frame_sample_pipeline(ray_session, tmp_path):
     assert len(df) == 8 * 3
     assert sorted(df["frame_idx"].unique()) == [0, 4, 8]
     assert (df["w"] == 48).all() and (df["h"] == 32).all()
-    # brightness drifts upward within a clip (deterministic generator)
+    # brightness drifts upward within a clip (deterministic generator) —
+    # except the planted scene-cut clips (every 3rd), whose second half
+    # restarts from an independent base
     for vid, g in df.groupby("video_id"):
+        if int(vid.rsplit("-", 1)[1]) % 3 == 0:
+            continue
         g = g.sort_values("frame_idx")
         assert g["mean_pixel"].is_monotonic_increasing
+
+
+def test_audio_vad_segments(ray_session, tmp_path):
+    """Gated clips (every 3rd) must segment into exactly the 3 planted
+    active spans; continuous clips are one full-clip segment."""
+    from dumb_crawler_ray.ops.media import audio_vad_segments
+    from dumb_crawler_ray.sources.media import write_media_fixture
+
+    d = write_media_fixture(tmp_path, seed=7, n_audio=24, n_video=4)
+    df = audio_vad_segments(f"{d}/audio.parquet").to_pandas()
+    for aid, g in df.groupby("audio_id"):
+        idx = int(aid.rsplit("-", 1)[1])
+        if idx % 3 == 0:
+            assert len(g) == 3, (aid, g)
+            assert list(g.sort_values("seg_idx")["start_s"]) == [0.0, 0.4,
+                                                                 0.8]
+            assert (g["end_s"] - g["start_s"]).round(4).eq(0.2).all()
+        else:
+            assert len(g) == 1
+            assert g["start_s"].iloc[0] == 0.0
+            assert g["end_s"].iloc[0] == 1.0
+    assert (df["mean_rms"] > 0.01).all()
+
+
+def test_video_scene_cuts(ray_session, tmp_path):
+    """Every 3rd clip has its planted cut detected at the midpoint
+    frame; smooth-pan clips report zero cuts."""
+    from dumb_crawler_ray.ops.media import video_scene_cuts
+    from dumb_crawler_ray.sources.media import write_media_fixture
+
+    d = write_media_fixture(tmp_path, seed=7, n_audio=4, n_video=12)
+    df = video_scene_cuts(f"{d}/video.parquet").to_pandas()
+    assert len(df) == 12
+    for row in df.itertuples():
+        idx = int(row.video_id.rsplit("-", 1)[1])
+        if idx % 3 == 0:
+            assert row.n_cuts == 1 and row.first_cut_idx == 6, row
+        else:
+            assert row.n_cuts == 0 and row.first_cut_idx == -1, row

@@ -1263,6 +1263,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "curated_image_release", "image_resize_to_bucket",
         "export_webdataset",
         "audio_features", "video_frame_sample",
+        "audio_vad_segments", "video_scene_cuts",
     }
     for name, (fn, _sql) in registry.items():
         if name in fixture_backed:
