@@ -76,17 +76,19 @@ def decode_stats(images_parquet: str, concurrency: int | None = None,
 
 def block_mean_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Block-mean downscale, fully vectorized via np.add.reduceat (same
-    truncation semantics as per-block .mean() → uint8 assignment)."""
+    truncation semantics as per-block .mean() → uint8 assignment). When
+    either axis UPSCALES, the op is a vectorized nearest-neighbor index
+    gather instead (the same mapping the fixture generator's planted
+    near-dup resize uses) — a per-output-pixel Python loop here was the
+    repo's one hot-loop regression, 60 s for 256 images at 256×256
+    targets."""
     h, w = arr.shape[:2]
+    if h < out_h or w < out_w:
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        return arr[np.ix_(ys, xs)]
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
-    if h < out_h or w < out_w:  # degenerate upscale: per-block loop
-        out = np.empty((out_h, out_w, 3), dtype=np.uint8)
-        for i in range(out_h):
-            for j in range(out_w):
-                out[i, j] = arr[ys[i]:ys[i + 1] or None,
-                                xs[j]:xs[j + 1] or None].mean(axis=(0, 1))
-        return out
     row = np.add.reduceat(arr.astype(np.int64), ys[:-1], axis=0)
     blk = np.add.reduceat(row, xs[:-1], axis=1)
     counts = np.outer(np.diff(ys), np.diff(xs))
