@@ -686,6 +686,62 @@ def dataset_mixture(sf_dir: str):
     ).sort(["doc_id", "epoch"])
 
 
+# ---------------------------------------------------- document chunking
+
+CHUNK_TOKENS = 64   # tokens per chunk
+CHUNK_OVERLAP = 16  # tokens shared with the previous chunk
+
+
+def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP):
+    """Overlapping-window document chunking — the RAG / embedding-prep
+    stage that precedes vectorization of long documents: chunk i covers
+    tokens [i·stride, i·stride+chunk), stride = chunk − overlap, emitted
+    while the start is inside the document. Each chunk carries an md5 of
+    its space-joined (lowercased) tokens, the chunk-level identity
+    downstream dedup/embedding keys on.
+
+    Scale shape: a stateless `map_batches` flat-emit, ZERO shuffles —
+    pure integer window arithmetic plus one md5 per chunk, replayed
+    verbatim by the DuckDB oracle (list_slice + array_to_string)."""
+    import hashlib
+
+    stride = chunk - overlap
+    assert stride > 0
+
+    def emit(t: pa.Table) -> pa.Table:
+        out_id, out_ci, out_st, out_n, out_h = [], [], [], [], []
+        tok_re = re.compile(TOKEN_REGEX)
+        for did, txt in zip(t.column("doc_id").to_numpy(),
+                            t.column("text").to_pylist()):
+            toks = tok_re.findall(txt.lower())
+            n = len(toks)
+            ci = 0
+            for start in range(0, max(n, 1), stride):
+                if start >= n and n > 0:
+                    break
+                piece = toks[start:start + chunk]
+                if not piece:
+                    break
+                out_id.append(int(did))
+                out_ci.append(ci)
+                out_st.append(start)
+                out_n.append(len(piece))
+                out_h.append(hashlib.md5(
+                    " ".join(piece).encode("utf-8")).hexdigest())
+                ci += 1
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "chunk_idx": pa.array(out_ci, pa.int64()),
+             "start_tok": pa.array(out_st, pa.int64()),
+             "n_tok": pa.array(out_n, pa.int64()),
+             "chunk_hash": pa.array(out_h, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        emit, batch_format="pyarrow", **remote_kwargs()
+    ).sort(["doc_id", "chunk_idx"])
+
+
 # ------------------------------------------------- eval decontamination
 
 CONTAM_CLONE_PERIOD = 50   # every 50th doc (an eval member) cloned to train

@@ -1562,6 +1562,33 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # overlapping-window chunking: pure integer window arithmetic +
+    # per-chunk md5 over list_slice — exact both sides
+    _stride = filters.CHUNK_TOKENS - filters.CHUNK_OVERLAP
+    reg["chunk_documents"] = (
+        filters.chunk_documents,
+        f"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ),
+        chunks AS (
+            SELECT d.doc_id, g.x AS chunk_idx,
+                   g.x * {_stride} AS start_tok,
+                   toks[g.x * {_stride} + 1 :
+                        g.x * {_stride} + {filters.CHUNK_TOKENS}] AS piece
+            FROM d JOIN (SELECT unnest(generate_series(0, 4095)) AS x) g
+              ON g.x * {_stride} < len(toks)
+        )
+        SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(len(piece) AS BIGINT) AS n_tok,
+               md5(array_to_string(piece, ' ')) AS chunk_hash
+        FROM chunks WHERE len(piece) > 0
+        ORDER BY doc_id, chunk_idx
+        """,
+    )
+
     # document-level decontamination: the in-flight clone derivation and
     # the md5 fingerprint anti-join replay verbatim in SQL
     reg["eval_decontaminate"] = (

@@ -95,7 +95,7 @@ SQL_CHECKED = [
     "image_aspect_buckets", "image_size_filter", "dataset_mixture",
     "export_image_shards", "crawl_lineage_counts", "corpus_release",
     "crawl_domain_stats", "export_webdataset", "eval_decontaminate",
-    "bpe_train", "bpe_token_counts",
+    "bpe_train", "bpe_token_counts", "chunk_documents",
 ]
 
 
