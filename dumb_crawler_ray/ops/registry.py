@@ -220,6 +220,92 @@ def crawl_domain_stats(sf_dir: str):
          "stored": g.column("stored_sum")})
 
 
+def crawl_politeness_check(sf_dir: str):
+    """North-rule compliance as a queryable artifact: per-(round, domain)
+    fetch counts with the politeness cap and an `ok` column that must be
+    all-true — computed DISTRIBUTED over the checkpoint (order rows ∪
+    frontier_inserts domain attribution co-locate on url_hash, the
+    `crawl_domain_stats` shape). FULL recursive-CTE oracle."""
+    import ray
+
+    from ..config import JobConfig
+    from ..sources.synthweb import DEFAULT_CONFIG
+    from .dedup import _hash_partition_count
+
+    cap = JobConfig(DEFAULT_CONFIG).max_per_domain_per_round
+    r = _crawl_result()
+
+    def ins_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url_hash": t.column("url_hash"),
+             "domain": t.column("domain"),
+             "round": pa.nulls(len(t), pa.int64())})
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url_hash": t.column("url_hash"),
+             "domain": pa.nulls(len(t), pa.string()),
+             "round": pc.cast(t.column("round"), pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"round": pa.array([], pa.int64()),
+                          "domain": pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        df = b.to_pandas()
+        g = df.groupby("url_hash", sort=False).agg(
+            domain=("domain", "first"), round=("round", "first"))
+        g = g[g["domain"].notna() & g["round"].notna()]
+        if not len(g):
+            return empty
+        out = g.assign(n=1).groupby(["round", "domain"])["n"].sum()
+        idx = out.index.to_frame(index=False)
+        return pa.table(
+            {"round": pa.array(idx["round"].astype("int64"), pa.int64()),
+             "domain": pa.array(idx["domain"].tolist(), pa.string()),
+             "n_part": pa.array(out.to_numpy().astype("int64"),
+                                pa.int64())})
+
+    n_parts = max(2, min(8, _hash_partition_count()))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        ins = ray.data.read_parquet(
+            f"{r.ckpt_dir}/frontier_inserts",
+            columns=["url_hash", "domain"],
+        ).map_batches(ins_rows, batch_format="pyarrow", **remote_kwargs())
+        order = ray.data.read_parquet(
+            f"{r.ckpt_dir}/order", columns=["url_hash", "round"],
+        ).map_batches(order_rows, batch_format="pyarrow",
+                      **remote_kwargs())
+        parts = (
+            ins.union(order)
+            .repartition(n_parts, keys=["url_hash"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None,
+                         **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    batches = list(ray.data.from_arrow_refs(
+        list(parts.to_arrow_refs())
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    merged = pa.concat_tables(batches)
+    g = merged.group_by(["round", "domain"]).aggregate(
+        [("n_part", "sum")]).sort_by(
+        [("round", "ascending"), ("domain", "ascending")])
+    n = g.column("n_part_sum")
+    return pa.table(
+        {"round": g.column("round"),
+         "domain": g.column("domain"),
+         "n_fetched": n,
+         "cap": pa.array([cap] * len(g), pa.int64()),
+         "at_cap": pc.equal(n, pa.scalar(cap, pa.int64())),
+         "ok": pc.less_equal(n, pa.scalar(cap, pa.int64()))})
+
+
 def crawl_lineage_counts(sf_dir: str):
     """Per-ROUND lineage totals — `crawl_lineage` summed over shards,
     restricted to the SQL-replayable columns (shard routing is siphash —
@@ -650,11 +736,25 @@ SELECT {host_of.format(u='n.url')} AS domain,
             AS BIGINT) AS stored
 FROM node n GROUP BY 1 ORDER BY 1
 """
+    # politeness invariant: per-(round, host) fetch counts vs the cap,
+    # straight off the same BSP step replay
+    politeness_sql = order_sql.rpartition("SELECT row_number()")[0] + f"""
+SELECT f.done_round - 1 AS round, a.host AS domain,
+       CAST(count(*) AS BIGINT) AS n_fetched,
+       CAST({cap} AS BIGINT) AS cap,
+       count(*) = {cap} AS at_cap,
+       count(*) <= {cap} AS ok
+FROM (SELECT * FROM step QUALIFY round = max(round) OVER ()) f
+JOIN attrs a ON a.url = f.url
+WHERE f.state = 'D'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
     return {"crawl_seen_set": seen_sql, "crawl_counters": counters_sql,
             "crawl_order": order_sql, "curated_corpus": curated_sql,
             "crawl_lineage_counts": lineage_sql,
             "corpus_release": release_sql,
-            "crawl_domain_stats": domain_sql}
+            "crawl_domain_stats": domain_sql,
+            "crawl_politeness_check": politeness_sql}
 
 
 def image_decode_stats(sf_dir: str):
@@ -2577,6 +2677,8 @@ def build_registry() -> dict[str, tuple]:
                                    _crawl_sqls["crawl_lineage_counts"])
     reg["crawl_domain_stats"] = (crawl_domain_stats,
                                  _crawl_sqls["crawl_domain_stats"])
+    reg["crawl_politeness_check"] = (crawl_politeness_check,
+                                     _crawl_sqls["crawl_politeness_check"])
     reg["curated_corpus"] = (curated_corpus, _crawl_sqls["curated_corpus"])
     reg["corpus_release"] = (corpus_release_q,
                              _crawl_sqls["corpus_release"])

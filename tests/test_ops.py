@@ -96,6 +96,7 @@ SQL_CHECKED = [
     "export_image_shards", "crawl_lineage_counts", "corpus_release",
     "crawl_domain_stats", "export_webdataset", "eval_decontaminate",
     "bpe_train", "bpe_token_counts", "chunk_documents",
+    "crawl_politeness_check",
 ]
 
 
@@ -690,6 +691,15 @@ def test_dataset_mixture_nonvacuous(registry, ray_session):
             assert 0 < n_out < n_in[src] or n_in[src] < 8
 
 
+def test_crawl_politeness_invariant(registry, ray_session):
+    """The north-rule compliance view must be all-ok and must actually
+    exercise the cap (some round×domain pair fetches exactly cap)."""
+    df = to_df(registry["crawl_politeness_check"][0](SF))
+    assert df["ok"].all()
+    assert df["at_cap"].sum() >= 1
+    assert (df["n_fetched"] <= df["cap"]).all()
+
+
 def test_crawl_oracle_sql_matches_simulator():
     """The recursive-CTE crawl oracles must replay the Python simulator
     bit-for-bit WITHOUT Ray: seen set (every field), the exact BSP fetch
@@ -1251,6 +1261,7 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
     fixture_backed = {
         "crawl_order", "crawl_seen_set", "crawl_counters", "crawl_lineage",
         "crawl_lineage_counts", "crawl_domain_stats", "compact_pages",
+        "crawl_politeness_check",
         "curated_corpus", "corpus_release",
         "page_rank", "page_indegree",  # link graph = the crawl fixture
         "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
