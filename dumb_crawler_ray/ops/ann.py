@@ -622,7 +622,8 @@ def ann_index_export(sf_dir: str, out_dir: str | None = None,
         n_shards = DEFAULT_SHARDS
     if out_dir is None:
         base = os.path.basename(os.path.abspath(sf_dir))
-        out_dir = f"/tmp/dcr_ann_index/{base}_c{n_centroids}m{m_subs}"
+        out_dir = (f"/tmp/dcr_ann_index/{base}_c{n_centroids}m{m_subs}"
+                   f"s{n_shards}")
     os.makedirs(out_dir, exist_ok=True)
     coarse, books, sub = _ivfpq_train(sf_dir, n_centroids, m_subs, pq_bits)
     tmp = os.path.join(out_dir, f"trained.npz.tmp.{os.getpid()}")
@@ -666,10 +667,13 @@ def ann_index_search(sf_dir: str, index_dir: str, n_queries: int = 5,
     if len(qids) == 0:
         return _empty_topk()
     qn = _normalize(qmat)
+    from .export import manifest_shard_paths
+
+    # manifest-driven read: a glob would serve orphaned shard files a
+    # re-export (e.g. with a different n_shards) no longer vouches for
     codes_ds = ray.data.read_parquet(
-        os.path.join(index_dir, "codes"),
-        columns=["vec_id", "cell", "codes"],
-        file_extensions=["parquet"])  # skip the sibling manifest.json
+        manifest_shard_paths(os.path.join(index_dir, "codes")),
+        columns=["vec_id", "cell", "codes"])
     return _ivfpq_search(codes_ds, sf_dir, qids, qn, coarse, books, sub,
                          k, n_probe, m_subs)
 

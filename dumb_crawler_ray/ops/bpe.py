@@ -223,11 +223,11 @@ def bpe_token_counts(sf_dir: str, n_merges: int = DEFAULT_MERGES):
         return pa.table({"doc_id": agg.column("doc_id"),
                          "n_part": agg.column("n_part_sum")})
 
+    from ..rayutil import keyed_colocate
+
     n_parts = max(2, min(8, _hash_partition_count()))
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
-    try:
+
+    def build():
         vocab = ray.data.from_arrow_refs(
             list(state.to_arrow_refs())
         ).map_batches(vocab_rows, batch_format="pyarrow",
@@ -235,18 +235,12 @@ def bpe_token_counts(sf_dir: str, n_merges: int = DEFAULT_MERGES):
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ).map_batches(doc_rows, batch_format="pyarrow", **remote_kwargs())
-        parts = (
-            docs.union(vocab)
-            .repartition(n_parts, keys=["word"])
-            .map_batches(join_block, batch_format="pyarrow",
-                         batch_size=None, **remote_kwargs())
-            .materialize()
-        )
-    finally:
-        ctx.shuffle_strategy = prev
-    return ray.data.from_arrow_refs(
-        list(parts.to_arrow_refs())
-    ).groupby("doc_id").aggregate(
+        return (docs.union(vocab)
+                .repartition(n_parts, keys=["word"])
+                .map_batches(join_block, batch_format="pyarrow",
+                             batch_size=None, **remote_kwargs()))
+
+    return keyed_colocate(build).groupby("doc_id").aggregate(
         Sum("n_part", alias_name="n_bpe_tokens")).sort("doc_id")
 
 

@@ -65,6 +65,17 @@ def _write_parquet_shard(tbl: pa.Table, path: str) -> None:
     pq.write_table(tbl, path, row_group_size=4096)
 
 
+def manifest_shard_paths(out_dir: str, ext: str = ".parquet") -> list[str]:
+    """The shard files the CURRENT manifest vouches for — consumers must
+    read these, never a directory glob: a re-export with a smaller
+    n_shards (or a shard whose row set became empty) leaves orphaned
+    files on disk that the manifest no longer covers, and a glob would
+    serve them as live data."""
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    return [os.path.join(out_dir, f"shard-{int(s):04d}{ext}")
+            for s in sorted(manifest, key=int)]
+
+
 def export_sharded(assigned_fn, out_dir: str, id_col: str,
                    n_partitions: int | None = None,
                    write_shard=_write_parquet_shard,
@@ -226,8 +237,7 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
     `export_corpus`, plus the gate predicates."""
     import ray
 
-    from .multimodal import (ASPECT_MAX_DEN, ASPECT_MAX_NUM, SIZE_MIN_SIDE,
-                             caption_rule_columns)
+    from .multimodal import caption_rule_columns, size_aspect_keep
 
     if out_dir is None:
         base = os.path.basename(os.path.abspath(os.path.dirname(
@@ -239,10 +249,7 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
 
         w = t.column("w").to_numpy().astype(np.int64)
         h = t.column("h").to_numpy().astype(np.int64)
-        mn = np.minimum(w, h)
-        mx = np.maximum(w, h)
-        size_ok = (mn >= SIZE_MIN_SIDE) & (mx * ASPECT_MAX_DEN
-                                           <= mn * ASPECT_MAX_NUM)
+        _ts, _ba, size_ok = size_aspect_keep(w, h)
         _nt, _nd, cap_ok = caption_rule_columns(t.column("caption"))
         t = t.filter(pa.array(size_ok
                               & cap_ok.to_numpy(zero_copy_only=False)))
@@ -279,16 +286,20 @@ def compact_pages(ckpt_dir: str, out_dir: str | None = None,
 
     Shape: ONE keyed repartition on url_hash co-locates every stored
     version, the shared `latest_version_block` segment scan keeps the
-    (max round, max rank) row, and the X64 writer lands the shards
-    (fingerprint length = octet_length of the stored html, so an
-    incremental re-crawl re-compacts only shards whose pages changed).
-    `curate_corpus` over a compacted store equals `curate_corpus` over
-    the raw fragments — reconciliation-tested."""
-    import pyarrow.compute as pc
+    (max round, max rank) row, and the X64 writer lands the shards.
+    Unlike the one-way release sinks (whose length-proxy fingerprint
+    only gates rewrites of data that also exists elsewhere), compaction
+    REPLACES the read path — so the skip-unchanged fingerprint digests
+    the full html CONTENT (md5), never a length proxy: a re-crawl that
+    changes a page without changing its length must still re-compact
+    that shard. `curate_corpus` over a compacted store equals
+    `curate_corpus` over the raw fragments — reconciliation-tested."""
+    import hashlib
+
     import ray
 
     from ..pipelines.curate import latest_version_block
-    from .dedup import _hash_partition_count
+    from .dedup import _hash_partition_count, _md5_64_batch
 
     if out_dir is None:
         base = os.path.basename(os.path.abspath(ckpt_dir))
@@ -296,12 +307,13 @@ def compact_pages(ckpt_dir: str, out_dir: str | None = None,
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t.column("url_hash").to_pylist()
-        lens = pc.utf8_length(
-            pc.cast(t.column("html"), pa.string())).to_numpy()
+        digests = [hashlib.md5(h.encode("utf-8")).hexdigest()
+                   for h in t.column("html").to_pylist()]
+        fp = (_md5_64_batch([f"{i}:{d}" for i, d in zip(ids, digests)])
+              & np.uint64(FP_MASK)).view(np.int64)
         return t.append_column(
             "shard", pa.array(_shard_of(ids, n_shards), pa.int64())
-        ).append_column(
-            "fp", pa.array(_fingerprints(ids, lens), pa.int64()))
+        ).append_column("fp", pa.array(fp, pa.int64()))
 
     n_co = n_partitions if n_partitions is not None \
         else _hash_partition_count()

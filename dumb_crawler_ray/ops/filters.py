@@ -717,12 +717,8 @@ def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS,
             toks = tok_re.findall(txt.lower())
             n = len(toks)
             ci = 0
-            for start in range(0, max(n, 1), stride):
-                if start >= n and n > 0:
-                    break
+            for start in range(0, n, stride):
                 piece = toks[start:start + chunk]
-                if not piece:
-                    break
                 out_id.append(int(did))
                 out_ci.append(ci)
                 out_st.append(start)
@@ -855,23 +851,16 @@ def eval_decontaminate(sf_dir: str, force_distributed: bool = False):
              "contaminated": pa.array(np.isin(fps[train], ev_fps),
                                       pa.bool_())})
 
+    from ..rayutil import keyed_colocate
+
     n_parts = max(2, min(8, _hash_partition_count()))
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
-    try:
-        flagged = (
-            base_ds().map_batches(split_rows, batch_format="pyarrow",
-                                  **remote_kwargs())
-            .repartition(n_parts, keys=["fp"])
-            .map_batches(flag_block, batch_format="pyarrow",
-                         batch_size=None, **remote_kwargs())
-            .materialize()
-        )
-    finally:
-        ctx.shuffle_strategy = prev
-    return ray.data.from_arrow_refs(
-        list(flagged.to_arrow_refs())).sort("doc_id")
+    return keyed_colocate(lambda: (
+        base_ds().map_batches(split_rows, batch_format="pyarrow",
+                              **remote_kwargs())
+        .repartition(n_parts, keys=["fp"])
+        .map_batches(flag_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+    )).sort("doc_id")
 
 
 # ------------------------------------------------------ sequence packing

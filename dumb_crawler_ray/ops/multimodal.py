@@ -83,10 +83,17 @@ def block_mean_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     repo's one hot-loop regression, 60 s for 256 images at 256×256
     targets."""
     h, w = arr.shape[:2]
-    if h < out_h or w < out_w:
-        ys = (np.arange(out_h) * h) // out_h
-        xs = (np.arange(out_w) * w) // out_w
-        return arr[np.ix_(ys, xs)]
+    # axes are handled INDEPENDENTLY: a mixed resize (one axis up, one
+    # down) gathers the upscaling axis and still block-means the
+    # downscaling one — decimating a downscale axis would alias
+    if h < out_h:
+        arr = arr[(np.arange(out_h) * h) // out_h]
+        h = out_h
+    if w < out_w:
+        arr = arr[:, (np.arange(out_w) * w) // out_w]
+        w = out_w
+    if h == out_h and w == out_w:
+        return np.ascontiguousarray(arr)
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     row = np.add.reduceat(arr.astype(np.int64), ys[:-1], axis=0)
@@ -718,25 +725,18 @@ def image_semantic_dedup(images_parquet: str, k: int | None = 8,
                                      threshold)
 
     n_partitions = min(_hash_partition_count(), max(2, k))
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
-    try:
+    from ..rayutil import keyed_colocate
+
+    return keyed_colocate(lambda: (
         # `emb` was materialized under the default context: rebuild from
         # its plasma blocks so the keyed repartition plans under the
         # scoped HASH_SHUFFLE strategy
-        mat = (
-            ray.data.from_arrow_refs(list(emb.to_arrow_refs()))
-            .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
-            .repartition(n_partitions, keys=["cluster"])
-            .map_batches(prune, batch_format="pyarrow",
-                         batch_size=None, **remote_kwargs())
-            .materialize()
-        )
-    finally:
-        ctx.shuffle_strategy = prev
-    return ray.data.from_arrow_refs(
-        list(mat.to_arrow_refs())).sort("image_id")
+        ray.data.from_arrow_refs(list(emb.to_arrow_refs()))
+        .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+        .repartition(n_partitions, keys=["cluster"])
+        .map_batches(prune, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+    )).sort("image_id")
 
 
 # ------------------------------------------------ aspect-ratio buckets
@@ -866,6 +866,17 @@ SIZE_MIN_SIDE = 48               # LAION-style minimum short side (px)
 ASPECT_MAX_NUM, ASPECT_MAX_DEN = 3, 2   # max long/short side = 3/2
 
 
+def size_aspect_keep(w: np.ndarray, h: np.ndarray):
+    """(too_small, bad_aspect, keep) masks for int64 (w, h) arrays — the
+    ONLY gate authority (`image_size_filter`, the release sinks and the
+    SQL oracles all share these exact predicates)."""
+    mn = np.minimum(w, h)
+    mx = np.maximum(w, h)
+    too_small = mn < SIZE_MIN_SIDE
+    bad_aspect = mx * ASPECT_MAX_DEN > mn * ASPECT_MAX_NUM
+    return too_small, bad_aspect, ~(too_small | bad_aspect)
+
+
 def image_size_filter(images_parquet: str):
     """LAION-style metadata pre-gate — the FIRST stage of an image
     curation pipeline, run before any byte ever leaves storage: drop
@@ -881,18 +892,15 @@ def image_size_filter(images_parquet: str):
     def gate(t: pa.Table) -> pa.Table:
         w = t.column("w").to_numpy().astype(np.int64)
         h = t.column("h").to_numpy().astype(np.int64)
-        mn = np.minimum(w, h)
-        mx = np.maximum(w, h)
-        too_small = mn < SIZE_MIN_SIDE
-        bad_aspect = mx * ASPECT_MAX_DEN > mn * ASPECT_MAX_NUM
+        too_small, bad_aspect, keep = size_aspect_keep(w, h)
         return pa.table(
             {"image_id": t.column("image_id"),
              "w": pa.array(w, pa.int64()),
              "h": pa.array(h, pa.int64()),
-             "min_side": pa.array(mn, pa.int64()),
+             "min_side": pa.array(np.minimum(w, h), pa.int64()),
              "too_small": pa.array(too_small, pa.bool_()),
              "bad_aspect": pa.array(bad_aspect, pa.bool_()),
-             "keep": pa.array(~(too_small | bad_aspect), pa.bool_())})
+             "keep": pa.array(keep, pa.bool_())})
 
     return ray.data.read_parquet(
         images_parquet, columns=["image_id", "w", "h"]

@@ -166,7 +166,10 @@ def crawl_domain_stats(sf_dir: str):
         g = df.groupby("url_hash", sort=False).agg(
             domain=("domain", "first"), status=("status", "first"),
             is_art=("is_art", "first"))
-        g = g[g["domain"].notna() & g["status"].notna()]
+        # discovered needs only a domain; the status-dependent columns
+        # count 0 for still-pending URLs (a non-drained checkpoint is a
+        # supported state — resume, mid-run inspection)
+        g = g[g["domain"].notna()]
         if not len(g):
             return empty
         fetched = g["status"] == S.PROCESSED
@@ -183,11 +186,11 @@ def crawl_domain_stats(sf_dir: str):
              "failed": pa.array(out["x"].to_numpy(), pa.int64()),
              "stored": pa.array(out["s"].to_numpy(), pa.int64())})
 
+    from ..rayutil import keyed_colocate
+
     n_parts = max(2, min(8, _hash_partition_count()))
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
-    try:
+
+    def build():
         ins = ray.data.read_parquet(
             f"{r.ckpt_dir}/frontier_inserts",
             columns=["url_hash", "domain"],
@@ -196,18 +199,13 @@ def crawl_domain_stats(sf_dir: str):
             f"{r.ckpt_dir}/frontier_updates",
             columns=["url_hash", "status", "tags"],
         ).map_batches(upd_rows, batch_format="pyarrow", **remote_kwargs())
-        parts = (
-            ins.union(upd)
-            .repartition(n_parts, keys=["url_hash"])
-            .map_batches(partial, batch_format="pyarrow", batch_size=None,
-                         **remote_kwargs())
-            .materialize()
-        )
-    finally:
-        ctx.shuffle_strategy = prev
-    batches = list(ray.data.from_arrow_refs(
-        list(parts.to_arrow_refs())
-    ).iter_batches(batch_format="pyarrow", batch_size=None))
+        return (ins.union(upd)
+                .repartition(n_parts, keys=["url_hash"])
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=None, **remote_kwargs()))
+
+    batches = list(keyed_colocate(build).iter_batches(
+        batch_format="pyarrow", batch_size=None))
     merged = pa.concat_tables(batches)
     g = merged.group_by("domain").aggregate(
         [("discovered", "sum"), ("fetched", "sum"), ("failed", "sum"),
@@ -267,11 +265,11 @@ def crawl_politeness_check(sf_dir: str):
              "n_part": pa.array(out.to_numpy().astype("int64"),
                                 pa.int64())})
 
+    from ..rayutil import keyed_colocate
+
     n_parts = max(2, min(8, _hash_partition_count()))
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
-    try:
+
+    def build():
         ins = ray.data.read_parquet(
             f"{r.ckpt_dir}/frontier_inserts",
             columns=["url_hash", "domain"],
@@ -280,18 +278,13 @@ def crawl_politeness_check(sf_dir: str):
             f"{r.ckpt_dir}/order", columns=["url_hash", "round"],
         ).map_batches(order_rows, batch_format="pyarrow",
                       **remote_kwargs())
-        parts = (
-            ins.union(order)
-            .repartition(n_parts, keys=["url_hash"])
-            .map_batches(partial, batch_format="pyarrow", batch_size=None,
-                         **remote_kwargs())
-            .materialize()
-        )
-    finally:
-        ctx.shuffle_strategy = prev
-    batches = list(ray.data.from_arrow_refs(
-        list(parts.to_arrow_refs())
-    ).iter_batches(batch_format="pyarrow", batch_size=None))
+        return (ins.union(order)
+                .repartition(n_parts, keys=["url_hash"])
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=None, **remote_kwargs()))
+
+    batches = list(keyed_colocate(build).iter_batches(
+        batch_format="pyarrow", batch_size=None))
     merged = pa.concat_tables(batches)
     g = merged.group_by(["round", "domain"]).aggregate(
         [("n_part", "sum")]).sort_by(
@@ -2344,7 +2337,7 @@ def build_registry() -> dict[str, tuple]:
     def _ann_index_search_q(sf):
         import os as _os
         base = _os.path.basename(_os.path.abspath(sf))
-        idx = f"/tmp/dcr_ann_index/{base}_c16m8"
+        idx = f"/tmp/dcr_ann_index/{base}_c16m8s{export.DEFAULT_SHARDS}"
         ann.ann_index_export(sf, out_dir=idx)  # resumable build/refresh
         return ann.ann_index_search(sf, idx)
 

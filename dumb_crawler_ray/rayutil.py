@@ -49,3 +49,29 @@ def remote_kwargs() -> dict:
     existing = os.environ.get("PYTHONPATH", "")
     path = parent if not existing else f"{parent}{os.pathsep}{existing}"
     return {"runtime_env": {"env_vars": {"PYTHONPATH": path}}}
+
+
+def keyed_colocate(build_fn):
+    """Run ``build_fn()`` — a Dataset chain containing a keyed
+    ``repartition(keys=...)`` — under a scoped HASH_SHUFFLE
+    DataContext, materialize it, and return a dataset rebuilt from the
+    plasma blocks.
+
+    This is THE mechanism for keyed co-location in this repo, extracted
+    because its two subtleties were each bitten once: (a) datasets
+    capture their DataContext at creation, so the WHOLE chain (reads
+    included) must be constructed inside ``build_fn`` while the scope is
+    active; (b) a dataset materialized under the scoped context must be
+    rebuilt via ``from_arrow_refs`` or downstream operations (sorts,
+    groupbys) plan under the captured HASH_SHUFFLE strategy and can
+    deadlock small clusters."""
+    import ray
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        mat = build_fn().materialize()
+    finally:
+        ctx.shuffle_strategy = prev
+    return ray.data.from_arrow_refs(list(mat.to_arrow_refs()))

@@ -155,9 +155,11 @@ def read_webdataset(out_dir: str):
     model; at 100 TB size n_shards so a shard is one task's worth)."""
     import ray
 
-    shards = sorted(
-        os.path.join(out_dir, f) for f in os.listdir(out_dir)
-        if f.endswith(".tar"))
+    from ..ops.export import manifest_shard_paths
+
+    # manifest-driven: never glob — orphaned tars from a prior export
+    # with a different shard count must not resurrect deleted rows
+    shards = manifest_shard_paths(out_dir, ext=".tar")
 
     def load(t: pa.Table) -> pa.Table:
         # Arrow-table output preserves the schema's exact dtypes
