@@ -463,6 +463,11 @@ def _ivfpq_train(sf_dir: str, n_centroids: int, m_subs: int,
                 np.zeros((m_subs, 1 << pq_bits, 0)), 0)
     sample = _normalize(np.concatenate(mats))
     dim = sample.shape[1]
+    if m_subs <= 0 or dim % m_subs:
+        raise ValueError(
+            f"IVF+PQ requires dim to be divisible by m_subs "
+            f"(dim={dim}, m_subs={m_subs}): trailing dimensions would be "
+            f"silently dropped at encode and crash at search")
     sub = dim // m_subs
     n_codes = 1 << pq_bits
     coarse = _kmeans(sample, n_centroids)

@@ -14,8 +14,11 @@ only collects the n_shards manifest rows). Shard files are sorted by id
 and written tmp-then-`os.replace` (atomic, crash-safe); a shard whose
 (n_docs, fingerprint) matches the previous manifest AND whose file exists
 is SKIPPED — that is the resume path. Fingerprint = XOR of
-md5-64(id ':' length) masked to 63 bits: order-independent,
-content-sensitive, and exactly replayable in DuckDB (`bit_xor`), so the
+md5-64(id ':' content-md5) masked to 63 bits: order-independent,
+genuinely content-sensitive (a same-length content change re-exports the
+shard — the `compact_pages` rule, now uniform across every sink), and
+exactly replayable in DuckDB (`bit_xor`; text digests as `md5(text)`,
+binary as `md5(hex(bytes))` since this DuckDB has no `md5(BLOB)`), so the
 MANIFEST (shard, n_docs, fingerprint) has a full SQL oracle even though
 the op is a sink.
 
@@ -54,10 +57,29 @@ def _shard_of(ids, n_shards: int = DEFAULT_SHARDS) -> np.ndarray:
         dtype=np.int64, count=len(ids))
 
 
-def _fingerprints(ids, lens) -> np.ndarray:
+def _content_digests(values) -> list[str]:
+    """md5 hexdigest of row CONTENT. str digests its utf-8 bytes (DuckDB:
+    `md5(text)`); bytes digest their UPPERCASE hex encoding (DuckDB:
+    `md5(hex(bytes))` — no `md5(BLOB)` in this DuckDB, and `hex()`
+    returns uppercase)."""
+    import hashlib
+
+    out = []
+    for v in values:
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            b = bytes(v).hex().upper().encode("ascii")
+        else:
+            b = v.encode("utf-8")
+        out.append(hashlib.md5(b).hexdigest())
+    return out
+
+
+def _fingerprints(ids, content_digests) -> np.ndarray:
+    """Shard fingerprint terms: md5-64(id ':' content-md5) — identity AND
+    content, so skip-unchanged can never vouch for stale data."""
     from .dedup import _md5_64_batch
 
-    strs = [f"{s}:{int(n)}" for s, n in zip(_id_strs(ids), lens)]
+    strs = [f"{s}:{d}" for s, d in zip(_id_strs(ids), content_digests)]
     return (_md5_64_batch(strs) & np.uint64(FP_MASK)).view(np.int64)
 
 
@@ -199,15 +221,14 @@ def export_corpus(sf_dir: str, out_dir: str | None = None,
         out_dir = f"/tmp/dcr_export/{base}_s{n_shards}"
 
     def assign(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         ids = t.column("doc_id").to_numpy()
-        lens = pc.utf8_length(t.column("text")).to_numpy()
+        digests = _content_digests(t.column("text").to_pylist())
         return pa.table(
             {"doc_id": t.column("doc_id"),
              "text": t.column("text"),
              "source": t.column("source"),
              "shard": pa.array(_shard_of(ids, n_shards), pa.int64()),
-             "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
+             "fp": pa.array(_fingerprints(ids, digests), pa.int64())})
 
     def build():
         return ray.data.read_parquet(
@@ -229,8 +250,8 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
     table materializes first) written as resumable sorted parquet shards
     of (image_id, bytes, w, h, caption) + manifest, via the same
     tmp+rename / skip-unchanged writer as `export_corpus`. Identity =
-    image_id, fingerprint length = octet_length(bytes) (binary content
-    proxy), so re-exports are byte-identical and resume shard-by-shard.
+    image_id, fingerprint content = md5 of the encoded bytes, so
+    re-exports are byte-identical and resume shard-by-shard.
     The decode-side curation ops (quality/alignment/dedup keep-lists)
     compose UPSTREAM by filtering the input table. The manifest is
     fully SQL-checked — same md5-bucket + bit_xor replay as
@@ -245,8 +266,6 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
         out_dir = f"/tmp/dcr_release/images_{base}_s{n_shards}"
 
     def assign(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         w = t.column("w").to_numpy().astype(np.int64)
         h = t.column("h").to_numpy().astype(np.int64)
         _ts, _ba, size_ok = size_aspect_keep(w, h)
@@ -254,7 +273,7 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
         t = t.filter(pa.array(size_ok
                               & cap_ok.to_numpy(zero_copy_only=False)))
         ids = t.column("image_id").to_pylist()
-        lens = pc.binary_length(t.column("bytes")).to_numpy()
+        digests = _content_digests(t.column("bytes").to_pylist())
         return pa.table(
             {"image_id": t.column("image_id"),
              "bytes": t.column("bytes"),
@@ -262,7 +281,7 @@ def export_image_shards(images_parquet: str, out_dir: str | None = None,
              "h": t.column("h"),
              "caption": t.column("caption"),
              "shard": pa.array(_shard_of(ids, n_shards), pa.int64()),
-             "fp": pa.array(_fingerprints(ids, lens), pa.int64())})
+             "fp": pa.array(_fingerprints(ids, digests), pa.int64())})
 
     def build():
         return ray.data.read_parquet(
@@ -408,11 +427,11 @@ def curated_image_release(images_parquet: str, out_dir: str | None = None,
         if len(sub) == 0:
             return empty
         sids = sub.column("image_id").to_pylist()
-        lens = pc.binary_length(sub.column("bytes")).to_numpy()
+        digests = _content_digests(sub.column("bytes").to_pylist())
         return sub.append_column(
             "shard", pa.array(_shard_of(sids, n_shards), pa.int64())
         ).append_column(
-            "fp", pa.array(_fingerprints(sids, lens), pa.int64()))
+            "fp", pa.array(_fingerprints(sids, digests), pa.int64()))
 
     n_co = n_partitions if n_partitions is not None else _hash_partition_count()
 
@@ -438,10 +457,11 @@ def corpus_release(ckpt_dir: str, out_dir: str | None = None,
                    n_shards: int = DEFAULT_SHARDS):
     """The flagship composition's last mile: crawl checkpoint → curated
     corpus (`pipelines/curate.py`) → quality rows only → resumable
-    release shards + manifest. Identity = url_hash, fingerprint length =
-    n_chars (the curated content proxy), so a re-crawl that stores the
-    same latest versions re-releases byte-identical shards and a partial
-    failure resumes shard-by-shard."""
+    release shards + manifest. Identity = url_hash; fingerprint content =
+    the curated row's volatile fields (curate's md5(lower(text))
+    `fingerprint` plus the surviving url and round), so a re-crawl that
+    changes a page's latest version — even at the same length — always
+    re-releases the shard, and a partial failure resumes shard-by-shard."""
     from ..pipelines.curate import curate_corpus
 
     if out_dir is None:
@@ -451,10 +471,14 @@ def corpus_release(ckpt_dir: str, out_dir: str | None = None,
     def assign(t: pa.Table) -> pa.Table:
         t = t.filter(t.column("quality_ok"))
         ids = t.column("url_hash").to_numpy(zero_copy_only=False)
-        lens = t.column("n_chars").to_numpy()
+        digests = _content_digests([
+            f"{fp}:{u}:{int(r)}" for fp, u, r in zip(
+                t.column("fingerprint").to_pylist(),
+                t.column("url").to_pylist(),
+                t.column("round").to_pylist())])
         return t.append_column(
             "shard", pa.array(_shard_of(ids, n_shards), pa.int64())
-        ).append_column("fp", pa.array(_fingerprints(ids, lens), pa.int64()))
+        ).append_column("fp", pa.array(_fingerprints(ids, digests), pa.int64()))
 
     # curate_corpus materializes internally and returns a rebuilt
     # dataset, but map_batches chains must still be planned under the

@@ -987,17 +987,21 @@ def caption_stats(images_parquet: str):
 DEDUP_PLANT_PERIOD = 8  # every 8th image gets an in-flight exact copy
 
 
-def image_exact_dedup(images_parquet: str, n_partitions: int | None = None):
+def image_exact_dedup(images_parquet: str, n_partitions: int | None = None,
+                      plant_period: int = 0):
     """Exact content dedup over the binary image column — the image-side
     X1: group by a fingerprint of the raw encoded bytes, keep the
-    smallest image_id, count copies.
+    smallest image_id, count copies. Generic over ANY image table — no
+    assumption about the id format.
 
-    Non-vacuity: the synthetic table has no exact byte duplicates by
-    construction, so (the `pii_scrub_stats` precedent) rows whose numeric
-    id is divisible by DEDUP_PLANT_PERIOD are duplicated IN-FLIGHT under
+    Non-vacuity (`plant_period` > 0, OFF by default): the synthetic
+    table has no exact byte duplicates by construction, so (the
+    `pii_scrub_stats` precedent) rows whose md5-64(image_id) is
+    divisible by `plant_period` are duplicated IN-FLIGHT under
     `zz-<image_id>` with identical bytes; the SQL oracle applies the
-    identical UNION ALL derivation, so no derived fixture is needed and
-    the `zz-` prefix sorts after `img`, keeping originals as keepers.
+    identical UNION ALL derivation (same md5 pact), so no derived
+    fixture is needed and the `zz-` prefix sorts after `img`, keeping
+    originals as keepers.
 
     Fingerprint = md5 of the lowercase hex encoding of the bytes (this
     DuckDB has no md5(BLOB); `lower(hex(bytes))` is its bytes→text
@@ -1014,14 +1018,19 @@ def image_exact_dedup(images_parquet: str, n_partitions: int | None = None):
 
     from .dedup import _hash_partition_count
 
+    from .dedup import _md5_64_batch
+
     def fp_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        plant = (_md5_64_batch(ids) % np.uint64(plant_period) == 0
+                 if plant_period else np.zeros(len(ids), bool))
         out_ids, fps = [], []
-        for iid, data in zip(t.column("image_id").to_pylist(),
-                             t.column("bytes").to_pylist()):
+        for i, (iid, data) in enumerate(zip(ids,
+                                            t.column("bytes").to_pylist())):
             h = hashlib.md5(data.hex().encode("ascii")).hexdigest()
             out_ids.append(iid)
             fps.append(h)
-            if int(iid[3:]) % DEDUP_PLANT_PERIOD == 0:
+            if plant[i]:
                 out_ids.append("zz-" + iid)
                 fps.append(h)
         return pa.table({"fingerprint": pa.array(fps, pa.string()),
@@ -1062,7 +1071,7 @@ def image_exact_dedup(images_parquet: str, n_partitions: int | None = None):
 # ------------------------------------- aspect-bucketed shard packing
 
 IMG_SHARD_BUDGET = 65536  # bytes per output shard (WebDataset-style)
-IMG_PACK_GROUP = 64       # arithmetic packing group (idx // 64)
+IMG_PACK_GROUP = 64       # target packing-group size (hash-bucketed)
 
 
 def image_shard_pack(images_parquet: str, budget: int = IMG_SHARD_BUDGET,
@@ -1070,58 +1079,73 @@ def image_shard_pack(images_parquet: str, budget: int = IMG_SHARD_BUDGET,
                      n_partitions: int | None = None):
     """Aspect-bucketed training-shard packing: assign every image to an
     output shard of at most `budget` payload bytes, packing greedily in
-    image_id order WITHIN (w, h, idx // group) — the image-side X49.
+    image_id order WITHIN (w, h, grp) — the image-side X49, with
+    grp = md5-64(image_id) % max(1, n_rows // group) (id-format-agnostic;
+    n_rows from parquet METADATA, a corpus property independent of
+    partitioning, so expected group size stays ≈ `group` at any scale).
     Aspect bucketing (all images in a shard share exact (w, h)) is the
     standard multimodal-training batch constraint; the byte budget is the
     WebDataset shard-size constraint. Group membership and in-group order
-    are pure arithmetic — never partition boundaries — so shard
+    are pure id arithmetic — never partition boundaries — so shard
     assignment is identical across cluster sizes and reruns, and a
-    recursive-CTE DuckDB oracle replays the greedy scan exactly.
+    recursive-CTE DuckDB oracle replays the greedy scan exactly (same
+    md5 pact).
 
-    Shape: one map_batches computes (id, idx, w, h, n_bytes, bucket·grp
-    key) — bytes are length-counted, never shipped — → ONE keyed
-    repartition co-locates each (bucket, grp) → block-local lexsort +
-    greedy cumulative scan per segment (≤ `group` rows each). A shard is
-    identified by (w, h, bin_id) with bin_id = grp·1000 + in-group bin,
-    mirroring `filters.greedy_pack` semantics (an over-budget image gets
-    a shard alone)."""
+    Shape: one map_batches computes (id, w, h, n_bytes, grp) — bytes are
+    length-counted, never shipped — → ONE keyed repartition on the REAL
+    key columns (w, h, grp — a packed scalar key collides for h ≥ 1000)
+    co-locates each group → block-local lexsort + greedy cumulative scan
+    per segment. A shard is identified by (w, h, bin_id) with
+    bin_id = grp·1000 + in-group bin, mirroring `filters.greedy_pack`
+    semantics (an over-budget image gets a shard alone)."""
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
     import ray
 
-    from .dedup import _hash_partition_count
+    from .dedup import _hash_partition_count, _md5_64_batch
+
+    n_rows = sum(f.count_rows() for f in
+                 pads.dataset(images_parquet, format="parquet")
+                 .get_fragments())
+    n_groups = max(1, n_rows // group)
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column("image_id")
-        idx = pa.array([int(s[3:]) for s in ids.to_pylist()], pa.int64())
-        w = t.column("w").to_numpy().astype(np.int64)
-        h = t.column("h").to_numpy().astype(np.int64)
-        grp = idx.to_numpy() // group
-        key = (w * 1000 + h) * 100000 + grp
+        w = t.column("w")
+        h = t.column("h")
+        grp = (_md5_64_batch(ids.to_pylist())
+               % np.uint64(n_groups)).astype(np.int64)
         n_bytes = pc.cast(pc.binary_length(t.column("bytes")), pa.int64())
         return pa.table(
-            {"image_id": ids, "idx": idx,
-             "w": t.column("w"), "h": t.column("h"),
+            {"image_id": ids, "w": w, "h": h,
              "n_bytes": n_bytes,
-             "grp": pa.array(grp, pa.int64()),
-             "key": pa.array(key, pa.int64())})
+             "grp": pa.array(grp, pa.int64())})
 
     def pack_block(b: pa.Table) -> pa.Table:
         schema = {"image_id": pa.string(), "w": pa.int32(), "h": pa.int32(),
                   "n_bytes": pa.int64(), "bin_id": pa.int64()}
         if len(b) == 0:
             return pa.table({k: pa.array([], v) for k, v in schema.items()})
-        idx = b.column("idx").to_numpy()
-        key = b.column("key").to_numpy()
+        w = b.column("w").to_numpy().astype(np.int64)
+        h = b.column("h").to_numpy().astype(np.int64)
         grp = b.column("grp").to_numpy()
         nb = b.column("n_bytes").to_numpy()
-        o = np.lexsort((idx, key))
+        # np.lexsort rejects object arrays → integer codes via np.unique
+        _, idc = np.unique(
+            np.asarray(b.column("image_id").to_pylist(), dtype=object),
+            return_inverse=True)
+        o = np.lexsort((idc, grp, h, w))
+        # segment on the REAL (w, h, grp) triple — no packed-key collisions
+        ws, hs, gs = w[o], h[o], grp[o]
+        new_seg = np.concatenate(
+            [[True], (ws[1:] != ws[:-1]) | (hs[1:] != hs[:-1])
+             | (gs[1:] != gs[:-1])])
         bins = np.empty(len(o), dtype=np.int64)
-        prev_key = None
         acc = 0
         cur = 0
         for pos, i in enumerate(o):
-            if key[i] != prev_key:
-                prev_key, acc, cur = key[i], int(nb[i]), 0
+            if new_seg[pos]:
+                acc, cur = int(nb[i]), 0
             elif acc + int(nb[i]) > budget:
                 acc, cur = int(nb[i]), cur + 1
             else:
@@ -1145,7 +1169,7 @@ def image_shard_pack(images_parquet: str, budget: int = IMG_SHARD_BUDGET,
             ray.data.read_parquet(
                 images_parquet, columns=["image_id", "w", "h", "bytes"])
             .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
-            .repartition(n_partitions, keys=["key"])
+            .repartition(n_partitions, keys=["w", "h", "grp"])
             .map_batches(pack_block, batch_format="pyarrow",
                          batch_size=None, **remote_kwargs())
             .materialize()

@@ -161,15 +161,22 @@ def crawl_domain_stats(sf_dir: str):
         if len(b) == 0:
             return empty
         df = b.to_pandas()
-        # the block holds EVERY row of its hashes: collapse per hash
-        # (first non-null of each side), then count per domain
-        g = df.groupby("url_hash", sort=False).agg(
-            domain=("domain", "first"), status=("status", "first"),
-            is_art=("is_art", "first"))
+        # the block holds EVERY row of its hashes: collapse per hash with
+        # ORDER-INDEPENDENT rules (the row order inside a hash-shuffled
+        # block is not deterministic): domain = the unique non-null insert
+        # attribution (re-offers repeat it identically), status = max and
+        # is_art = any over update rows — equal to the single terminal row
+        # today, and still deterministic if retry rows ever relax that
+        # invariant
+        g = (df.loc[df["domain"].notna(), ["url_hash", "domain"]]
+             .drop_duplicates("url_hash").set_index("url_hash"))
+        upd = df[df["status"].notna()]
+        g = g.join(upd.groupby("url_hash")["status"].max())
+        g = g.join(upd.assign(a=upd["is_art"].eq(True))
+                   .groupby("url_hash")["a"].any().rename("is_art"))
         # discovered needs only a domain; the status-dependent columns
         # count 0 for still-pending URLs (a non-drained checkpoint is a
         # supported state — resume, mid-run inspection)
-        g = g[g["domain"].notna()]
         if not len(g):
             return empty
         fetched = g["status"] == S.PROCESSED
@@ -252,9 +259,16 @@ def crawl_politeness_check(sf_dir: str):
         if len(b) == 0:
             return empty
         df = b.to_pandas()
-        g = df.groupby("url_hash", sort=False).agg(
-            domain=("domain", "first"), round=("round", "first"))
-        g = g[g["domain"].notna() & g["round"].notna()]
+        # order-independent: map each FETCH EVENT (order row) to the
+        # hash's unique insert-time domain attribution and count every
+        # event — no per-hash collapse, so a hash fetched in several
+        # rounds (retries) counts once per round, and block row order
+        # cannot influence the result
+        dom = (df.loc[df["domain"].notna(), ["url_hash", "domain"]]
+               .drop_duplicates("url_hash").set_index("url_hash")["domain"])
+        g = df.loc[df["round"].notna(), ["url_hash", "round"]].copy()
+        g["domain"] = g["url_hash"].map(dom)
+        g = g[g["domain"].notna()]
         if not len(g):
             return empty
         out = g.assign(n=1).groupby(["round", "domain"])["n"].sum()
@@ -655,15 +669,18 @@ SELECT * FROM curated ORDER BY url_hash
 """
     # corpus_release: the flagship's release manifest — curated quality
     # rows through the export writer's md5-bucket + bit_xor fingerprint
-    # pact (identity url_hash, length n_chars), same replay as the
-    # export_corpus / export_image_shards oracles
+    # pact (identity url_hash, content = the curated row's volatile
+    # fields: curate's md5(lower(text)) fingerprint + surviving url +
+    # round), same replay as the export_corpus / export_image_shards
+    # oracles
     release_sql = curated_core + f"""
 SELECT CAST(('0x' || substr(md5(url_hash), 1, 8)) AS BIGINT)
            % {DEFAULT_SHARDS} AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(bit_xor(
            CAST(('0x' || substr(md5(url_hash || ':' ||
-                                CAST(n_chars AS VARCHAR)),
+                                md5(fingerprint || ':' || url || ':' ||
+                                    CAST(round AS VARCHAR))),
                                 1, 16)) AS UBIGINT)
            & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
            AS fingerprint
@@ -1522,12 +1539,14 @@ def build_registry() -> dict[str, tuple]:
 
     # image-side X1: exact byte-content dedup with in-flight planted
     # duplicates (pii_scrub_stats precedent — the identical UNION ALL
-    # derivation in SQL, so no derived fixture); fingerprint pact is
+    # derivation in SQL, so no derived fixture; plant selection is the
+    # id-format-agnostic md5-64 pact); fingerprint pact is
     # md5(lower(hex(bytes))) == hashlib.md5(bytes.hex()) (no md5(BLOB)
     # in this DuckDB)
     reg["image_exact_dedup"] = (
         lambda sf: multimodal.image_exact_dedup(
-            f"{_fixture_dir()}/images.parquet"),
+            f"{_fixture_dir()}/images.parquet",
+            plant_period=multimodal.DEDUP_PLANT_PERIOD),
         f"""
         WITH base AS (
             SELECT image_id, bytes FROM read_parquet('{_IMAGES_PQ}')
@@ -1535,7 +1554,7 @@ def build_registry() -> dict[str, tuple]:
             SELECT image_id, bytes FROM base
             UNION ALL
             SELECT 'zz-' || image_id, bytes FROM base
-            WHERE CAST(substr(image_id, 4) AS BIGINT)
+            WHERE CAST(('0x' || substr(md5(image_id), 1, 16)) AS UBIGINT)
                       % {multimodal.DEDUP_PLANT_PERIOD} = 0
         )
         SELECT md5(lower(hex(bytes))) AS fingerprint,
@@ -1546,9 +1565,11 @@ def build_registry() -> dict[str, tuple]:
     )
 
     # image-side X49: aspect-bucketed byte-budget shard packing; the
-    # recursive CTE replays the greedy scan per (w, h, idx // group)
-    # exactly (an over-budget image starts, and may overflow, its own
-    # shard — same CASE arithmetic both sides)
+    # recursive CTE replays the greedy scan per (w, h, grp) exactly,
+    # with grp = md5-64(image_id) % max(1, n_rows // group) — the same
+    # id-format-agnostic pact as the Python side (an over-budget image
+    # starts, and may overflow, its own shard — same CASE arithmetic
+    # both sides)
     reg["image_shard_pack"] = (
         lambda sf: multimodal.image_shard_pack(
             f"{_fixture_dir()}/images.parquet"),
@@ -1556,8 +1577,13 @@ def build_registry() -> dict[str, tuple]:
         WITH RECURSIVE d AS (
             SELECT image_id, w, h,
                    CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
-                   CAST(substr(image_id, 4) AS BIGINT)
-                       // {multimodal.IMG_PACK_GROUP} AS grp
+                   CAST(CAST(('0x' || substr(md5(image_id), 1, 16))
+                             AS UBIGINT)
+                        % (SELECT CAST(greatest(
+                               count(*) // {multimodal.IMG_PACK_GROUP}, 1)
+                               AS UBIGINT)
+                           FROM read_parquet('{_IMAGES_PQ}'))
+                        AS BIGINT) AS grp
             FROM read_parquet('{_IMAGES_PQ}')
         ), seq AS (
             SELECT *, row_number() OVER (PARTITION BY w, h, grp
@@ -2103,7 +2129,7 @@ def build_registry() -> dict[str, tuple]:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(bit_xor(
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                                        CAST(length(text) AS VARCHAR)),
+                                        md5(text)),
                                         1, 16)) AS UBIGINT)
                    & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
                    AS fingerprint
@@ -2124,8 +2150,7 @@ def build_registry() -> dict[str, tuple]:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(bit_xor(
                    CAST(('0x' || substr(md5(image_id || ':' ||
-                                        CAST(octet_length(bytes)
-                                             AS VARCHAR)),
+                                        md5(hex(bytes))),
                                         1, 16)) AS UBIGINT)
                    & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
                    AS fingerprint
@@ -2141,7 +2166,7 @@ def build_registry() -> dict[str, tuple]:
             f"{_fixture_dir()}/images.parquet"),
         f"""
         WITH kept AS (
-            SELECT image_id, octet_length(bytes) AS blen
+            SELECT image_id, md5(hex(bytes)) AS cdig
             FROM read_parquet('{_IMAGES_PQ}')
             WHERE least(w, h) >= {multimodal.SIZE_MIN_SIDE}
               AND greatest(w, h) * {multimodal.ASPECT_MAX_DEN}
@@ -2158,8 +2183,7 @@ def build_registry() -> dict[str, tuple]:
                    % {export.DEFAULT_SHARDS} AS shard,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(bit_xor(
-                   CAST(('0x' || substr(md5(image_id || ':' ||
-                                        CAST(blen AS VARCHAR)),
+                   CAST(('0x' || substr(md5(image_id || ':' || cdig),
                                         1, 16)) AS UBIGINT)
                    & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
                    AS fingerprint

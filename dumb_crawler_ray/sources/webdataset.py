@@ -68,13 +68,12 @@ def export_webdataset(images_parquet: str, out_dir: str | None = None,
                       n_partitions: int | None = None,
                       n_shards: int | None = None) -> pa.Table:
     """Image table → WebDataset tar shards + manifest, resumable (the
-    `export_sharded` skip-unchanged pact; fingerprint length =
-    octet_length(bytes), same as the parquet image sink)."""
-    import pyarrow.compute as pc
+    `export_sharded` skip-unchanged pact; fingerprint content = md5 of
+    the encoded bytes, same as the parquet image sink)."""
     import ray
 
-    from ..ops.export import (DEFAULT_SHARDS, _fingerprints, _shard_of,
-                              export_sharded)
+    from ..ops.export import (DEFAULT_SHARDS, _content_digests,
+                              _fingerprints, _shard_of, export_sharded)
 
     if n_shards is None:
         n_shards = DEFAULT_SHARDS
@@ -85,11 +84,11 @@ def export_webdataset(images_parquet: str, out_dir: str | None = None,
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t.column("image_id").to_pylist()
-        lens = pc.binary_length(t.column("bytes")).to_numpy()
+        digests = _content_digests(t.column("bytes").to_pylist())
         return t.append_column(
             "shard", pa.array(_shard_of(ids, n_shards), pa.int64())
         ).append_column(
-            "fp", pa.array(_fingerprints(ids, lens), pa.int64()))
+            "fp", pa.array(_fingerprints(ids, digests), pa.int64()))
 
     def build():
         return ray.data.read_parquet(

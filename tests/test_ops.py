@@ -1719,22 +1719,30 @@ def test_caption_stats_truth_table(ray_session):
 
 
 def test_image_exact_dedup_invariants(ray_session):
-    """Planted in-flight duplicates (idx % PLANT_PERIOD == 0) form exactly
-    the 2-copy groups, every keeper is an original (zz- sorts after img),
-    and distinct source images never merge."""
+    """Planted in-flight duplicates (md5-64(id) % PLANT_PERIOD == 0) form
+    exactly the 2-copy groups, every keeper is an original (zz- sorts
+    after img), distinct source images never merge, and planting is OFF
+    by default (generic op, no fixture coupling)."""
+    import numpy as np
+
+    from dumb_crawler_ray.ops.dedup import _md5_64_batch
     from dumb_crawler_ray.ops.multimodal import (DEDUP_PLANT_PERIOD,
                                                  image_exact_dedup)
     from dumb_crawler_ray.ops.registry import _fixture_dir
     from dumb_crawler_ray.sources.synthweb import n_images
 
-    df = to_df(image_exact_dedup(f"{_fixture_dir()}/images.parquet"))
+    path = f"{_fixture_dir()}/images.parquet"
+    df = to_df(image_exact_dedup(path, plant_period=DEDUP_PLANT_PERIOD))
     n = n_images(4)
     assert len(df) == n                       # one group per source image
     assert not df["keep_id"].str.startswith("zz-").any()
+    ids = df["keep_id"].tolist()
+    planted = _md5_64_batch(ids) % np.uint64(DEDUP_PLANT_PERIOD) == 0
     dup = df[df["n_copies"] == 2]
-    assert len(dup) == len(range(0, n, DEDUP_PLANT_PERIOD))
-    assert (dup["keep_id"].str[3:].astype(int) % DEDUP_PLANT_PERIOD == 0).all()
+    assert set(dup["keep_id"]) == set(np.asarray(ids, object)[planted])
     assert (df["n_copies"] <= 2).all()
+    plain = to_df(image_exact_dedup(path))    # default: no planting
+    assert len(plain) == n and (plain["n_copies"] == 1).all()
 
 
 def test_image_shard_pack_invariants(ray_session):
