@@ -80,6 +80,7 @@ class CrawlPipeline:
         fetch_mode: str = "actors",
         fetch_threads: int = 1,
         stop_flag_path: str | None = None,
+        result_lists: bool = True,
     ):
         self.fixture_dir = str(fixture_dir)
         self.cfg = config if isinstance(config, JobConfig) else JobConfig(config)
@@ -97,11 +98,16 @@ class CrawlPipeline:
         self.comp = S.CrawlComponents(self.cfg)
         self.counters: Counter = Counter()
         self.stats: Counter = Counter()  # engine-internal, not reference counters
+        # result_lists=True (tests, small crawls) keeps the ordered
+        # crawl_order / stored_* lists in driver memory for the
+        # CrawlResult contract; at production scale pass False — identity
+        # already lives in the checkpoint (order/ pages/ images/ tables)
+        # and the driver then holds NO per-URL state at all (membership
+        # is on the shards, dedup pre-filter is the bloom).
+        self.result_lists = result_lists
         self.crawl_order: list[str] = []
         self.stored_pages: list[str] = []
         self.stored_images: list[str] = []
-        self._stored_hashes: set[str] = set()
-        self._stored_image_ids: set[str] = set()
         self.round = 0
         self.resume = resume
         self.fetch_mode = fetch_mode
@@ -399,7 +405,8 @@ class CrawlPipeline:
             errors = fr.column("error").to_pylist()
             attempts = fr.column("attempt").to_numpy() + 1
             ranks = fr.column("rank").to_pylist()
-            self.crawl_order.extend(hashes)
+            if self.result_lists:
+                self.crawl_order.extend(hashes)
             order_rows = [(self.round, r, h) for r, h in zip(ranks, hashes)]
             self.counters["MAX_ATTEMPT_COUNT_REACHED"] += int(
                 (attempts >= maxa).sum()
@@ -426,21 +433,21 @@ class CrawlPipeline:
             self.counters["UNSAVED_PAGES"] += n_ok - len(st_idx)
             if len(st_idx):
                 img_lists = fr.column("image_ids").take(pa.array(st_idx)).to_pylist()
-                for j, i in enumerate(st_idx):
-                    h = hashes[i]
-                    if h not in self._stored_hashes:
-                        self._stored_hashes.add(h)
-                        self.counters["NEW_SAVED_PAGES"] += 1
-                        self.stored_pages.append(h)
-                    else:
-                        self.counters["UPDATED_PAGES"] += 1
-                    for iid in img_lists[j]:
-                        if iid in self._stored_image_ids:
-                            self.counters["DUP_IMAGE_REFS"] += 1
-                        else:
-                            self._stored_image_ids.add(iid)
-                            self.counters["SAVED_IMAGES"] += 1
-                            self.stored_images.append(iid)
+                st_hashes = [hashes[i] for i in st_idx]
+                doms = fr.column("domain").to_pylist()
+                page_new, flat_imgs, img_new = self._note_stored(
+                    st_hashes, [doms[i] for i in st_idx], img_lists)
+                n_new = int(page_new.sum())
+                self.counters["NEW_SAVED_PAGES"] += n_new
+                self.counters["UPDATED_PAGES"] += len(st_hashes) - n_new
+                n_new_img = int(img_new.sum())
+                self.counters["SAVED_IMAGES"] += n_new_img
+                self.counters["DUP_IMAGE_REFS"] += len(flat_imgs) - n_new_img
+                if self.result_lists:
+                    self.stored_pages.extend(
+                        h for h, f in zip(st_hashes, page_new) if f)
+                    self.stored_images.extend(
+                        i for i, f in zip(flat_imgs, img_new) if f)
                 n_img_err = int(
                     pc.sum(fr.column("image_errors").take(pa.array(st_idx))).as_py()
                     or 0
@@ -483,6 +490,39 @@ class CrawlPipeline:
         )
         if len(cand):
             self._insert_candidates(cand)
+
+    def _note_stored(self, st_hashes, st_domains, img_lists):
+        """Route this round's stored pages/images to their owning frontier
+        shards and collect was-NEW flags (the distributed NEW-vs-UPDATED /
+        SAVED-vs-DUP decision — the driver holds no cross-round membership
+        sets and touches only O(round) bools). Flat image order is page
+        order, so within-round duplicates resolve like the oracle's
+        sequential loop (each id routes to ONE shard, preserving order)."""
+        import ray
+
+        from ..state.frontier import image_shard_of_batch
+
+        flat_imgs = [iid for lst in img_lists for iid in lst]
+        page_sids = self._route(st_domains,
+                                np.asarray(st_hashes, dtype=object))
+        img_sids = image_shard_of_batch(flat_imgs, self.n_shards)
+        pending = []
+        for sid in range(self.n_shards):
+            p_idx = np.flatnonzero(page_sids == sid)
+            i_idx = np.flatnonzero(img_sids == sid)
+            if len(p_idx) == 0 and len(i_idx) == 0:
+                continue
+            ref = self.shards[sid].note_stored.remote(
+                [st_hashes[i] for i in p_idx],
+                [flat_imgs[i] for i in i_idx])
+            pending.append((p_idx, i_idx, ref))
+        page_new = np.zeros(len(st_hashes), dtype=bool)
+        img_new = np.zeros(len(flat_imgs), dtype=bool)
+        for (p_idx, i_idx, _), d in zip(pending,
+                                        ray.get([r for _, _, r in pending])):
+            page_new[p_idx] = d["page_new"]
+            img_new[i_idx] = d["image_new"]
+        return page_new, flat_imgs, img_new
 
     # ---------------------------------------------------------- lineage
 
@@ -570,13 +610,15 @@ class CrawlPipeline:
         self._ckpt_lineage()
         if not self.ckpt_dir:
             return
+        # O(1)-size manifest (counters + committed round only): stored-page
+        # identity lives in the per-round pages/images fragments and the
+        # order table; membership lives on the frontier shards. A 10^8-page
+        # crawl commits the same few KB every round.
         manifest = {
             "round": self.round,
             "seed": self.seed,
             "scale": self.scale,
             "counters": dict(self.counters),
-            "stored_pages": self.stored_pages,
-            "stored_images": self.stored_images,
             "n_shards": self.n_shards,
             # the job config rides in the manifest so checkpoint consumers
             # (inspect_cli import-warc) hash urls with the SAME
@@ -590,24 +632,34 @@ class CrawlPipeline:
 
     def _ckpt_clean_uncommitted(self, committed_round: int):
         """Drop fragments from rounds after the last committed manifest."""
+        from ..state.ckptio import remove_round, round_of
+
         for sub in ("pages", "images", "pages_failed"):
             base = self._ckpt_path(sub)
             if not os.path.isdir(base):
                 continue
             for name in os.listdir(base):
-                if name.startswith("round=") and int(name.split("=")[1]) > committed_round:
+                if name.startswith("round=") and round_of(name) > committed_round:
                     shutil.rmtree(os.path.join(base, name))
         for sub in ("frontier_inserts", "frontier_updates", "order", "lineage"):
             base = self._ckpt_path(sub)
             if not os.path.isdir(base):
                 continue
             for name in os.listdir(base):
-                rnd = int(name.split("=")[1].split(".")[0])
-                if rnd > committed_round:
-                    os.remove(os.path.join(base, name))
+                if round_of(name) > committed_round:
+                    remove_round(os.path.join(base, name))
 
     def _ckpt_restore(self) -> bool:
-        """Rebuild driver + shard state from the last committed manifest."""
+        """Rebuild driver + shard state from the last committed manifest.
+
+        DISTRIBUTED: each frontier shard replays its own keyed partition
+        of the delta files in parallel (`FrontierShardState
+        .restore_from_ckpt` — inserts through the live path, so robots
+        denial and the pinned first-offer-wins rule re-apply exactly);
+        the driver rebuilds only its bloom (one compact hash64 array per
+        shard) and — when `result_lists` is on — the ordered result lists
+        from the order/pages/images tables. Restore wall-time is
+        O(history / n_shards) per shard, flat in driver memory."""
         import ray
 
         mpath = self._ckpt_path("manifest.json")
@@ -618,78 +670,49 @@ class CrawlPipeline:
         committed = manifest["round"]
         self._ckpt_clean_uncommitted(committed)
         self.counters = Counter(manifest["counters"])
-        self.stored_pages = list(manifest["stored_pages"])
-        self.stored_images = list(manifest["stored_images"])
-        self._stored_hashes = set(self.stored_pages)
-        self._stored_image_ids = set(self.stored_images)
         self.round = committed + 1
-        # replay frontier deltas in round order
-        records: dict[str, list] = {}
-        idir = self._ckpt_path("frontier_inserts")
-        udir = self._ckpt_path("frontier_updates")
-        rounds = sorted(
-            int(n.split("=")[1].split(".")[0])
-            for n in (os.listdir(idir) if os.path.isdir(idir) else [])
-        )
-        for rnd in rounds:
-            t = pq.read_table(os.path.join(idir, f"round={rnd:06d}.parquet")).to_pylist()
-            for r in t:
-                if r["url_hash"] not in records:
-                    records[r["url_hash"]] = [
-                        r["url"], r["domain"], list(r["tags"]), int(r["priority"]),
-                        S.QUEUED, 0, None, len(records),
-                    ]
-        urounds = sorted(
-            int(n.split("=")[1].split(".")[0])
-            for n in (os.listdir(udir) if os.path.isdir(udir) else [])
-        )
-        for rnd in urounds:
-            t = pq.read_table(os.path.join(udir, f"round={rnd:06d}.parquet")).to_pylist()
-            for r in t:
-                rec = records[r["url_hash"]]
-                rec[4] = int(r["status"])
-                rec[6] = r["error"]
-                rec[2] = list(r["tags"])
-                rec[5] = int(r["attempt"])
-        # re-apply robots denial (insert-time in live path)
-        if self.cfg.respect_robots:
-            from ..sources.synthweb import robots_disallow
-
-            for rec in records.values():
-                if rec[4] == S.QUEUED and S.robots_denied(rec[0], robots_disallow(rec[1])):
-                    rec[4] = S.FAILED
-                    rec[6] = S.ROBOTS_ERROR
-        # crawl order replay
-        odir = self._ckpt_path("order")
-        self.crawl_order = []
-        for rnd in sorted(
-            int(n.split("=")[1].split(".")[0])
-            for n in (os.listdir(odir) if os.path.isdir(odir) else [])
-        ):
-            t = pq.read_table(os.path.join(odir, f"round={rnd:06d}.parquet"))
-            self.crawl_order.extend(t.column("url_hash").to_pylist())
-        # distribute to shards (PROCESSING rows requeue on restore)
-        hashes = list(records.keys())
-        shard_ids = self._route([records[h][1] for h in hashes], hashes)
-        refs = []
-        for sid in range(self.n_shards):
-            hs = [hashes[i] for i in np.flatnonzero(shard_ids == sid)]
-            rows = {
-                "url_hash": hs,
-                "url": [records[h][0] for h in hs],
-                "domain": [records[h][1] for h in hs],
-                "tags": [records[h][2] for h in hs],
-                "priority": [records[h][3] for h in hs],
-                "status": [records[h][4] for h in hs],
-                "attempt": [records[h][5] for h in hs],
-                "error": [records[h][6] for h in hs],
-                "seq": [records[h][7] for h in hs],
-            }
-            refs.append(self.shards[sid].restore.remote(rows))
-        ray.get(refs)
-        if hashes:
-            self.bloom.add_many(hash64_batch(hashes))
+        ray.get([
+            s.restore_from_ckpt.remote(self.ckpt_dir, self.n_shards,
+                                       self.hot_domains)
+            for s in self.shards
+        ])
+        for arr in ray.get([s.record_hash64.remote() for s in self.shards]):
+            if len(arr):
+                self.bloom.add_many(arr)
+        if self.result_lists:
+            self._restore_result_lists()
         return True
+
+    def _restore_result_lists(self):
+        """Ordered crawl_order / stored_pages / stored_images for the
+        CrawlResult contract, derived from the checkpoint tables (the
+        manifest carries none of them). Store order within a round is
+        rank order; rows sharing a rank (one page's images) live in one
+        fragment, so a STABLE sort preserves their intra-page order."""
+        from ..state.ckptio import read_round, round_entries
+
+        self.crawl_order = []
+        for _rnd, path in round_entries(self._ckpt_path("order")):
+            t = read_round(path)
+            self.crawl_order.extend(t.column("url_hash").to_pylist())
+
+        def first_occurrence(base: str, col: str) -> list:
+            out: list = []
+            seen: set = set()
+            for _rnd, path in round_entries(base):
+                t = read_round(path, columns=[col, "rank"])
+                order = np.argsort(t.column("rank").to_numpy(), kind="stable")
+                for v in np.asarray(t.column(col).to_pylist(),
+                                    dtype=object)[order]:
+                    if v not in seen:
+                        seen.add(v)
+                        out.append(v)
+            return out
+
+        self.stored_pages = first_occurrence(self._ckpt_path("pages"),
+                                             "url_hash")
+        self.stored_images = first_occurrence(self._ckpt_path("images"),
+                                              "image_id")
 
     # --------------------------------------------------------------- run
 

@@ -52,6 +52,19 @@ def shard_of_batch(domains, url_hashes, n_shards: int, hot_domains: frozenset) -
     return (hash64_batch(keys) % n_shards).astype(np.int64)
 
 
+def image_shard_of_batch(image_ids, n_shards: int) -> np.ndarray:
+    """Shard routing for the distributed stored-image set — plain
+    hash64(image_id) (images have no domain affinity). MUST be the one
+    routing used by both the live store path and checkpoint restore."""
+    from ..functions.urlhash import hash64_batch
+
+    if not isinstance(image_ids, np.ndarray):
+        image_ids = np.asarray(list(image_ids), dtype=object)
+    if len(image_ids) == 0:
+        return np.empty(0, dtype=np.int64)
+    return (hash64_batch(image_ids) % n_shards).astype(np.int64)
+
+
 class FrontierShardState:
     """Pure-Python shard state; wrapped by the Ray actor below. Testable
     without a Ray runtime."""
@@ -65,6 +78,14 @@ class FrontierShardState:
         self.counters: Counter = Counter()
         self.robots_cache: dict[str, list[str]] = {}
         self._seq = 0
+        # distributed stored-membership (SURVEY.md ST4 / verdict r3 #1):
+        # NEW-vs-UPDATED page and SAVED-vs-DUP image decisions live on the
+        # shards, not the driver — the driver handles O(round) bools per
+        # round and the manifest stays constant-size in crawl length.
+        # Pages route like records (by domain, hot-salted); images route
+        # by hash64(image_id) — an independent distributed set.
+        self.stored_pages: set[str] = set()
+        self.stored_images: set[str] = set()
 
     # ------------------------------------------------------------- insert
 
@@ -215,6 +236,111 @@ class FrontierShardState:
                 n += 1
         return n
 
+    # ---------------------------------------------- stored membership
+
+    def note_stored(self, page_hashes: list[str], image_ids: list[str]) -> dict:
+        """Record stored pages/images routed to this shard, returning
+        was-NEW flags in input order (the reference's NEW_SAVED vs
+        UPDATED_PAGES and SAVED_IMAGES vs DUP_IMAGE_REFS decisions,
+        WarcStorageManager.java:59-75 — distributed). Input order is the
+        round's store order, so within-call duplicates resolve exactly
+        like the sequential oracle."""
+        page_new = []
+        for h in page_hashes:
+            new = h not in self.stored_pages
+            if new:
+                self.stored_pages.add(h)
+            page_new.append(new)
+        image_new = []
+        for i in image_ids:
+            new = i not in self.stored_images
+            if new:
+                self.stored_images.add(i)
+            image_new.append(new)
+        return {"page_new": page_new, "image_new": image_new}
+
+    # ------------------------------------------------------- restore
+
+    def record_hash64(self) -> np.ndarray:
+        """hash64 of every record key — the driver rebuilds its global
+        bloom from these (one compact int64 array per shard) instead of
+        re-reading the insert history."""
+        from ..functions.urlhash import hash64_batch
+
+        hs = list(self.records.keys())
+        return hash64_batch(hs) if hs else np.empty(0, dtype=np.int64)
+
+    def restore_from_ckpt(self, ckpt_dir: str, n_shards: int,
+                          hot_domains: frozenset) -> int:
+        """Distributed resume: THIS shard replays its own keyed partition
+        of the checkpoint's delta files — inserts in round order through
+        the live `insert_candidates` path (robots denial re-applies
+        exactly), then updates filtered to owned records, then stored
+        membership from the data-plane fragments. The driver never
+        materializes the frontier history; each shard reads from shared
+        storage in parallel. Restore wall-time per shard is O(history /
+        n_shards) row work over column-pruned reads."""
+        import os
+
+        from ..functions.urlhash import hash64_batch
+        from .ckptio import read_round, round_entries
+
+        n_rows = 0
+        for _rnd, path in round_entries(
+                os.path.join(ckpt_dir, "frontier_inserts")):
+            t = read_round(path)
+            hashes = np.asarray(t.column("url_hash").to_pylist(),
+                                dtype=object)
+            sids = shard_of_batch(t.column("domain").to_pylist(), hashes,
+                                  n_shards, hot_domains)
+            idx = np.flatnonzero(sids == self.shard_id)
+            if not len(idx):
+                continue
+            import pyarrow as pa
+
+            sub = t.take(pa.array(idx))
+            h64 = hash64_batch(hashes[idx])
+            sub = sub.append_column("hash64", pa.array(h64, pa.int64()))
+            self.insert_candidates(sub)
+            n_rows += len(idx)
+        for _rnd, path in round_entries(
+                os.path.join(ckpt_dir, "frontier_updates")):
+            t = read_round(path)
+            rows = {
+                "url_hash": t.column("url_hash").to_pylist(),
+                "status": t.column("status").to_pylist(),
+                "error": t.column("error").to_pylist(),
+                "tags": t.column("tags").to_pylist(),
+                "attempt": t.column("attempt").to_pylist(),
+            }
+            keep = [i for i, h in enumerate(rows["url_hash"])
+                    if h in self.records]
+            if not keep:
+                continue
+            self.complete({k: [v[i] for i in keep] for k, v in rows.items()})
+        # stored membership: pages are owned iff their record is (same
+        # routing); images route by hash64(image_id) % n_shards
+        pages_base = os.path.join(ckpt_dir, "pages")
+        if os.path.isdir(pages_base):
+            for name in os.listdir(pages_base):
+                t = read_round(os.path.join(pages_base, name),
+                               columns=["url_hash"])
+                for h in t.column("url_hash").to_pylist():
+                    if h in self.records:
+                        self.stored_pages.add(h)
+        images_base = os.path.join(ckpt_dir, "images")
+        if os.path.isdir(images_base):
+            for name in os.listdir(images_base):
+                t = read_round(os.path.join(images_base, name),
+                               columns=["image_id"])
+                ids = np.asarray(t.column("image_id").to_pylist(),
+                                 dtype=object)
+                if len(ids):
+                    own = image_shard_of_batch(ids, n_shards) == self.shard_id
+                    self.stored_images.update(ids[own].tolist())
+        self.requeue_orphans()
+        return n_rows
+
     # ------------------------------------------------------ observability
 
     def status_counts(self) -> dict:
@@ -292,6 +418,16 @@ def make_frontier_actor():
 
         def requeue_orphans(self):
             return self.state.requeue_orphans()
+
+        def note_stored(self, page_hashes, image_ids):
+            return self.state.note_stored(page_hashes, image_ids)
+
+        def record_hash64(self):
+            return self.state.record_hash64()
+
+        def restore_from_ckpt(self, ckpt_dir, n_shards, hot_domains):
+            return self.state.restore_from_ckpt(ckpt_dir, n_shards,
+                                                hot_domains)
 
         def status_counts(self):
             return self.state.status_counts()

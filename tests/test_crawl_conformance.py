@@ -62,6 +62,33 @@ def test_determinism_across_parallelism(ray_session, fix4):
         assert_match(res, orc)
 
 
+def test_result_lists_off_scale_mode(ray_session, fix4):
+    """result_lists=False (production scale): the driver keeps NO per-URL
+    state — counters and the seen set still match the oracle exactly;
+    identity lives in the checkpoint, which must agree with the oracle's
+    stored set."""
+    import pyarrow.dataset as pads
+
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        res = CrawlPipeline(
+            fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+            fetch_concurrency=2, ckpt_dir=ckpt, result_lists=False,
+        ).run()
+        assert res.crawl_order == [] and res.stored_pages == []
+        assert res.seen_set == orc.seen_set
+        assert res.counters == orc.counters
+        pages = pads.dataset(f"{ckpt}/pages", format="parquet").to_table(
+            columns=["url_hash"])
+        assert set(pages.column("url_hash").to_pylist()) == set(orc.stored_pages)
+        order = pads.dataset(f"{ckpt}/order", format="parquet").to_table()
+        order = order.sort_by([("round", "ascending"), ("rank", "ascending")])
+        assert order.column("url_hash").to_pylist() == orc.crawl_order
+
+
 def test_politeness_budget_conformance(ray_session, fix4):
     cfg = dict(DEFAULT_CONFIG)
     cfg["politeness"] = {"delay_ms": 0, "max_per_domain_per_round": 2}

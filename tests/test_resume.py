@@ -61,6 +61,16 @@ def test_resume_equals_uninterrupted(ray_session, fix4, tmp_path):
     assert res_resumed.stored_pages == orc.stored_pages
     assert res_resumed.stored_images == orc.stored_images
 
+    # checkpoint commit is O(round), not O(history): the manifest carries
+    # counters + round only — no per-URL lists — so its size is constant
+    # in crawl length (the full crawl stored hundreds of pages; a manifest
+    # embedding them would be tens of KB)
+    import json
+
+    m_full = json.loads((full_ckpt / "manifest.json").read_text())
+    assert "stored_pages" not in m_full and "stored_images" not in m_full
+    assert os.path.getsize(full_ckpt / "manifest.json") < 4096
+
     # the data plane checkpoint agrees with the logical result
     pages = pa.concat_tables(_read_rounds(str(part_ckpt / "pages")))
     assert set(pages.column("url_hash").to_pylist()) == set(orc.stored_pages)
