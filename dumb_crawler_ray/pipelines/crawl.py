@@ -21,12 +21,18 @@ candidate columns, counters. All heavy payloads stay in the workers.
 
 Scale levers (100 TB / 10^10-URL design): shard count P, scheduler batch
 k, fetch actor pool size, per-domain cap; the by-domain partitioning key is
-reused for politeness, robots caching and the seen-set so no stage needs a
-second shuffle. Candidate dedup is driver-side merge here because volume
-per round is O(k·links); at larger k it swaps for
-``ray.data.Dataset.groupby(url_hash)`` with the same pinned first-by-
-(rank, idx) merge — see ``dedup_candidates_dataset`` in stages (same
-semantics, exercised in tests).
+reused for politeness, robots caching, the seen-set AND candidate dedup so
+no stage needs a second shuffle. Candidate ingestion has two wired modes
+(`candidate_mode`, default `auto` gated on round volume): `driver` —
+flatten + dedup + route on the driver, cheap for O(k·links) rounds — and
+`dataset` — workers pre-partition their candidate tables by owning shard
+into the object store and each shard ingests its refs directly
+(`FrontierShardState.ingest_candidate_refs`), so on a multi-node cluster
+discovered links go worker → store → shard without touching the driver
+NIC; the driver sees only counter deltas and compact hash64 arrays for
+its global bloom. Both modes are conformance-tested against the oracle.
+(The ops-layer ``dedup_candidates_dataset`` keeps the explicit
+groupby-shuffle form of the same merge for dataset pipelines.)
 """
 
 from __future__ import annotations
@@ -81,6 +87,7 @@ class CrawlPipeline:
         fetch_threads: int = 1,
         stop_flag_path: str | None = None,
         result_lists: bool = True,
+        candidate_mode: str | None = None,
     ):
         self.fixture_dir = str(fixture_dir)
         self.cfg = config if isinstance(config, JobConfig) else JobConfig(config)
@@ -123,6 +130,20 @@ class CrawlPipeline:
         self._lineage_acc: dict[int, dict] = {}
         self._round_wall_ms = 0
         self.bloom = BloomFilter(capacity=max(1 << 14, 64 * 40 * scale), fpp=0.01)
+        # candidate ingestion mode (verdict r3 #2): 'driver' = flatten +
+        # dedup + route on the driver (cheap for O(k·links) rounds);
+        # 'dataset' = candidates never cross the driver — workers ray.put
+        # flat candidate tables, a keyed repartition dedups them, and the
+        # blocks ingest straight into the owning shards (only hash64s +
+        # per-shard counter deltas return). 'auto' switches to the dataset
+        # path when the previous round's candidate volume crosses the
+        # threshold — round size IS the scale axis on a multi-node run.
+        self.cand_mode = (candidate_mode
+                          or os.environ.get("DCR_CAND_MODE", "auto"))
+        self.cand_threshold = int(
+            os.environ.get("DCR_CAND_DATASET_THRESHOLD", "50000"))
+        self._last_cand_n = 0
+        self._round_cand_refs: dict | None = None
 
     # ------------------------------------------------------------- setup
 
@@ -202,6 +223,45 @@ class CrawlPipeline:
             lin["exact_probes"] += delta["exact_probes"]
         self.bloom.add_many(h64)
         self._ckpt_frontier_inserts(cand)
+
+    def _insert_candidates_dataset(self, refs_by_shard: dict):
+        """The dataset-shaped candidate round (verdict r3 #2): discovered
+        links never funnel through the driver.
+
+          workers ray.put per-shard candidate tables   zero-copy plasma
+          → shard.ingest_candidate_refs(chunk refs)    the keyed exchange
+            (worker→store→owning shard, in rank order) IS the routing
+          → shard-local pinned dedup + live insert     partition key ==
+                                                       dedup key
+          → deltas + deduped hash64 arrays return      O(candidates) ints
+
+        The url_hash→shard routing is the round's hash partitioning, so
+        the global first-occurrence-wins dedup decomposes exactly into
+        shard-local scans — no extra shuffle stage exists to pay for (an
+        earlier draft ran repartition(keys=[url_hash]) per round; the
+        per-execution shuffle setup dwarfed the work at every realistic
+        round size). The driver touches refs, counter deltas, and the
+        compact hash64 arrays for its global bloom (the one
+        intentionally-global structure — north rule). Insert fragments
+        land as round=NNNNNN/part-s*.parquet from inside the shards
+        (ckptio reads both layouts on restore)."""
+        import ray
+
+        pend = [(sid, self.shards[sid].ingest_candidate_refs.remote(
+                    chunk_refs, self.round, self.ckpt_dir))
+                for sid, chunk_refs in sorted(refs_by_shard.items())
+                if chunk_refs]
+        for (sid, _), delta in zip(pend, ray.get([r for _, r in pend])):
+            self.counters["DISCOVERED_URLS"] += delta["discovered"]
+            self.counters["ROBOTS_DENIED_URLS"] += delta["robots_denied"]
+            self.stats["SEEN_EXACT_PROBES"] += delta["exact_probes"]
+            lin = self._lineage(sid)
+            lin["candidates_in"] += delta["n_in"]
+            lin["discovered"] += delta["discovered"]
+            lin["robots_denied"] += delta["robots_denied"]
+            lin["exact_probes"] += delta["exact_probes"]
+            if len(delta["h64"]):
+                self.bloom.add_many(np.asarray(delta["h64"], dtype=np.int64))
 
     def inject_seeds(self):
         seeds = self.cfg.seeds
@@ -311,6 +371,8 @@ class CrawlPipeline:
             "fetch_threads": self.fetch_threads,
             "images_ref": self._images_broadcast(),
             "proxy_api_key": os.environ.get("ROCKETSCRAPE_API_KEY"),
+            "n_shards": self.n_shards,
+            "hot_domains": self.hot_domains,
         }
 
     def _fetch(self, selection: pa.Table) -> pa.Table:
@@ -365,18 +427,46 @@ class CrawlPipeline:
             Actor = ray.remote(FetchWorker).options(**remote_kwargs())
             self._fetch_pool = [Actor.remote(**self._worker_kwargs()) for _ in range(n)]
 
+    def _dataset_cands_this_round(self) -> bool:
+        """Decide the candidate path BEFORE dispatching fetch (workers
+        must know whether to strip + ray.put their candidates). 'auto'
+        gates on the PREVIOUS round's candidate volume — the only driver-
+        visible proxy that needs no extra pass."""
+        if self.fetch_mode != "actors":
+            return False
+        if self.cand_mode == "dataset":
+            return True
+        if self.cand_mode == "driver":
+            return False
+        return self._last_cand_n >= self.cand_threshold
+
     def _fetch_via_pool(self, selection: pa.Table) -> pa.Table:
         import ray
 
         self._ensure_fetch_pool()
         pool = self._fetch_pool
+        use_ds = self._dataset_cands_this_round()
         n_chunks = min(len(selection), len(pool) * 2) or 1
         step = -(-len(selection) // n_chunks)
         refs = [
-            pool[j % len(pool)].__call__.remote(selection.slice(i, step))
+            pool[j % len(pool)].__call__.remote(selection.slice(i, step),
+                                                use_ds)
             for j, i in enumerate(range(0, len(selection), step))
         ]
-        return pa.concat_tables(ray.get(refs))
+        outs = ray.get(refs)
+        if use_ds:
+            # chunk order IS the pinned candidate order: collect each
+            # shard's refs across chunks in that order; the tables stay
+            # in the object store until the owning shard ingests them
+            by_shard: dict[int, list] = {}
+            for _, chunk_refs, _ in outs:
+                for sid, r in chunk_refs.items():
+                    by_shard.setdefault(sid, []).append(r)
+            self._round_cand_refs = by_shard
+            self._last_cand_n = sum(nc for _, _, nc in outs)
+            return pa.concat_tables([t for t, _, _ in outs])
+        self._round_cand_refs = None
+        return pa.concat_tables(outs)
 
     def _harvest(self, result: pa.Table):
         """Apply fetch outcomes in rank order: counters, storage bookkeeping,
@@ -477,6 +567,15 @@ class CrawlPipeline:
                 refs.append(self.shards[sid].complete.remote(completes[sid]))
             ray.get(refs)
         self._ckpt_updates(completes, order_rows)
+        if self._round_cand_refs is not None:
+            # dataset candidate path: candidates are already in the object
+            # store as flat per-chunk tables; non-http were filtered (and
+            # counted) worker-side
+            self.counters["IGNORED_URLS"] += int(
+                pc.sum(result.column("n_cand_nonhttp")).as_py() or 0)
+            self._insert_candidates_dataset(self._round_cand_refs)
+            self._round_cand_refs = None
+            return
         # candidates: empty lists on skipped/failed rows make flatten-all
         # exactly the success candidates in pinned order
         cand = pa.table(
@@ -488,6 +587,7 @@ class CrawlPipeline:
                 "priority": pc.list_flatten(result.column("cand_priority")),
             }
         )
+        self._last_cand_n = len(cand)
         if len(cand):
             self._insert_candidates(cand)
 

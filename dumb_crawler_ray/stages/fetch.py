@@ -84,7 +84,13 @@ class FetchWorker:
     def __init__(self, fixture_dir: str, config_raw: dict, seed: int, scale: int,
                  ckpt_dir: str | None = None, fetch_delay_s: float = 0.0,
                  images_ref=None, proxy_api_key: str | None = None,
-                 fetch_threads: int = 1):
+                 fetch_threads: int = 1, n_shards: int = 0,
+                 hot_domains: frozenset = frozenset()):
+        # n_shards/hot_domains: frontier routing, used only by the
+        # dataset candidate path (workers pre-partition their candidate
+        # tables by owning shard — the keyed exchange IS the routing)
+        self.n_shards = n_shards
+        self.hot_domains = hot_domains
         self.cfg = JobConfig(config_raw)
         self.comp = S.CrawlComponents(self.cfg)
         if proxy_api_key is not None:
@@ -192,7 +198,17 @@ class FetchWorker:
                 out[iid] = {c: col[j].as_py() for c, col in cols.items()}
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, return_cand_ref: bool = False):
+        """Process one selection slice. Default: one Arrow table with the
+        per-page candidate lists inline (driver-side candidate path).
+        With ``return_cand_ref=True`` (the dataset candidate path for
+        large rounds): candidates leave as FLAT (url, url_hash, domain,
+        tags, priority, rank, link_idx) tables `ray.put` into the object
+        store, PRE-PARTITIONED by owning frontier shard — they never
+        cross the driver — and the return value is (control_table,
+        {shard_id: ref}, n_candidates); non-http candidates are filtered
+        here with per-page counts so the driver counts IGNORED_URLS
+        without seeing them."""
         urls = batch.column("url").to_pylist()
         ranks = batch.column("rank").to_pylist()
         hashes = batch.column("url_hash").to_pylist()
@@ -329,7 +345,46 @@ class FetchWorker:
             sum(1 for r in image_rows if r["rank"] == ranks[i] and r["validation_error"])
             for i in range(n)
         ]
-        return _to_arrow(out)
+        if not return_cand_ref:
+            return _to_arrow(out)
+        import ray
+
+        c = {"url": [], "url_hash": [], "domain": [], "tags": [],
+             "priority": [], "rank": [], "link_idx": []}
+        n_nonhttp = [0] * n
+        for i in range(n):
+            for j, u in enumerate(out["cand_url"][i]):
+                if not u.startswith("http"):
+                    n_nonhttp[i] += 1
+                    continue
+                c["url"].append(u)
+                c["url_hash"].append(out["cand_hash"][i][j])
+                c["domain"].append(out["cand_domain"][i][j])
+                c["tags"].append(out["cand_tags"][i][j])
+                c["priority"].append(int(out["cand_priority"][i][j]))
+                c["rank"].append(ranks[i])
+                c["link_idx"].append(j)
+        n_cand = len(c["url"]) + sum(n_nonhttp)
+        refs: dict[int, object] = {}
+        if c["url"]:
+            from ..state.frontier import shard_of_batch
+
+            cand = pa.table(
+                {"url": pa.array(c["url"], pa.string()),
+                 "url_hash": pa.array(c["url_hash"], pa.string()),
+                 "domain": pa.array(c["domain"], pa.string()),
+                 "tags": pa.array(c["tags"], pa.list_(pa.string())),
+                 "priority": pa.array(c["priority"], pa.int64()),
+                 "rank": pa.array(c["rank"], pa.int64()),
+                 "link_idx": pa.array(c["link_idx"], pa.int64())})
+            sids = shard_of_batch(c["domain"],
+                                  np.asarray(c["url_hash"], dtype=object),
+                                  self.n_shards, self.hot_domains)
+            for sid in np.unique(sids):
+                idx = np.flatnonzero(sids == sid)
+                refs[int(sid)] = ray.put(cand.take(pa.array(idx)))
+        return _to_arrow(out, include_cand=False,
+                         n_cand_nonhttp=n_nonhttp), refs, n_cand
 
     def _pace(self, domain: str) -> None:
         """Min wall-clock delay between fetches of one domain. Lock-
@@ -393,27 +448,32 @@ class FetchWorker:
             )
 
 
-def _to_arrow(out: dict) -> pa.Table:
-    return pa.table(
-        {
-            "rank": pa.array(out["rank"], pa.int64()),
-            "url_hash": pa.array(out["url_hash"], pa.string()),
-            "url": pa.array(out["url"], pa.string()),
-            "domain": pa.array(out["domain"], pa.string()),
-            "attempt": pa.array(out["attempt"], pa.int64()),
-            "schedule_allowed": pa.array(out["schedule_allowed"], pa.bool_()),
-            "error": pa.array(out["error"], pa.string()),
-            "store_ok": pa.array(out["store_ok"], pa.bool_()),
-            "tags": pa.array(out["tags"], pa.list_(pa.string())),
-            "image_ids": pa.array(out["image_ids"], pa.list_(pa.string())),
-            "image_errors": pa.array(out["image_errors"], pa.int64()),
-            "too_many_links": pa.array(out["too_many_links"], pa.bool_()),
-            "n_links_allowed": pa.array(out["n_links_allowed"], pa.int64()),
-            "n_links_ignored": pa.array(out["n_links_ignored"], pa.int64()),
+def _to_arrow(out: dict, include_cand: bool = True,
+              n_cand_nonhttp=None) -> pa.Table:
+    cols = {
+        "rank": pa.array(out["rank"], pa.int64()),
+        "url_hash": pa.array(out["url_hash"], pa.string()),
+        "url": pa.array(out["url"], pa.string()),
+        "domain": pa.array(out["domain"], pa.string()),
+        "attempt": pa.array(out["attempt"], pa.int64()),
+        "schedule_allowed": pa.array(out["schedule_allowed"], pa.bool_()),
+        "error": pa.array(out["error"], pa.string()),
+        "store_ok": pa.array(out["store_ok"], pa.bool_()),
+        "tags": pa.array(out["tags"], pa.list_(pa.string())),
+        "image_ids": pa.array(out["image_ids"], pa.list_(pa.string())),
+        "image_errors": pa.array(out["image_errors"], pa.int64()),
+        "too_many_links": pa.array(out["too_many_links"], pa.bool_()),
+        "n_links_allowed": pa.array(out["n_links_allowed"], pa.int64()),
+        "n_links_ignored": pa.array(out["n_links_ignored"], pa.int64()),
+    }
+    if include_cand:
+        cols.update({
             "cand_url": pa.array(out["cand_url"], pa.list_(pa.string())),
             "cand_hash": pa.array(out["cand_hash"], pa.list_(pa.string())),
             "cand_domain": pa.array(out["cand_domain"], pa.list_(pa.string())),
             "cand_tags": pa.array(out["cand_tags"], pa.list_(pa.list_(pa.string()))),
             "cand_priority": pa.array(out["cand_priority"], pa.list_(pa.int64())),
-        }
-    )
+        })
+    if n_cand_nonhttp is not None:
+        cols["n_cand_nonhttp"] = pa.array(n_cand_nonhttp, pa.int64())
+    return pa.table(cols)

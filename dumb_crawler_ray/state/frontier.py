@@ -168,6 +168,51 @@ class FrontierShardState:
             "exact_probes": exact_probes,
         }
 
+    def ingest_candidate_refs(self, refs: list, rnd: int,
+                              ckpt_dir: str | None) -> dict:
+        """Dataset candidate path: ingest THIS shard's partition of a
+        round's discovered links straight from the object store (one
+        zero-copy ref per fetch chunk, in rank order — candidates never
+        cross the driver).
+
+        The partition key (url_hash → owning shard) IS the dedup key, so
+        the round's global pinned first-occurrence-wins dedup is exactly
+        a shard-local first-occurrence scan over the concatenated chunks
+        (chunk order = rank order, within-chunk order = link order). The
+        deduped rows are written as this shard's insert-delta part file
+        (the part-directory checkpoint layout) and inserted through the
+        live path. Returns the usual counter deltas plus n_in and the
+        deduped hash64 array for the driver's global bloom."""
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from ..functions.urlhash import hash64_batch
+
+        t = pa.concat_tables(ray.get(list(refs)))
+        hashes = np.asarray(t.column("url_hash").to_pylist(), dtype=object)
+        # first occurrence per url_hash in pinned order
+        _, first_idx = np.unique(hashes, return_index=True)
+        if len(first_idx) < len(hashes):
+            keep = np.sort(first_idx)
+            t = t.take(pa.array(keep))
+            hashes = hashes[keep]
+        t = t.select(["url", "url_hash", "domain", "tags", "priority"])
+        if ckpt_dir:
+            d = os.path.join(ckpt_dir, "frontier_inserts", f"round={rnd:06d}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, os.path.join(
+                d, f"part-s{self.shard_id:03d}-{uuid.uuid4().hex[:8]}.parquet"))
+        h64 = hash64_batch(hashes)
+        delta = self.insert_candidates(
+            t.append_column("hash64", pa.array(h64, pa.int64())), None)
+        delta["n_in"] = len(t)
+        delta["h64"] = h64
+        return delta
+
     # ------------------------------------------------------------ select
 
     def select_candidates(self, k: int, per_domain_cap: int, max_attempt: int) -> dict:
@@ -406,6 +451,9 @@ def make_frontier_actor():
 
         def insert_candidates(self, rows, maybe_seen=None):
             return self.state.insert_candidates(rows, maybe_seen)
+
+        def ingest_candidate_refs(self, refs, rnd, ckpt_dir):
+            return self.state.ingest_candidate_refs(refs, rnd, ckpt_dir)
 
         def select_candidates(self, k, per_domain_cap, max_attempt):
             return self.state.select_candidates(k, per_domain_cap, max_attempt)

@@ -62,6 +62,52 @@ def test_determinism_across_parallelism(ray_session, fix4):
         assert_match(res, orc)
 
 
+def test_conformance_dataset_candidate_path(ray_session, fix4, tmp_path):
+    """candidate_mode='dataset' (the large-round scale path): discovered
+    links go worker → object store → keyed dedup → shard ingestion and
+    never cross the driver; the crawl must still match the oracle
+    EXACTLY, the insert deltas land in the part-directory layout, and a
+    resume (through the dataset-layout replay) is exact."""
+    import os
+
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    ckpt = tmp_path / "ckpt_dsc"
+    res = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), candidate_mode="dataset",
+    ).run()
+    assert_match(res, orc)
+    names = os.listdir(ckpt / "frontier_inserts")
+    assert any(os.path.isdir(ckpt / "frontier_inserts" / n) for n in names)
+    res2 = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=3,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), resume=True,
+    ).run()
+    assert res2.crawl_order == orc.crawl_order
+    assert res2.seen_set == orc.seen_set
+    assert res2.stored_pages == orc.stored_pages
+
+
+def test_dataset_candidate_path_resumes_midway(ray_session, fix4, tmp_path):
+    """Kill a dataset-mode crawl after 3 rounds; resuming (again in
+    dataset mode) completes to the exact oracle state — the round delta
+    replay reads the part-directory layout."""
+    web = SynthWeb.generate(42, 4)
+    orc = oracle.simulate(DEFAULT_CONFIG, web)
+    ckpt = tmp_path / "ckpt_dsc_mid"
+    CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), candidate_mode="dataset",
+    ).run(max_rounds=3)
+    res = CrawlPipeline(
+        fix4, DEFAULT_CONFIG, seed=42, scale=4, n_shards=4,
+        fetch_concurrency=2, ckpt_dir=str(ckpt), resume=True,
+        candidate_mode="dataset",
+    ).run()
+    assert_match(res, orc)
+
+
 def test_result_lists_off_scale_mode(ray_session, fix4):
     """result_lists=False (production scale): the driver keeps NO per-URL
     state — counters and the seen set still match the oracle exactly;
