@@ -149,8 +149,15 @@ class CrawlPipeline:
 
     def _start_shards(self):
         Actor = make_frontier_actor().options(**remote_kwargs())
+        # fetcher.mode=http + respect_robots → shards fetch real per-domain
+        # /robots.txt through the same HttpWeb transport config as fetch
+        robots_cfg = (self.cfg.raw
+                      if self.cfg.respect_robots
+                      and self.cfg.fetcher_mode == "http" else None)
         self.shards = [
-            Actor.remote(i, self.cfg.respect_robots) for i in range(self.n_shards)
+            Actor.remote(i, self.cfg.respect_robots,
+                         robots_http_config=robots_cfg)
+            for i in range(self.n_shards)
         ]
 
     def _route(self, domains, hashes) -> np.ndarray:

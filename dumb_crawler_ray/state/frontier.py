@@ -69,9 +69,14 @@ class FrontierShardState:
     """Pure-Python shard state; wrapped by the Ray actor below. Testable
     without a Ray runtime."""
 
-    def __init__(self, shard_id: int, respect_robots: bool, seen_capacity: int = 1 << 16):
+    def __init__(self, shard_id: int, respect_robots: bool,
+                 seen_capacity: int = 1 << 16, robots_fetcher=None):
         self.shard_id = shard_id
         self.respect_robots = respect_robots
+        # None → synthetic-web robots rules (the sandbox "network");
+        # a sources.robots.RobotsFetcher → live per-domain /robots.txt
+        # through the SAME HttpWeb transport the fetch stage uses
+        self.robots_fetcher = robots_fetcher
         self.records: dict[str, list] = {}
         self.heap: list[tuple] = []  # (neg_priority, attempt, url_hash) lazy-deleted
         self.cuckoo = CuckooFilter(seen_capacity)
@@ -89,12 +94,21 @@ class FrontierShardState:
 
     # ------------------------------------------------------------- insert
 
-    def _robots(self, domain: str) -> list[str]:
+    def _robots(self, domain: str, url: str | None = None) -> list[str]:
+        """Disallow prefixes for `domain`, cached per shard (domains are
+        shard-local by the partitioning key, so each domain's robots is
+        fetched ONCE per crawl). Scheme for the live fetch comes from the
+        first candidate url seen for the domain."""
         rules = self.robots_cache.get(domain)
         if rules is None:
-            from ..sources.synthweb import robots_disallow
+            if self.robots_fetcher is not None:
+                scheme = (url.split("://", 1)[0]
+                          if url and "://" in url else "http")
+                rules = self.robots_fetcher.rules_for(domain, scheme)
+            else:
+                from ..sources.synthweb import robots_disallow
 
-            rules = robots_disallow(domain)
+                rules = robots_disallow(domain)
             self.robots_cache[domain] = rules
         return rules
 
@@ -149,7 +163,8 @@ class FrontierShardState:
                 int(rows["priority"][i]), S.QUEUED, 0, None, self._seq,
             ]
             self._seq += 1
-            if self.respect_robots and S.robots_denied(rec[R_URL], self._robots(rec[R_DOMAIN])):
+            if self.respect_robots and S.robots_denied(
+                    rec[R_URL], self._robots(rec[R_DOMAIN], rec[R_URL])):
                 rec[R_STATUS] = S.FAILED
                 rec[R_ERROR] = S.ROBOTS_ERROR
                 robots_denied += 1
@@ -418,8 +433,9 @@ class FrontierShardState:
 
     @classmethod
     def from_snapshot_rows(cls, shard_id: int, respect_robots: bool, rows: dict,
-                           seen_capacity: int = 1 << 16) -> "FrontierShardState":
-        st = cls(shard_id, respect_robots, seen_capacity)
+                           seen_capacity: int = 1 << 16,
+                           robots_fetcher=None) -> "FrontierShardState":
+        st = cls(shard_id, respect_robots, seen_capacity, robots_fetcher)
         from ..functions.urlhash import hash64_batch
 
         n = len(rows["url_hash"])
@@ -446,8 +462,23 @@ def make_frontier_actor():
 
     @ray.remote
     class FrontierShard:
-        def __init__(self, shard_id: int, respect_robots: bool, seen_capacity: int = 1 << 16):
-            self.state = FrontierShardState(shard_id, respect_robots, seen_capacity)
+        def __init__(self, shard_id: int, respect_robots: bool,
+                     seen_capacity: int = 1 << 16,
+                     robots_http_config: dict | None = None):
+            # robots_http_config: the raw job config when fetcher.mode is
+            # "http" AND respect_robots — the shard then fetches real
+            # per-domain /robots.txt through an HttpWeb built HERE (the
+            # transport is actor-local state, never serialized)
+            fetcher = None
+            if robots_http_config is not None:
+                from ..config import JobConfig
+                from ..sources.httpweb import HttpWeb
+                from ..sources.robots import RobotsFetcher
+
+                fetcher = RobotsFetcher(
+                    HttpWeb.from_config(JobConfig(robots_http_config)))
+            self.state = FrontierShardState(shard_id, respect_robots,
+                                            seen_capacity, fetcher)
 
         def insert_candidates(self, rows, maybe_seen=None):
             return self.state.insert_candidates(rows, maybe_seen)
@@ -488,7 +519,8 @@ def make_frontier_actor():
 
         def restore(self, rows):
             self.state = FrontierShardState.from_snapshot_rows(
-                self.state.shard_id, self.state.respect_robots, rows
+                self.state.shard_id, self.state.respect_robots, rows,
+                robots_fetcher=self.state.robots_fetcher,
             )
 
     return FrontierShard

@@ -1,0 +1,189 @@
+"""Real robots.txt for fetcher.mode=http (sources/robots.py + the
+frontier-shard plumbing): parsing, the RFC 9309 status ladder, per-domain
+caching through a mocked transport, and insert-time denial — all without
+a network (the sandbox has none). Synthetic-mode robots conformance is
+covered by test_crawl_conformance.test_robots_conformance."""
+
+import urllib.error
+
+import pytest
+
+from dumb_crawler_ray.sources.httpweb import HttpWeb
+from dumb_crawler_ray.sources.robots import RobotsFetcher, parse_robots
+from dumb_crawler_ray.state.frontier import FrontierShardState
+
+
+ROBOTS = """\
+# comment line
+User-agent: Googlebot
+Disallow: /google-only/
+
+User-agent: dcr-bot
+User-agent: otherbot
+Disallow: /private/
+Disallow: /tmp/
+Allow: /private/ok
+Disallow: /star*/   # wildcard paths are not interpreted
+Disallow:
+
+User-agent: *
+Disallow: /all/
+"""
+
+
+def test_parse_group_selection_and_prefixes():
+    # longest matching agent token wins; wildcards-in-path and empty
+    # Disallow are skipped
+    assert parse_robots(ROBOTS, "dcr-bot/1.0") == ["/private/", "/tmp/"]
+    assert parse_robots(ROBOTS, "Mozilla/5.0") == ["/all/"]
+    assert parse_robots(ROBOTS, "Googlebot/2.1") == ["/google-only/"]
+    assert parse_robots("", "dcr-bot") == []
+    # multiple UA lines share one record
+    assert parse_robots(ROBOTS, "otherbot") == ["/private/", "/tmp/"]
+
+
+class _Resp:
+    def __init__(self, status=200, body=b""):
+        self.status = status
+        self._body = body
+        import email.message
+
+        self.headers = email.message.Message()
+
+    def read(self):
+        return self._body
+
+
+class _RobotsOpener:
+    """Transport stub: per-URL results, counts fetches per URL."""
+
+    def __init__(self, results):
+        self.results = results  # url -> _Resp | Exception
+        self.calls: list[str] = []
+
+    def open(self, req, timeout=None):
+        url = req.full_url
+        self.calls.append(url)
+        r = self.results.get(url)
+        if r is None:
+            raise urllib.error.HTTPError(url, 404, "nf", None, None)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def _fetcher(results, ua="dcr-bot/1.0"):
+    return RobotsFetcher(HttpWeb(user_agent=ua,
+                                 opener=_RobotsOpener(results)))
+
+
+def test_status_ladder():
+    f = _fetcher({
+        "http://ok.test/robots.txt": _Resp(200, ROBOTS.encode()),
+        "http://gone.test/robots.txt": None,              # 404 HTTPError
+        "http://err.test/robots.txt": urllib.error.HTTPError(
+            "http://err.test/robots.txt", 503, "boom", None, None),
+        "http://dead.test/robots.txt": OSError("connection refused"),
+    })
+    assert f.rules_for("ok.test") == ["/private/", "/tmp/"]
+    assert f.rules_for("gone.test") == []          # 4xx → allow all
+    assert f.rules_for("err.test") == ["/"]        # 5xx → complete disallow
+    assert f.rules_for("dead.test") == []          # unreachable → allow
+
+
+def _insert(state, urls):
+    import numpy as np
+
+    from dumb_crawler_ray.functions.urlhash import hash64_batch
+
+    rows = {
+        "url": urls,
+        "url_hash": urls,  # identity hashing is fine for state-level tests
+        "domain": [u.split("://", 1)[1].split("/", 1)[0] for u in urls],
+        "tags": [[] for _ in urls],
+        "priority": [0] * len(urls),
+        "hash64": hash64_batch(np.asarray(urls, dtype=object)),
+    }
+    return state.insert_candidates(rows)
+
+
+def test_insert_time_denial_and_per_domain_cache():
+    from dumb_crawler_ray.pipelines import semantics as S
+
+    opener = _RobotsOpener({
+        "https://shop.test/robots.txt": _Resp(200, ROBOTS.encode()),
+        "http://open.test/robots.txt": None,  # 404
+    })
+    st = FrontierShardState(
+        0, respect_robots=True,
+        robots_fetcher=RobotsFetcher(HttpWeb(user_agent="dcr-bot/1.0",
+                                             opener=opener)))
+    delta = _insert(st, [
+        "https://shop.test/private/x",   # denied (dcr-bot group)
+        "https://shop.test/public/y",    # allowed
+        "https://shop.test/tmp/z",       # denied
+        "http://open.test/anything",     # 404 robots → allowed
+    ])
+    assert delta == {"discovered": 4, "robots_denied": 2, "exact_probes": 0}
+    seen = st.seen_entries()
+    assert seen["https://shop.test/private/x"][0] == S.FAILED
+    assert seen["https://shop.test/private/x"][2] == S.ROBOTS_ERROR
+    assert seen["https://shop.test/public/y"][0] == S.QUEUED
+    assert seen["https://shop.test/tmp/z"][2] == S.ROBOTS_ERROR
+    assert seen["http://open.test/anything"][0] == S.QUEUED
+    # ONE robots fetch per domain (cached), scheme from the first url
+    assert opener.calls == ["https://shop.test/robots.txt",
+                            "http://open.test/robots.txt"]
+    _insert(st, ["https://shop.test/private/again"])
+    assert len(opener.calls) == 2  # cache hit, no refetch
+
+
+def test_transport_failure_never_blocks_the_crawl():
+    from dumb_crawler_ray.pipelines import semantics as S
+
+    st = FrontierShardState(
+        0, respect_robots=True,
+        robots_fetcher=_fetcher({}, ua="dcr-bot/1.0"))
+    # 404 for every robots URL → everything inserts as QUEUED
+    delta = _insert(st, ["http://a.test/x", "http://b.test/y"])
+    assert delta["robots_denied"] == 0
+    assert all(v[0] == S.QUEUED for v in st.seen_entries().values())
+
+
+def test_http_mode_pipeline_wires_real_robots(ray_session, tmp_path):
+    """End-to-end plumbing check: a CrawlPipeline with fetcher.mode=http +
+    respect_robots routes robots through the LIVE network path (dead in
+    this sandbox → allow), NOT the synthetic fixture rules — the exact
+    wiring bug verdict r3 flagged (frontier hard-wired to synthweb)."""
+    import copy
+
+    import ray
+
+    from dumb_crawler_ray.pipelines import semantics as S
+    from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+    from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    # d00 is even → the SYNTHETIC rules disallow /listing/ for it
+    cfg["seeds"] = ["https://d00.example.test/listing/p00000001"]
+    cfg["fetcher"] = {"mode": "http"}
+    cfg["politeness"]["respect_robots"] = True
+    pipe = CrawlPipeline(str(tmp_path), cfg, seed=1, scale=4, n_shards=2)
+    pipe._start_shards()
+    pipe.inject_seeds()
+    seen = {}
+    for part in ray.get([s.seen_entries.remote() for s in pipe.shards]):
+        seen.update(part)
+    (entry,) = seen.values()
+    # http-mode robots: unreachable network → allow; synthetic rules
+    # would have produced ROBOTS_DENIED here
+    assert entry[2] != S.ROBOTS_ERROR and entry[0] == S.QUEUED
+    assert pipe.counters["ROBOTS_DENIED_URLS"] == 0
+
+    # control: the SAME config in synthetic mode denies the seed
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["fetcher"] = {"mode": "synthetic"}
+    pipe2 = CrawlPipeline(str(tmp_path), cfg2, seed=1, scale=4, n_shards=2)
+    pipe2._start_shards()
+    pipe2.inject_seeds()
+    assert pipe2.counters["ROBOTS_DENIED_URLS"] == 1
