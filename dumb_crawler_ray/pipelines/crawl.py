@@ -347,25 +347,30 @@ class CrawlPipeline:
             }
         )
 
-    def _images_broadcast(self):
-        """`ray.put` the image table once — every fetch actor reads the
-        same plasma copy zero-copy instead of re-reading parquet row
-        groups per batch (SURVEY.md §4: broadcast the small side).
-        Measured: a Ray-Data parallel read + driver assembly is ~2.7×
-        SLOWER than one serial `pq.read_table` at bench scale (extra copy
-        + read-task overhead), so the serial read stays. At real scale the
-        broadcast becomes one put per image shard keyed like the frontier
-        (see FetchWorker docstring)."""
+    def _images_shards(self):
+        """Sharded image store (verdict r3 #3): ONE Ray task per row
+        group reads the bytes IN A WORKER — the driver touches only the
+        parquet footers (id min/max stats) and holds the task return
+        refs. Every fetch actor then lazily maps just the shards its
+        pages reference, zero-copy from plasma, instead of indexing the
+        whole corpus per actor. Returns [(ref, lo_id, hi_id)] or None
+        when no local image table exists (http mode)."""
         import ray
 
-        if getattr(self, "_images_ref", None) is None:
-            path = os.path.join(self.fixture_dir, "images.parquet")
-            if not os.path.exists(path):
-                # http fetcher mode may run without a local image table;
-                # FetchWorker's lazy path handles images_ref=None
+        if getattr(self, "_images_shards_cache", None) is None:
+            from ..stages.fetch import (_image_store_paths,
+                                        _rowgroup_entries,
+                                        load_image_rowgroup)
+
+            paths = _image_store_paths(self.fixture_dir)
+            if not paths:
                 return None
-            self._images_ref = ray.put(pq.read_table(path))
-        return self._images_ref
+            loader = ray.remote(load_image_rowgroup).options(**remote_kwargs())
+            self._images_shards_cache = [
+                (loader.remote(p, rg), lo, hi)
+                for (p, rg, lo, hi) in _rowgroup_entries(paths)
+            ]
+        return self._images_shards_cache
 
     def _worker_kwargs(self) -> dict:
         return {
@@ -376,7 +381,7 @@ class CrawlPipeline:
             "ckpt_dir": self.ckpt_dir,
             "fetch_delay_s": self.fetch_delay_s,
             "fetch_threads": self.fetch_threads,
-            "images_ref": self._images_broadcast(),
+            "images_shards": self._images_shards(),
             "proxy_api_key": os.environ.get("ROCKETSCRAPE_API_KEY"),
             "n_shards": self.n_shards,
             "hot_domains": self.hot_domains,

@@ -80,10 +80,50 @@ IMAGES_SCHEMA = pa.schema(
 )
 
 
+def _rowgroup_entries(paths: list[str]) -> list[tuple]:
+    """(path, rg, lo, hi) per row group from parquet FOOTER metadata only
+    — the image_id min/max column statistics. O(files) driver/actor work,
+    no data pages touched."""
+    out = []
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        md = pf.metadata
+        names = [md.row_group(0).column(i).path_in_schema
+                 for i in range(md.row_group(0).num_columns)] \
+            if md.num_row_groups else []
+        ci = names.index("image_id") if "image_id" in names else -1
+        for rg in range(md.num_row_groups):
+            lo = hi = None
+            if ci >= 0:
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode(), hi.decode()
+            out.append((p, rg, lo, hi))
+    return out
+
+
+def _image_store_paths(fixture_dir: str) -> list[str]:
+    """images.parquet may be one file or a sharded directory."""
+    root = os.path.join(fixture_dir, "images.parquet")
+    if os.path.isdir(root):
+        return sorted(os.path.join(root, n) for n in os.listdir(root)
+                      if n.endswith(".parquet"))
+    return [root] if os.path.exists(root) else []
+
+
+def load_image_rowgroup(path: str, rg: int) -> pa.Table:
+    """Shard loader for the distributed image store — runs as a Ray task
+    (the DRIVER never reads image bytes; workers read their shard and the
+    task's return ref IS the broadcast handle)."""
+    return pq.ParquetFile(path).read_row_group(rg)
+
+
 class FetchWorker:
     def __init__(self, fixture_dir: str, config_raw: dict, seed: int, scale: int,
                  ckpt_dir: str | None = None, fetch_delay_s: float = 0.0,
-                 images_ref=None, proxy_api_key: str | None = None,
+                 images_shards=None, proxy_api_key: str | None = None,
                  fetch_threads: int = 1, n_shards: int = 0,
                  hot_domains: frozenset = frozenset()):
         # n_shards/hot_domains: frontier routing, used only by the
@@ -105,47 +145,34 @@ class FetchWorker:
         else:
             pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
             self.web = SynthWeb(pages, seed, scale)
-        self._images_shared: pa.Table | None = None
-        self._shared_index: dict[str, int] = {}
-        if images_ref is not None:
-            # broadcast image store: the driver `ray.put` the whole Arrow
-            # table ONCE; every actor on a node maps the SAME plasma copy
-            # zero-copy (the 100 TB contract: small-side lookup broadcast,
-            # not re-read per actor — at real scale this becomes one put
-            # per image shard, keyed like the frontier)
-            import ray
-
-            self._images_shared = (
-                ray.get(images_ref) if isinstance(images_ref, ray.ObjectRef)
-                else images_ref
-            )
-            ids = self._images_shared.column("image_id").to_pylist()
-            self._shared_index = {iid: i for i, iid in enumerate(ids)}
+        # SHARDED image store (verdict r3 #3): the store is a list of
+        # range-pruned shard descriptors — ('ref', ObjectRef) when the
+        # pipeline pre-loaded row groups via Ray tasks (workers read, the
+        # driver holds only refs), ('file', (path, rg)) in the local lazy
+        # fallback — each with the image_id min/max from parquet FOOTER
+        # stats. Per-actor setup is O(shards) metadata, NEVER an
+        # O(corpus) id scan; an actor materializes + indexes only the
+        # shards its pages actually reference (zero-copy plasma for the
+        # ref kind), with an LRU on the index dicts.
+        entries: list[tuple] = []
+        if images_shards is not None:
+            entries = [("ref", r, lo, hi) for (r, lo, hi) in images_shards]
         else:
-            # lazy image store fallback (no broadcast available): only the
-            # image_id column is read eagerly; binary payloads are fetched
-            # by ROW GROUP on demand with a small LRU. images.parquet may
-            # be one file or a sharded directory of part files.
-            root = os.path.join(fixture_dir, "images.parquet")
-            if os.path.isdir(root):
-                paths = sorted(
-                    os.path.join(root, n)
-                    for n in os.listdir(root)
-                    if n.endswith(".parquet")
-                )
-            elif os.path.exists(root):
-                paths = [root]
-            else:  # http mode may run without a local image table
-                paths = []
-            self._images_pfs = [pq.ParquetFile(p) for p in paths]
-            self._image_index: dict[str, tuple[int, int, int]] = {}
-            for fi, pf in enumerate(self._images_pfs):
-                for rg in range(pf.num_row_groups):
-                    ids = pf.read_row_group(rg, columns=["image_id"])
-                    for j, iid in enumerate(ids.column("image_id").to_pylist()):
-                        self._image_index[iid] = (fi, rg, j)
-            self._rg_cache: dict[tuple[int, int], pa.Table] = {}
-            self._rg_cache_max = 32
+            entries = [("file", (p, rg), lo, hi)
+                       for (p, rg, lo, hi) in _rowgroup_entries(
+                           _image_store_paths(fixture_dir))]
+        with_stats = sorted((e for e in entries if e[2] is not None),
+                            key=lambda e: e[2])
+        self._img_shards = with_stats + [e for e in entries if e[2] is None]
+        self._img_los = [e[2] for e in with_stats]
+        self._img_his = [e[3] for e in with_stats]
+        runmax: list[str] = []
+        for h in self._img_his:
+            runmax.append(h if not runmax or h > runmax[-1] else runmax[-1])
+        self._img_hi_runmax = runmax
+        self._n_stat_shards = len(with_stats)
+        self._shard_cache: dict[int, dict] = {}  # j -> {"cols", "index"}
+        self._shard_cache_max = 64
         self.ckpt_dir = ckpt_dir
         self.fetch_delay_s = fetch_delay_s
         # politeness pacing (north rule): min wall-clock delay between
@@ -166,36 +193,63 @@ class FetchWorker:
         self._executor = None
         self.round = -1  # set via batch column
 
+    def _load_shard(self, j: int) -> dict:
+        """Materialize + index shard j (once per actor, LRU-capped). Ref
+        shards are zero-copy plasma gets; file shards read one row
+        group."""
+        entry = self._shard_cache.get(j)
+        if entry is not None:
+            return entry
+        kind, payload = self._img_shards[j][0], self._img_shards[j][1]
+        if kind == "ref":
+            import ray
+
+            tbl = ray.get(payload)
+        else:
+            path, rg = payload
+            tbl = pq.ParquetFile(path).read_row_group(rg)
+        entry = {
+            "cols": {c: tbl.column(c) for c in tbl.column_names},
+            "index": {iid: i for i, iid in enumerate(
+                tbl.column("image_id").to_pylist())},
+        }
+        if len(self._shard_cache) >= self._shard_cache_max:
+            self._shard_cache.pop(next(iter(self._shard_cache)))
+        self._shard_cache[j] = entry
+        return entry
+
+    def _candidate_shards(self, iid: str):
+        """Interval stabbing over the sorted (lo, hi) shard ranges: with
+        sorted disjoint row groups (how the fixtures — and any id-sorted
+        store — are written) exactly ONE shard is probed; overlapping or
+        stat-less shards degrade gracefully to extra probes."""
+        import bisect
+
+        j = bisect.bisect_right(self._img_los, iid) - 1
+        while j >= 0 and self._img_hi_runmax[j] >= iid:
+            if self._img_his[j] >= iid:
+                yield j
+            j -= 1
+        for j in range(self._n_stat_shards, len(self._img_shards)):
+            yield j
+
     def _image_rows_bulk(self, ids: list[str]) -> dict[str, dict]:
-        """Load many image rows. Broadcast path: direct zero-copy index
-        into the shared plasma table. Lazy path: ONE row-group read per
-        touched group (a per-id read decompresses the whole group each
-        time — measured 7× slower) with a small LRU."""
-        if self._images_shared is not None:
-            t = self._images_shared
-            cols = {c: t.column(c) for c in t.column_names}
-            out: dict[str, dict] = {}
-            for iid in set(ids):
-                i = self._shared_index.get(iid)
+        """Load many image rows from the sharded store: group the needed
+        ids per candidate shard, materialize each touched shard once."""
+        by_shard: dict[int, list[str]] = {}
+        for iid in set(ids):
+            for j in self._candidate_shards(iid):
+                by_shard.setdefault(j, []).append(iid)
+        out: dict[str, dict] = {}
+        for j, members in sorted(by_shard.items()):
+            entry = self._load_shard(j)
+            cols, index = entry["cols"], entry["index"]
+            for iid in members:
+                if iid in out:
+                    continue
+                i = index.get(iid)
                 if i is not None:
                     out[iid] = {c: col[i].as_py() for c, col in cols.items()}
-            return out
-        by_rg: dict[tuple[int, int], list[tuple[str, int]]] = {}
-        for iid in set(ids):
-            loc = self._image_index.get(iid)
-            if loc is not None:
-                by_rg.setdefault((loc[0], loc[1]), []).append((iid, loc[2]))
-        out: dict[str, dict] = {}
-        for (fi, rg), members in by_rg.items():
-            tbl = self._rg_cache.get((fi, rg))
-            if tbl is None:
-                tbl = self._images_pfs[fi].read_row_group(rg)
-                if len(self._rg_cache) >= self._rg_cache_max:
-                    self._rg_cache.pop(next(iter(self._rg_cache)))
-                self._rg_cache[(fi, rg)] = tbl
-            cols = {c: tbl.column(c) for c in tbl.column_names}
-            for iid, j in members:
-                out[iid] = {c: col[j].as_py() for c, col in cols.items()}
         return out
 
     def __call__(self, batch: pa.Table, return_cand_ref: bool = False):
