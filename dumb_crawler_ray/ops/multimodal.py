@@ -376,7 +376,8 @@ def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8,
 
 
 def image_keeplist(images_parquet: str, max_hamming: int = 8,
-                   force_distributed: bool = False):
+                   force_distributed: bool = False,
+                   sort_output: bool = True):
     """Composite crawl→dedup finisher: phash near-dup pairs (distributed,
     see `phash_near_dup_pairs`) → connected components → one row per
     image with its cluster representative and the `keep` flag
@@ -416,11 +417,10 @@ def image_keeplist(images_parquet: str, max_hamming: int = 8,
                 }
             )
 
-        return (
-            ray.data.read_parquet(images_parquet, columns=["image_id"])
-            .map_batches(annotate, batch_format="pyarrow", **remote_kwargs())
-            .sort("image_id")
-        )
+        out = ray.data.read_parquet(
+            images_parquet, columns=["image_id"]
+        ).map_batches(annotate, batch_format="pyarrow", **remote_kwargs())
+        return out.sort("image_id") if sort_output else out
 
     # scale path: labels stay a DATASET end-to-end — min-label propagation
     # → keyed-repartition co-location of image ids with their label rows
@@ -477,8 +477,8 @@ def image_keeplist(images_parquet: str, max_hamming: int = 8,
         )
     finally:
         ctx.shuffle_strategy = prev
-    return ray.data.from_arrow_refs(
-        list(annotated.to_arrow_refs())).sort("image_id")
+    out = ray.data.from_arrow_refs(list(annotated.to_arrow_refs()))
+    return out.sort("image_id") if sort_output else out
 
 
 class ImageQualityWorker:
@@ -531,16 +531,17 @@ class ImageQualityWorker:
 
 
 def image_quality(images_parquet: str, concurrency: int | None = None,
-                  batch_size: int = 64):
+                  batch_size: int = 64, sort_output: bool = True):
     import ray
 
-    return ray.data.read_parquet(
+    out = ray.data.read_parquet(
         images_parquet, columns=["image_id", "bytes"]
     ).map_batches(
         ImageQualityWorker, batch_format="pyarrow", **remote_kwargs(),
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else actor_pool_size(),
-    ).sort("image_id")
+    )
+    return out.sort("image_id") if sort_output else out
 
 
 def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
@@ -628,41 +629,109 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
     )
 
 
+def _merge_by_image_id(build_sides, merge_block, n_parts: int | None = None):
+    """Keyed co-location join for the multimodal compositions (replaces
+    the r3 sort-for-zip alignment — verdict #4): union the schema-aligned
+    per-side row kinds and co-locate every image_id's rows in ONE block
+    via a single keyed repartition (`rayutil.keyed_colocate`, the
+    X78/curated_image_release shape — Ray's hash join cannot finalize
+    empty partitions), then apply `merge_block` block-locally. ONE
+    all-to-all over the union instead of a full sort shuffle PER SIDE
+    plus the zip's positional alignment."""
+    from ..rayutil import keyed_colocate
+    from .dedup import _hash_partition_count
+
+    if n_parts is None:
+        n_parts = max(2, min(8, _hash_partition_count()))
+
+    def build():
+        sides = [f() for f in build_sides]
+        ds = sides[0]
+        for s in sides[1:]:
+            ds = ds.union(s)
+        return ds.repartition(n_parts, keys=["image_id"]).map_batches(
+            merge_block, batch_format="pyarrow", batch_size=None,
+            **remote_kwargs())
+
+    return keyed_colocate(build)
+
+
+def _rows_by_kind(b: pa.Table, n_kinds: int) -> np.ndarray:
+    """Index matrix (n_ids, n_kinds) laying a co-located block out as one
+    row per image_id per side kind (kind 0..n_kinds-1) — the block-local
+    merge layout. Asserts every id has exactly one row of each kind."""
+    ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+    kind = b.column("kind").to_numpy()
+    _, inv = np.unique(ids, return_inverse=True)
+    order = np.lexsort((kind, inv))
+    assert len(order) % n_kinds == 0, "missing side row for some image_id"
+    mat = order.reshape(-1, n_kinds)
+    assert (kind[mat] == np.arange(n_kinds)).all(), "side-kind layout broken"
+    return mat
+
+
 def image_curation(images_parquet: str, max_hamming: int = 8):
     """Final image curation decision — the composite the payload axis
     feeds into dataset building: `keep = near-dup-cluster keeper AND
-    passes quality flags`. Both inputs are sorted by the SAME unique key
-    (image_id), so they combine with a positional `Dataset.zip` — a
-    co-sort merge rather than a hash join (Ray's join cannot finalize
-    empty hash partitions, which small shards guarantee). An in-block
-    key-equality assertion guards the alignment invariant.
+    passes quality flags`. The keep-list (materialized first — tiny
+    decision rows) and the quality pass meet in ONE keyed co-location on
+    image_id (`_merge_by_image_id`) instead of per-side sorts + zip.
     Deterministic; rows-only oracle with invariant tests."""
-    keep = image_keeplist(images_parquet, max_hamming=max_hamming)
-    quality = image_quality(images_parquet)  # also sorted by image_id
-    zipped = keep.zip(quality)
+    import ray
 
-    def decide(t: pa.Table) -> pa.Table:
+    keep_mat = image_keeplist(images_parquet, max_hamming=max_hamming,
+                              sort_output=False).materialize()
+
+    def keep_rows():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": t.column("image_id"),
+                 "kind": pa.array(np.zeros(len(t), np.int8()), pa.int8()),
+                 "cluster_rep": t.column("cluster_rep"),
+                 "keep": t.column("keep"),
+                 "low_contrast": pa.nulls(len(t), pa.bool_()),
+                 "bad_exposure": pa.nulls(len(t), pa.bool_())})
+        return ray.data.from_arrow_refs(
+            list(keep_mat.to_arrow_refs())
+        ).map_batches(f, batch_format="pyarrow", **remote_kwargs())
+
+    def quality_rows():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": t.column("image_id"),
+                 "kind": pa.array(np.ones(len(t), np.int8()), pa.int8()),
+                 "cluster_rep": pa.nulls(len(t), pa.string()),
+                 "keep": pa.nulls(len(t), pa.bool_()),
+                 "low_contrast": t.column("low_contrast"),
+                 "bad_exposure": t.column("bad_exposure")})
+        return image_quality(images_parquet, sort_output=False).map_batches(
+            f, batch_format="pyarrow", **remote_kwargs())
+
+    def merge(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # zip suffixes the right side's duplicate columns with _1
-        assert pc.all(pc.equal(t.column("image_id"),
-                               t.column("image_id_1"))).as_py() in (True, None)
-        quality_ok = pc.and_(
-            pc.invert(t.column("low_contrast")),
-            pc.invert(t.column("bad_exposure")),
-        )
+        empty = pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "cluster_rep": pa.array([], pa.string()),
+             "is_cluster_keeper": pa.array([], pa.bool_()),
+             "quality_ok": pa.array([], pa.bool_()),
+             "keep": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        mat = _rows_by_kind(b, 2)
+        kp = b.take(pa.array(mat[:, 0]))
+        ql = b.take(pa.array(mat[:, 1]))
+        quality_ok = pc.and_(pc.invert(ql.column("low_contrast")),
+                             pc.invert(ql.column("bad_exposure")))
         return pa.table(
-            {
-                "image_id": t.column("image_id"),
-                "cluster_rep": t.column("cluster_rep"),
-                "is_cluster_keeper": t.column("keep"),
-                "quality_ok": quality_ok,
-                "keep": pc.and_(t.column("keep"), quality_ok),
-            }
-        )
+            {"image_id": kp.column("image_id"),
+             "cluster_rep": kp.column("cluster_rep"),
+             "is_cluster_keeper": kp.column("keep"),
+             "quality_ok": quality_ok,
+             "keep": pc.and_(kp.column("keep"), quality_ok)})
 
-    return zipped.map_batches(decide, batch_format="pyarrow",
-                              **remote_kwargs()).sort("image_id")
+    return _merge_by_image_id([keep_rows, quality_rows],
+                              merge).sort("image_id")
 
 
 # -------------------------------------------- embedding-space dedup
@@ -1255,47 +1324,62 @@ def caption_embeddings(images_parquet: str, concurrency: int | None = None,
 def image_caption_alignment(images_parquet: str):
     """CLIP-style image↔caption alignment filtering — the LAION curation
     step: embed both modalities with their actor-pool towers, score each
-    PAIR by cosine, keep pairs scoring ≥ CLIP_KEEP_MIN. Both towers
-    output rows keyed and sorted by image_id, so the pairing is a
-    positional `Dataset.zip` (co-sort merge — Ray's hash join cannot
-    finalize empty partitions) with an in-block key-equality assertion;
-    the per-row score is one vectorized dot product (both embeddings are
-    pre-normalized). With the deterministic stand-in towers the scores
-    are structure-only (real selectivity needs trained weights — the
-    per-actor weight seam in both workers); the Ray-side shape is
-    exactly the production one. Deterministic; rows-only oracle with
-    reconciliation + invariant tests."""
+    PAIR by cosine, keep pairs scoring ≥ CLIP_KEEP_MIN. The towers meet
+    in ONE keyed co-location on image_id (`_merge_by_image_id` — the r3
+    version paid a full sort shuffle PER TOWER just to align a
+    positional zip); the per-pair score is one vectorized dot product
+    (both embeddings are pre-normalized). With the deterministic
+    stand-in towers the scores are structure-only (real selectivity
+    needs trained weights — the per-actor weight seam in both workers);
+    the Ray-side shape is exactly the production one. Deterministic;
+    rows-only oracle with reconciliation + invariant tests."""
     from .vecutil import embedding_matrix
 
-    # the two towers run CONCURRENTLY inside zip: split ONE actor budget
-    # between them so the pools can never reserve every CPU and starve
-    # the zip/sort tasks (actor-starvation deadlock on small clusters).
-    # The split is asymmetric — decode+matmul makes the image tower ~10×
-    # the text tower's cost per row (measured: balanced halves left the
-    # caption actors idle and the wall at ~11 s vs ~3 s for the image
-    # stage alone at bench scale)
+    # the two towers run CONCURRENTLY inside the union: split ONE actor
+    # budget between them so the pools can never reserve every CPU and
+    # starve the exchange tasks (actor-starvation deadlock on small
+    # clusters). The split is asymmetric — decode+matmul makes the image
+    # tower ~10× the text tower's cost per row (measured: balanced
+    # halves left the caption actors idle and the wall at ~11 s vs ~3 s
+    # for the image stage alone at bench scale)
     pool = actor_pool_size()
     cap_conc = max(1, pool // 4)
     img_conc = max(1, pool - cap_conc)
-    img = image_embeddings(images_parquet, concurrency=img_conc).sort("image_id")
-    cap = caption_embeddings(images_parquet, concurrency=cap_conc).sort("image_id")
-    zipped = img.zip(cap)
 
-    def score(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def side(build_tower, kind):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": t.column("image_id"),
+                 "kind": pa.array(np.full(len(t), kind, np.int8()),
+                                  pa.int8()),
+                 "embedding": t.column("embedding")})
+        return lambda: build_tower().map_batches(
+            f, batch_format="pyarrow", **remote_kwargs())
 
-        assert pc.all(pc.equal(t.column("image_id"),
-                               t.column("image_id_1"))).as_py() in (True, None)
-        a = embedding_matrix(t.column("embedding"))
-        b = embedding_matrix(t.column("embedding_1"))
-        s = np.round(np.einsum("ij,ij->i", a, b), 4)
+    def merge(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "clip_score": pa.array([], pa.float64()),
+             "keep": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        mat = _rows_by_kind(b, 2)
+        img_rows = b.take(pa.array(mat[:, 0]))
+        cap_rows = b.take(pa.array(mat[:, 1]))
+        a = embedding_matrix(img_rows.column("embedding"))
+        c = embedding_matrix(cap_rows.column("embedding"))
+        s = np.round(np.einsum("ij,ij->i", a, c), 4)
         return pa.table(
-            {"image_id": t.column("image_id"),
+            {"image_id": img_rows.column("image_id"),
              "clip_score": pa.array(s, pa.float64()),
              "keep": pa.array(s >= CLIP_KEEP_MIN, pa.bool_())})
 
-    return zipped.map_batches(score, batch_format="pyarrow",
-                              **remote_kwargs()).sort("image_id")
+    return _merge_by_image_id(
+        [side(lambda: image_embeddings(images_parquet,
+                                       concurrency=img_conc), 0),
+         side(lambda: caption_embeddings(images_parquet,
+                                         concurrency=cap_conc), 1)],
+        merge).sort("image_id")
 
 
 def caption_to_image_topk(images_parquet: str, n_queries: int = 16,
@@ -1438,16 +1522,15 @@ def image_curation_full(images_parquet: str, max_hamming: int = 8):
     Fused scale shape: the binary payload is DECODED EXACTLY ONCE — one
     image-side actor-pool pass emits (quality_ok, image embedding) from
     the same decoded array, one caption-side pass emits (caption_ok,
-    text embedding), and they meet in a positional zip of co-sorted
-    outputs (assert-guarded) where the CLIP score is one dot product.
-    The round-2 version materialized the four standalone stages and
-    decoded every image three times (quality, embed tower, and again
-    inside their zips) — at 100 TB decode IS the pipeline cost, so the
-    fused pass is ~3× cheaper where it matters, while the standalone
-    stages stay available for à-la-carte use. The phash keep-list needs
-    no decode at all (phash is a stored column) and joins by a second
-    co-sorted zip. Numeric parity with the standalone stages is
-    guaranteed by construction: the fused workers call the exact same
+    text embedding), and all three sides (towers + the decode-free phash
+    keep-list) meet in ONE keyed co-location on image_id
+    (`_merge_by_image_id`) where the CLIP score is one dot product and
+    the decision is block-local boolean algebra. The round-2 version
+    decoded every image three times; the round-3 version paid THREE full
+    `.sort("image_id")` shuffles (one over embedding-width rows) purely
+    to align positional zips — this shape has one decode AND one
+    exchange. Numeric parity with the standalone stages is guaranteed by
+    construction: the fused workers call the exact same
     `metrics`/`embed_pixels`/`embed_captions`/`caption_rule_columns`
     code, reconciliation-tested. The actor budget is split 3:1
     image:caption like `image_caption_alignment` (decode+matmul
@@ -1460,51 +1543,87 @@ def image_curation_full(images_parquet: str, max_hamming: int = 8):
     pool = actor_pool_size()
     cap_conc = max(1, pool // 4)
     img_conc = max(1, pool - cap_conc)
-    img = ray.data.read_parquet(
-        images_parquet, columns=["image_id", "bytes"]
-    ).map_batches(FusedImagePassWorker, batch_format="pyarrow",
-                  batch_size=64, concurrency=img_conc,
-                  **remote_kwargs()).sort("image_id")
-    cap = ray.data.read_parquet(
-        images_parquet, columns=["image_id", "caption"]
-    ).map_batches(FusedCaptionPassWorker, batch_format="pyarrow",
-                  concurrency=cap_conc, **remote_kwargs()).sort("image_id")
+    # keep-list first (tiny decision rows; its own internal shuffles must
+    # not plan under the merge's scoped context)
+    keep_mat = image_keeplist(images_parquet, max_hamming=max_hamming,
+                              sort_output=False).materialize()
+    emb_type = pa.list_(pa.float32())
 
-    def score(t: pa.Table) -> pa.Table:
-        assert pc.all(pc.equal(t.column("image_id"),
-                               t.column("image_id_1"))).as_py() in (True, None)
-        a = embedding_matrix(t.column("embedding"))
-        b = embedding_matrix(t.column("embedding_1"))
-        s = np.round(np.einsum("ij,ij->i", a, b), 4)
-        return pa.table(
-            {"image_id": t.column("image_id"),
-             "quality_ok": t.column("quality_ok"),
-             "caption_ok": t.column("caption_ok"),
-             "clip_score": pa.array(s, pa.float64()),
-             "alignment_ok": pa.array(s >= CLIP_KEEP_MIN, pa.bool_())})
+    def img_side():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": t.column("image_id"),
+                 "kind": pa.array(np.zeros(len(t), np.int8()), pa.int8()),
+                 "quality_ok": t.column("quality_ok"),
+                 "caption_ok": pa.nulls(len(t), pa.bool_()),
+                 "keep": pa.nulls(len(t), pa.bool_()),
+                 "embedding": t.column("embedding")})
+        return ray.data.read_parquet(
+            images_parquet, columns=["image_id", "bytes"]
+        ).map_batches(FusedImagePassWorker, batch_format="pyarrow",
+                      batch_size=64, concurrency=img_conc, **remote_kwargs()
+                      ).map_batches(f, batch_format="pyarrow",
+                                    **remote_kwargs())
 
-    scores = img.zip(cap).map_batches(
-        score, batch_format="pyarrow", **remote_kwargs()
-    ).sort("image_id").materialize()
+    def cap_side():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": t.column("image_id"),
+                 "kind": pa.array(np.ones(len(t), np.int8()), pa.int8()),
+                 "quality_ok": pa.nulls(len(t), pa.bool_()),
+                 "caption_ok": t.column("caption_ok"),
+                 "keep": pa.nulls(len(t), pa.bool_()),
+                 "embedding": t.column("embedding")})
+        return ray.data.read_parquet(
+            images_parquet, columns=["image_id", "caption"]
+        ).map_batches(FusedCaptionPassWorker, batch_format="pyarrow",
+                      concurrency=cap_conc, **remote_kwargs()
+                      ).map_batches(f, batch_format="pyarrow",
+                                    **remote_kwargs())
 
-    keep_side = image_keeplist(images_parquet, max_hamming=max_hamming)
-    zipped = keep_side.select_columns(["image_id", "keep"]).zip(scores)
+    def keep_side():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": t.column("image_id"),
+                 "kind": pa.array(np.full(len(t), 2, np.int8()), pa.int8()),
+                 "quality_ok": pa.nulls(len(t), pa.bool_()),
+                 "caption_ok": pa.nulls(len(t), pa.bool_()),
+                 "keep": t.column("keep"),
+                 "embedding": pa.nulls(len(t), emb_type)})
+        return ray.data.from_arrow_refs(
+            list(keep_mat.to_arrow_refs())
+        ).map_batches(f, batch_format="pyarrow", **remote_kwargs())
 
-    def decide(t: pa.Table) -> pa.Table:
-        # zip suffixes the right side's duplicate image_id with _1
-        assert pc.all(pc.equal(t.column("image_id"),
-                               t.column("image_id_1"))).as_py() in (True, None)
+    def merge(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "is_cluster_keeper": pa.array([], pa.bool_()),
+             "quality_ok": pa.array([], pa.bool_()),
+             "caption_ok": pa.array([], pa.bool_()),
+             "alignment_ok": pa.array([], pa.bool_()),
+             "clip_score": pa.array([], pa.float64()),
+             "keep": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        mat = _rows_by_kind(b, 3)
+        img_rows = b.take(pa.array(mat[:, 0]))
+        cap_rows = b.take(pa.array(mat[:, 1]))
+        keep_rows = b.take(pa.array(mat[:, 2]))
+        a = embedding_matrix(img_rows.column("embedding"))
+        c = embedding_matrix(cap_rows.column("embedding"))
+        s = np.round(np.einsum("ij,ij->i", a, c), 4)
+        alignment_ok = pa.array(s >= CLIP_KEEP_MIN, pa.bool_())
         keep = pc.and_(
-            pc.and_(t.column("keep"), t.column("quality_ok")),
-            pc.and_(t.column("caption_ok"), t.column("alignment_ok")))
+            pc.and_(keep_rows.column("keep"), img_rows.column("quality_ok")),
+            pc.and_(cap_rows.column("caption_ok"), alignment_ok))
         return pa.table(
-            {"image_id": t.column("image_id"),
-             "is_cluster_keeper": t.column("keep"),
-             "quality_ok": t.column("quality_ok"),
-             "caption_ok": t.column("caption_ok"),
-             "alignment_ok": t.column("alignment_ok"),
-             "clip_score": t.column("clip_score"),
+            {"image_id": img_rows.column("image_id"),
+             "is_cluster_keeper": keep_rows.column("keep"),
+             "quality_ok": img_rows.column("quality_ok"),
+             "caption_ok": cap_rows.column("caption_ok"),
+             "alignment_ok": alignment_ok,
+             "clip_score": pa.array(s, pa.float64()),
              "keep": keep})
 
-    return zipped.map_batches(decide, batch_format="pyarrow",
-                              **remote_kwargs()).sort("image_id")
+    return _merge_by_image_id([img_side, cap_side, keep_side],
+                              merge).sort("image_id")
