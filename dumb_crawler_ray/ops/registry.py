@@ -1537,6 +1537,20 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # decode-consistency invariant (verdict r3 #8): (w, h, phash, lossy)
+    # recomputed from DECODED PIXELS must equal the stored metadata —
+    # promotes the formerly rows-only decode path to a full SQL oracle
+    # (phash thresholds 8×8 block means, stable under the ≥40 dB lossy
+    # roundtrip on this corpus)
+    reg["image_decode_check"] = (
+        lambda sf: multimodal.decode_check(
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        SELECT image_id, w, h, phash, fmt = 'jpeg' AS lossy
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
+
     # image-side X1: exact byte-content dedup with in-flight planted
     # duplicates (pii_scrub_stats precedent — the identical UNION ALL
     # derivation in SQL, so no derived fixture; plant selection is the

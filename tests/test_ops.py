@@ -96,7 +96,7 @@ SQL_CHECKED = [
     "export_image_shards", "crawl_lineage_counts", "corpus_release",
     "crawl_domain_stats", "export_webdataset", "eval_decontaminate",
     "bpe_train", "bpe_token_counts", "chunk_documents",
-    "crawl_politeness_check",
+    "crawl_politeness_check", "image_decode_check",
 ]
 
 
