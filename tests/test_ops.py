@@ -1296,7 +1296,8 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "crawl_politeness_check",
         "curated_corpus", "corpus_release",
         "page_rank", "page_indegree",  # link graph = the crawl fixture
-        "image_decode_stats", "image_phash_near_dups", "image_resize_meta",
+        "image_decode_stats", "image_decode_check", "image_phash_near_dups",
+        "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
         "image_caption_stats", "image_exact_dedup", "image_shard_pack",
