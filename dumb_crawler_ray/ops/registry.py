@@ -2458,8 +2458,9 @@ def build_registry() -> dict[str, tuple]:
                    CASE WHEN length(d.text) < 100 THEN 1 ELSE 0 END AS is_short
             FROM documents d JOIN lang_result p USING (doc_id)
         )
-        SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-               sum(is_short) AS n_short,
+        SELECT lang_pred, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(is_short) AS BIGINT) AS n_short,
                count(DISTINCT fingerprint) AS distinct_fingerprints
         FROM feat GROUP BY lang_pred ORDER BY lang_pred
         """,

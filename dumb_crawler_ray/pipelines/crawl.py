@@ -204,10 +204,17 @@ class CrawlPipeline:
             keep = ~dup
             cand = cand.filter(pa.array(keep))
             hashes_np = hashes_np[keep]
-        h64 = hash64_batch(hashes_np)
-        cand = cand.append_column("hash64", pa.array(h64, pa.int64()))
+        if "hash64" in cand.column_names:
+            # fetch workers precomputed hash64 + routing (parallel)
+            h64 = cand.column("hash64").to_numpy()
+            shard_ids = cand.column("shard").to_numpy()
+            cand = cand.drop_columns(["shard"])
+        else:  # seed / restore path: columns not precomputed
+            h64 = hash64_batch(hashes_np)
+            cand = cand.append_column("hash64", pa.array(h64, pa.int64()))
+            shard_ids = self._route(cand.column("domain").to_pylist(),
+                                    hashes_np)
         maybe_seen = self.bloom.contains_many(h64)
-        shard_ids = self._route(cand.column("domain").to_pylist(), hashes_np)
         refs, ref_sids = [], []
         for sid in range(self.n_shards):
             idx = np.flatnonzero(shard_ids == sid)
@@ -597,6 +604,10 @@ class CrawlPipeline:
                 "domain": pc.list_flatten(result.column("cand_domain")),
                 "tags": pc.list_flatten(result.column("cand_tags")),
                 "priority": pc.list_flatten(result.column("cand_priority")),
+                # worker-precomputed (parallel) — the driver's serial
+                # insert path skips rehash + re-route entirely
+                "hash64": pc.list_flatten(result.column("cand_h64")),
+                "shard": pc.list_flatten(result.column("cand_shard")),
             }
         )
         self._last_cand_n = len(cand)

@@ -124,12 +124,13 @@ class FetchWorker:
     def __init__(self, fixture_dir: str, config_raw: dict, seed: int, scale: int,
                  ckpt_dir: str | None = None, fetch_delay_s: float = 0.0,
                  images_shards=None, proxy_api_key: str | None = None,
-                 fetch_threads: int = 1, n_shards: int = 0,
+                 fetch_threads: int = 1, n_shards: int = 1,
                  hot_domains: frozenset = frozenset()):
-        # n_shards/hot_domains: frontier routing, used only by the
-        # dataset candidate path (workers pre-partition their candidate
-        # tables by owning shard — the keyed exchange IS the routing)
-        self.n_shards = n_shards
+        # n_shards/hot_domains: frontier routing — workers precompute each
+        # candidate's hash64 + owning shard (vectorized, in parallel) so
+        # the driver's serial insert path never rehashes or re-routes; the
+        # dataset candidate path additionally pre-partitions by shard
+        self.n_shards = max(1, int(n_shards))
         self.hot_domains = hot_domains
         self.cfg = JobConfig(config_raw)
         self.comp = S.CrawlComponents(self.cfg)
@@ -172,7 +173,15 @@ class FetchWorker:
         self._img_hi_runmax = runmax
         self._n_stat_shards = len(with_stats)
         self._shard_cache: dict[int, dict] = {}  # j -> {"cols", "index"}
-        self._shard_cache_max = 64
+        # cap sized so a bench/scaling-scale store (hundreds of shards)
+        # never thrashes: an actor whose pages reference the whole corpus
+        # holds at most the same id->row index the old whole-table
+        # broadcast built per actor anyway (tables stay zero-copy in
+        # plasma; the cache holds only index dicts + column handles).
+        # Tune down via DCR_IMG_SHARD_CACHE only when per-actor id-index
+        # memory, not plasma, is the binding constraint.
+        self._shard_cache_max = int(
+            os.environ.get("DCR_IMG_SHARD_CACHE", "4096"))
         self.ckpt_dir = ckpt_dir
         self.fetch_delay_s = fetch_delay_s
         # politeness pacing (north rule): min wall-clock delay between
@@ -193,21 +202,7 @@ class FetchWorker:
         self._executor = None
         self.round = -1  # set via batch column
 
-    def _load_shard(self, j: int) -> dict:
-        """Materialize + index shard j (once per actor, LRU-capped). Ref
-        shards are zero-copy plasma gets; file shards read one row
-        group."""
-        entry = self._shard_cache.get(j)
-        if entry is not None:
-            return entry
-        kind, payload = self._img_shards[j][0], self._img_shards[j][1]
-        if kind == "ref":
-            import ray
-
-            tbl = ray.get(payload)
-        else:
-            path, rg = payload
-            tbl = pq.ParquetFile(path).read_row_group(rg)
+    def _cache_shard_table(self, j: int, tbl: pa.Table) -> dict:
         entry = {
             "cols": {c: tbl.column(c) for c in tbl.column_names},
             "index": {iid: i for i, iid in enumerate(
@@ -217,6 +212,27 @@ class FetchWorker:
             self._shard_cache.pop(next(iter(self._shard_cache)))
         self._shard_cache[j] = entry
         return entry
+
+    def _load_shards(self, js: list[int]) -> None:
+        """Materialize + index the listed shards (once per actor,
+        LRU-capped). Ref shards resolve in ONE batched zero-copy
+        `ray.get`; file shards read one row group each."""
+        missing = [j for j in js if j not in self._shard_cache]
+        if not missing:
+            return
+        ref_js = [j for j in missing if self._img_shards[j][0] == "ref"]
+        if ref_js:
+            import ray
+
+            for j, tbl in zip(ref_js,
+                              ray.get([self._img_shards[j][1]
+                                       for j in ref_js])):
+                self._cache_shard_table(j, tbl)
+        for j in missing:
+            if self._img_shards[j][0] != "ref":
+                path, rg = self._img_shards[j][1]
+                self._cache_shard_table(
+                    j, pq.ParquetFile(path).read_row_group(rg))
 
     def _candidate_shards(self, iid: str):
         """Interval stabbing over the sorted (lo, hi) shard ranges: with
@@ -240,9 +256,13 @@ class FetchWorker:
         for iid in set(ids):
             for j in self._candidate_shards(iid):
                 by_shard.setdefault(j, []).append(iid)
+        self._load_shards(list(by_shard))
         out: dict[str, dict] = {}
         for j, members in sorted(by_shard.items()):
-            entry = self._load_shard(j)
+            entry = self._shard_cache.get(j)
+            if entry is None:  # evicted within this bulk (cap < working set)
+                self._load_shards([j])
+                entry = self._shard_cache[j]
             cols, index = entry["cols"], entry["index"]
             for iid in members:
                 if iid in out:
@@ -287,6 +307,8 @@ class FetchWorker:
             "cand_domain": [[] for _ in range(n)],
             "cand_tags": [[] for _ in range(n)],
             "cand_priority": [[] for _ in range(n)],
+            "cand_h64": [[] for _ in range(n)],
+            "cand_shard": [[] for _ in range(n)],
         }
         page_rows = []
         image_rows = []
@@ -356,6 +378,9 @@ class FetchWorker:
             # chunk). Link counters stay pre-dedup (reference counts every
             # allowed/ignored link, dedup happens at insert).
             batch_seen: set = set()
+            kept_pages: list[tuple[int, int]] = []  # (page row, n kept)
+            flat_hash: list[str] = []
+            flat_dom: list[str] = []
             for i, links in page_links:
                 m = len(links)
                 sl = slice(pos, pos + m)
@@ -377,6 +402,25 @@ class FetchWorker:
                 ]
                 out["cand_tags"][i] = [ltags[j] for j in keep]
                 out["cand_priority"][i] = [int(lprio[j]) for j in keep]
+                kept_pages.append((i, len(keep)))
+                flat_hash.extend(out["cand_hash"][i])
+                flat_dom.extend(out["cand_domain"][i])
+            # hash64 + owning-shard per kept candidate, computed HERE
+            # (vectorized, in parallel across fetch workers) so the
+            # driver's serial insert path never rehashes or re-routes
+            if flat_hash:
+                from ..functions.urlhash import hash64_batch
+                from ..state.frontier import shard_of_batch
+
+                h64 = hash64_batch(np.asarray(flat_hash, dtype=object))
+                sids = shard_of_batch(flat_dom,
+                                      np.asarray(flat_hash, dtype=object),
+                                      self.n_shards, self.hot_domains)
+                off = 0
+                for i, nk in kept_pages:
+                    out["cand_h64"][i] = h64[off:off + nk].tolist()
+                    out["cand_shard"][i] = sids[off:off + nk].tolist()
+                    off += nk
         # pass 3: grouped image loads + per-row payload validation
         all_image_ids = [iid for _, iids, _ in stored for iid in iids]
         img_rows = self._image_rows_bulk(all_image_ids) if all_image_ids else {}
@@ -527,6 +571,8 @@ def _to_arrow(out: dict, include_cand: bool = True,
             "cand_domain": pa.array(out["cand_domain"], pa.list_(pa.string())),
             "cand_tags": pa.array(out["cand_tags"], pa.list_(pa.list_(pa.string()))),
             "cand_priority": pa.array(out["cand_priority"], pa.list_(pa.int64())),
+            "cand_h64": pa.array(out["cand_h64"], pa.list_(pa.int64())),
+            "cand_shard": pa.array(out["cand_shard"], pa.list_(pa.int64())),
         })
     if n_cand_nonhttp is not None:
         cols["n_cand_nonhttp"] = pa.array(n_cand_nonhttp, pa.int64())
