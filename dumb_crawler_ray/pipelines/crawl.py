@@ -316,6 +316,9 @@ class CrawlPipeline:
         attempt = np.asarray(
             [x for p in parts for x in p["attempt"]], dtype=np.int64
         )
+        delay_ms = np.asarray(
+            [x for p in parts for x in p["crawl_delay_ms"]], dtype=np.int64
+        )
         # pinned total order (priority DESC, attempt ASC, url_hash ASC) —
         # vectorized lexsort; matches S.selection_sort_key
         order = np.lexsort((url_hash, attempt, -priority))
@@ -351,6 +354,7 @@ class CrawlPipeline:
                 "priority": pa.array(priority[sel], pa.int64()),
                 "attempt": pa.array(attempt[sel], pa.int64()),
                 "round": pa.array([self.round] * len(sel), pa.int64()),
+                "crawl_delay_ms": pa.array(delay_ms[sel], pa.int64()),
             }
         )
 

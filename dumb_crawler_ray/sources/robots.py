@@ -29,13 +29,24 @@ from __future__ import annotations
 from .httpweb import FetchTransportError, HttpWeb
 
 
-def parse_robots(text: str, user_agent: str) -> list[str]:
-    """robots.txt body → Disallow path prefixes for `user_agent`."""
+def parse_robots_full(text: str, user_agent: str) -> tuple[list[str], float]:
+    """robots.txt body → (Disallow path prefixes, Crawl-delay seconds)
+    for `user_agent` (delay 0.0 when the winning group sets none)."""
     ua = user_agent.lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    # (agents, disallows, delay_s) per record
+    groups: list[tuple[list[str], list[str], float]] = []
     agents: list[str] = []
     disallows: list[str] = []
+    delay = 0.0
     in_group_body = False
+
+    def flush():
+        nonlocal agents, disallows, delay, in_group_body
+        if agents or disallows:
+            groups.append((agents, disallows, delay))
+        agents, disallows, delay = [], [], 0.0
+        in_group_body = False
+
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -45,28 +56,36 @@ def parse_robots(text: str, user_agent: str) -> list[str]:
         value = value.strip()
         if field == "user-agent":
             if in_group_body:  # a new record starts
-                groups.append((agents, disallows))
-                agents, disallows = [], []
-                in_group_body = False
+                flush()
             agents.append(value.lower())
         elif field == "disallow":
             in_group_body = True
             if value and "*" not in value and "$" not in value:
                 disallows.append(value)
-        elif field in ("allow", "crawl-delay", "sitemap"):
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                delay = max(0.0, float(value))
+            except ValueError:
+                pass
+        elif field in ("allow", "sitemap"):
             in_group_body = True  # ends the user-agent run, not parsed
-    if agents or disallows:
-        groups.append((agents, disallows))
-    best: list[str] | None = None
+    flush()
+    best: tuple[list[str], float] | None = None
     best_len = -1
-    for g_agents, g_dis in groups:
+    for g_agents, g_dis, g_delay in groups:
         for a in g_agents:
             if a == "*":
                 if best_len < 0:
-                    best = g_dis
+                    best = (g_dis, g_delay)
             elif a and a in ua and len(a) > best_len:
-                best, best_len = g_dis, len(a)
-    return list(best) if best else []
+                best, best_len = (g_dis, g_delay), len(a)
+    return (list(best[0]), best[1]) if best else ([], 0.0)
+
+
+def parse_robots(text: str, user_agent: str) -> list[str]:
+    """Disallow prefixes only (see `parse_robots_full`)."""
+    return parse_robots_full(text, user_agent)[0]
 
 
 class RobotsFetcher:
@@ -78,12 +97,17 @@ class RobotsFetcher:
         self.web = web
 
     def rules_for(self, domain: str, scheme: str = "http") -> list[str]:
+        return self.fetch_rules(domain, scheme)[0]
+
+    def fetch_rules(self, domain: str,
+                    scheme: str = "http") -> tuple[list[str], float]:
+        """(Disallow prefixes, Crawl-delay seconds) for `domain`."""
         try:
             resp = self.web.fetch(f"{scheme}://{domain}/robots.txt")
         except FetchTransportError:
-            return []  # unreachable → allow (never dead-lock on robots)
+            return [], 0.0  # unreachable → allow (never dead-lock on robots)
         if resp.status_code >= 500:
-            return ["/"]  # server error → complete disallow (RFC 9309)
+            return ["/"], 0.0  # server error → complete disallow (RFC 9309)
         if resp.status_code != 200:
-            return []  # 4xx → allow all
-        return parse_robots(resp.html, self.web.user_agent)
+            return [], 0.0  # 4xx → allow all
+        return parse_robots_full(resp.html, self.web.user_agent)

@@ -318,10 +318,17 @@ class FetchWorker:
         # fetch_threads in-actor threads — RTT/network I/O releases the
         # GIL; results are consumed in input-index order so outcomes are
         # bit-identical at any thread count)
+        crawl_delay_s = (
+            [d / 1000.0 for d in batch.column("crawl_delay_ms").to_pylist()]
+            if "crawl_delay_ms" in batch.column_names else [0.0] * n)
+
         def fetch_one(i: int):
             url, tags = urls[i], tags_list[i]
-            if self.politeness_delay_s:
-                self._pace(self.comp.domain_of(url))
+            # per-domain pacing: the stricter of the config politeness
+            # delay and the domain's robots Crawl-delay (selection column)
+            delay_s = max(self.politeness_delay_s, crawl_delay_s[i])
+            if delay_s:
+                self._pace(self.comp.domain_of(url), delay_s)
             if self.fetch_delay_s:
                 import time
 
@@ -484,18 +491,20 @@ class FetchWorker:
         return _to_arrow(out, include_cand=False,
                          n_cand_nonhttp=n_nonhttp), refs, n_cand
 
-    def _pace(self, domain: str) -> None:
-        """Min wall-clock delay between fetches of one domain. Lock-
-        protected claim-then-sleep so concurrent fetch threads serialize
-        per domain without holding the lock while sleeping."""
+    def _pace(self, domain: str, delay_s: float | None = None) -> None:
+        """Min wall-clock delay between fetches of one domain (config
+        politeness or, when larger, the domain's robots Crawl-delay).
+        Lock-protected claim-then-sleep so concurrent fetch threads
+        serialize per domain without holding the lock while sleeping."""
         import time
 
+        if delay_s is None:
+            delay_s = self.politeness_delay_s
         while True:
             with self._pace_lock:
                 now = time.monotonic()
                 last = self._domain_last_fetch.get(domain)
-                wait = 0.0 if last is None else (
-                    self.politeness_delay_s - (now - last))
+                wait = 0.0 if last is None else (delay_s - (now - last))
                 if wait <= 0:
                     self._domain_last_fetch[domain] = now
                     return

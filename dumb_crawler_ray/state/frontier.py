@@ -81,7 +81,8 @@ class FrontierShardState:
         self.heap: list[tuple] = []  # (neg_priority, attempt, url_hash) lazy-deleted
         self.cuckoo = CuckooFilter(seen_capacity)
         self.counters: Counter = Counter()
-        self.robots_cache: dict[str, list[str]] = {}
+        # domain → (disallow prefixes, crawl-delay seconds)
+        self.robots_cache: dict[str, tuple[list[str], float]] = {}
         self._seq = 0
         # distributed stored-membership (SURVEY.md ST4 / verdict r3 #1):
         # NEW-vs-UPDATED page and SAVED-vs-DUP image decisions live on the
@@ -94,23 +95,28 @@ class FrontierShardState:
 
     # ------------------------------------------------------------- insert
 
-    def _robots(self, domain: str, url: str | None = None) -> list[str]:
-        """Disallow prefixes for `domain`, cached per shard (domains are
-        shard-local by the partitioning key, so each domain's robots is
-        fetched ONCE per crawl). Scheme for the live fetch comes from the
-        first candidate url seen for the domain."""
-        rules = self.robots_cache.get(domain)
-        if rules is None:
+    def _robots_entry(self, domain: str,
+                      url: str | None = None) -> tuple[list[str], float]:
+        """(Disallow prefixes, Crawl-delay seconds) for `domain`, cached
+        per shard (domains are shard-local by the partitioning key, so
+        each domain's robots is fetched ONCE per crawl). Scheme for the
+        live fetch comes from the first candidate url seen for the
+        domain."""
+        entry = self.robots_cache.get(domain)
+        if entry is None:
             if self.robots_fetcher is not None:
                 scheme = (url.split("://", 1)[0]
                           if url and "://" in url else "http")
-                rules = self.robots_fetcher.rules_for(domain, scheme)
+                entry = self.robots_fetcher.fetch_rules(domain, scheme)
             else:
                 from ..sources.synthweb import robots_disallow
 
-                rules = robots_disallow(domain)
-            self.robots_cache[domain] = rules
-        return rules
+                entry = (robots_disallow(domain), 0.0)
+            self.robots_cache[domain] = entry
+        return entry
+
+    def _robots(self, domain: str, url: str | None = None) -> list[str]:
+        return self._robots_entry(domain, url)[0]
 
     def insert_candidates(self, rows: dict, maybe_seen=None) -> dict:
         """Insert-if-absent for a routed candidate batch.
@@ -265,6 +271,15 @@ class FrontierShardState:
             "domain": [r[R_DOMAIN] for _, r in taken],
             "priority": [r[R_PRIORITY] for _, r in taken],
             "attempt": [r[R_ATTEMPT] for _, r in taken],
+            # robots Crawl-delay (ms) for the row's domain — populated at
+            # insert time when respect_robots is on; the fetch stage paces
+            # max(config politeness delay, this). Pacing affects WALL
+            # CLOCK only, never crawl order (conformance-safe). No robots
+            # fetch happens here: unknown domains pace at the config rate.
+            "crawl_delay_ms": [
+                int(self.robots_cache.get(r[R_DOMAIN], (None, 0.0))[1] * 1000)
+                for _, r in taken
+            ],
         }
 
     def mark_selected(self, url_hashes: list[str]) -> None:

@@ -138,6 +138,59 @@ def test_insert_time_denial_and_per_domain_cache():
     assert len(opener.calls) == 2  # cache hit, no refetch
 
 
+def test_crawl_delay_parsing_and_plumbing():
+    """Crawl-delay flows robots.txt → shard cache → selection rows; the
+    winning group's delay applies, other groups' delays don't."""
+    from dumb_crawler_ray.sources.robots import parse_robots_full
+
+    txt = ("User-agent: Googlebot\nCrawl-delay: 9\nDisallow: /g/\n\n"
+           "User-agent: dcr-bot\nCrawl-delay: 0.25\nDisallow: /p/\n\n"
+           "User-agent: *\nDisallow: /all/\n")
+    assert parse_robots_full(txt, "dcr-bot/1.0") == (["/p/"], 0.25)
+    assert parse_robots_full(txt, "Mozilla/5.0") == (["/all/"], 0.0)
+    assert parse_robots_full(txt, "Googlebot") == (["/g/"], 9.0)
+
+    opener = _RobotsOpener({
+        "http://slow.test/robots.txt": _Resp(200, txt.encode())})
+    st = FrontierShardState(
+        0, respect_robots=True,
+        robots_fetcher=RobotsFetcher(HttpWeb(user_agent="dcr-bot/1.0",
+                                             opener=opener)))
+    _insert(st, ["http://slow.test/a", "http://slow.test/b"])
+    sel = st.select_candidates(10, 0, 5)
+    assert sel["crawl_delay_ms"] == [250, 250]
+
+
+def test_fetch_worker_paces_robots_crawl_delay(tmp_path):
+    """A selection row carrying crawl_delay_ms paces same-domain fetches:
+    two URLs with a 150 ms delay must take >= 150 ms wall even with
+    politeness.delay_ms = 0."""
+    import time
+
+    import pyarrow as pa
+
+    from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG, write_fixture
+    from dumb_crawler_ray.stages.fetch import FetchWorker
+
+    fix = str(write_fixture(tmp_path / "fx", seed=42, scale=1))
+    w = FetchWorker(fix, DEFAULT_CONFIG, seed=42, scale=1)
+    urls = ["https://d00.example.test/", "https://d00.example.test/x"]
+    batch = pa.table(
+        {"rank": pa.array([0, 1], pa.int64()),
+         "url_hash": pa.array(["h0", "h1"], pa.string()),
+         "url": pa.array(urls, pa.string()),
+         "domain": pa.array(["d00.example.test"] * 2, pa.string()),
+         "priority": pa.array([1, 1], pa.int64()),
+         "attempt": pa.array([0, 0], pa.int64()),
+         "round": pa.array([0, 0], pa.int64()),
+         "crawl_delay_ms": pa.array([150, 150], pa.int64())})
+    t0 = time.monotonic()
+    out = w(batch)
+    wall = time.monotonic() - t0
+    assert len(out) == 2
+    assert wall >= 0.15  # second same-domain fetch waited for the delay
+
+
 def test_transport_failure_never_blocks_the_crawl():
     from dumb_crawler_ray.pipelines import semantics as S
 
