@@ -421,6 +421,71 @@ def phash_near_dup_pairs(images_parquet: str, max_hamming: int = 8,
     return ray.data.from_arrow_refs(list(mat.to_arrow_refs())).sort(["a", "b"])
 
 
+AESTHETIC_MIN = 5.0  # keep threshold on the 0-10 score (LAION-Aesthetics
+# convention: laion2B-en-aesthetic kept predictions >= 5)
+
+
+class ImageAestheticWorker:
+    """Aesthetic scoring — the LAION-Aesthetics curation step: a linear
+    head over the image-tower embedding produces a 0–10 score per image,
+    ONE decode per image (the embed reuse pattern of the fused curation
+    pass). The head weights here are a deterministic seeded stand-in
+    (same seam as the towers: load real trained weights in `__init__`
+    when available); score = 10·sigmoid(s·(w·e)) over the NORMALIZED
+    embedding, so scores are partition- and cluster-size-independent."""
+
+    def __init__(self, dim: int = 512, side: int = 32, seed: int = 11,
+                 sharpness: float = 40.0):
+        self.embed = ImageEmbedWorker(dim=dim, side=side)
+        rng = np.random.default_rng(seed)
+        self.head = (rng.standard_normal(dim) / np.sqrt(dim)).astype(
+            np.float32)
+        self.sharpness = sharpness
+
+    def score_pixels(self, arrs: list[np.ndarray]) -> np.ndarray:
+        # one row per embed call, FIXED (1, n_in)@(n_in, dim) shape: BLAS
+        # gemm picks blocking (= float32 summation order) by matrix
+        # shape, so a batched embed can wobble a row by 1 ulp between
+        # batch sizes — and the sharp sigmoid amplifies that past the
+        # rounded 4th decimal. Fixed-shape per-row compute makes scores
+        # exactly batch- and partition-independent; the op stays
+        # decode-dominated, so the lost gemm batching is noise here.
+        emb = np.stack([self.embed.embed_pixels([a])[0] for a in arrs]) \
+            .astype(np.float64)
+        logits = self.sharpness * (emb * self.head.astype(np.float64)).sum(
+            axis=1)
+        return np.round(10.0 / (1.0 + np.exp(-logits)), 4)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        scores = self.score_pixels(
+            [codec.decode(d) for d in t.column("bytes").to_pylist()])
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             "aesthetic_score": pa.array(scores, pa.float64()),
+             "keep": pa.array(scores >= AESTHETIC_MIN, pa.bool_())})
+
+
+def image_aesthetic_scores(images_parquet: str,
+                           concurrency: int | None = None,
+                           batch_size: int = 64):
+    """Per-image aesthetic score + keep gate over the image table (the
+    dataset-curation stage between dedup and release in the LAION
+    recipe). Actor pool, small batches (binary payloads), no shuffle;
+    rows-only oracle (model scores) with determinism/range/non-vacuity
+    invariants tested."""
+    import ray
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes"]
+    ).map_batches(
+        ImageAestheticWorker, batch_format="pyarrow", **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None
+        else actor_pool_size(),
+    ).sort("image_id")
+
+
 def image_keeplist(images_parquet: str, max_hamming: int = 8,
                    force_distributed: bool = False,
                    sort_output: bool = True):

@@ -1537,6 +1537,16 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # aesthetic scoring (LAION-Aesthetics stage): linear head over the
+    # image-tower embedding, 0-10 score + keep gate; model scores are
+    # rows-only by nature (invariants pytested: determinism across
+    # partitioning, range, non-vacuous gate)
+    reg["image_aesthetic_scores"] = (
+        lambda sf: multimodal.image_aesthetic_scores(
+            f"{_fixture_dir()}/images.parquet"),
+        None,
+    )
+
     # decode-consistency invariant (verdict r3 #8): (w, h, phash, lossy)
     # recomputed from DECODED PIXELS must equal the stored metadata —
     # promotes the formerly rows-only decode path to a full SQL oracle

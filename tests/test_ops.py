@@ -1296,8 +1296,8 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "crawl_politeness_check",
         "curated_corpus", "corpus_release",
         "page_rank", "page_indegree",  # link graph = the crawl fixture
-        "image_decode_stats", "image_decode_check", "image_phash_near_dups",
-        "image_resize_meta",
+        "image_decode_stats", "image_decode_check", "image_aesthetic_scores",
+        "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
         "image_quality", "image_ann_topk", "image_curation",
         "image_caption_stats", "image_exact_dedup", "image_shard_pack",
@@ -1744,6 +1744,37 @@ def test_image_exact_dedup_invariants(ray_session):
     assert (df["n_copies"] <= 2).all()
     plain = to_df(image_exact_dedup(path))    # default: no planting
     assert len(plain) == n and (plain["n_copies"] == 1).all()
+
+
+def test_image_aesthetic_scores_invariants(ray_session):
+    """Aesthetic stage: scores deterministic and partitioning-independent,
+    inside [0, 10], gate consistent with AESTHETIC_MIN and non-vacuous
+    (the fixture yields both kept and dropped images), and equal to a
+    local single-process recompute (same worker code, one decode)."""
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.functions import codec
+    from dumb_crawler_ray.ops.multimodal import (AESTHETIC_MIN,
+                                                 ImageAestheticWorker,
+                                                 image_aesthetic_scores)
+    from dumb_crawler_ray.ops.registry import _fixture_dir
+
+    imgs = f"{_fixture_dir()}/images.parquet"
+    df = to_df(image_aesthetic_scores(imgs)).reset_index(drop=True)
+    assert df["aesthetic_score"].between(0, 10).all()
+    assert (df["keep"] == (df["aesthetic_score"] >= AESTHETIC_MIN)).all()
+    assert 0 < df["keep"].sum() < len(df)  # gate is non-vacuous
+    df2 = to_df(image_aesthetic_scores(imgs, concurrency=2, batch_size=17)
+                ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, df2)
+    # exact parity with a local single-process recompute
+    t = pq.read_table(imgs, columns=["image_id", "bytes"])
+    w = ImageAestheticWorker()
+    local = w.score_pixels([codec.decode(d)
+                            for d in t.column("bytes").to_pylist()])
+    got = df.set_index("image_id")["aesthetic_score"]
+    for iid, s in zip(t.column("image_id").to_pylist(), local):
+        assert got[iid] == s
 
 
 def test_image_shard_pack_invariants(ray_session):
