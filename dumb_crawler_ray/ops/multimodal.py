@@ -443,6 +443,8 @@ class ImageAestheticWorker:
         self.sharpness = sharpness
 
     def score_pixels(self, arrs: list[np.ndarray]) -> np.ndarray:
+        if not arrs:
+            return np.empty(0, dtype=np.float64)
         # one row per embed call, FIXED (1, n_in)@(n_in, dim) shape: BLAS
         # gemm picks blocking (= float32 summation order) by matrix
         # shape, so a batched embed can wobble a row by 1 ulp between

@@ -67,6 +67,10 @@ class CrawlResult:
     rounds: int
     ckpt_dir: str | None = None
     stop_reason: str = "drained"
+    # fetch-attempt count (== len(crawl_order)), kept as a scalar so
+    # result_lists=False runs still report true throughput (failures
+    # included — PROCESSED_URLS counts successes only)
+    n_fetched: int = 0
 
 
 class CrawlPipeline:
@@ -128,6 +132,7 @@ class CrawlPipeline:
         # per-round per-shard lineage accumulator (north rule: per-partition
         # lineage records) — flushed to lineage/round=NNNNNN.parquet at commit
         self._lineage_acc: dict[int, dict] = {}
+        self._n_fetched = 0
         self._round_wall_ms = 0
         self.bloom = BloomFilter(capacity=max(1 << 14, 64 * 40 * scale), fpp=0.01)
         # candidate ingestion mode (verdict r3 #2): 'driver' = flatten +
@@ -520,6 +525,7 @@ class CrawlPipeline:
             ranks = fr.column("rank").to_pylist()
             if self.result_lists:
                 self.crawl_order.extend(hashes)
+            self._n_fetched += len(hashes)
             order_rows = [(self.round, r, h) for r, h in zip(ranks, hashes)]
             self.counters["MAX_ATTEMPT_COUNT_REACHED"] += int(
                 (attempts >= maxa).sum()
@@ -733,8 +739,35 @@ class CrawlPipeline:
         )
         pq.write_table(ot, os.path.join(do, f"round={self.round:06d}.parquet"))
 
+    def _ckpt_robots(self):
+        """Persist newly-cached robots entries per round: robots DECISIONS
+        are crawl state — restore replays the original rules rather than
+        re-consulting a network whose answers may have changed."""
+        import ray
+
+        if not self.ckpt_dir or not self.cfg.respect_robots:
+            return
+        rows = [r for part in ray.get(
+            [s.drain_robots_entries.remote() for s in self.shards])
+            for r in part]
+        if not rows:
+            return
+        d = self._ckpt_path("robots")
+        os.makedirs(d, exist_ok=True)
+        t = pa.table(
+            {"domain": pa.array([r[0] for r in rows], pa.string()),
+             "prefixes": pa.array([r[1] for r in rows],
+                                  pa.list_(pa.string())),
+             "delay_ms": pa.array([int(r[2] * 1000) for r in rows],
+                                  pa.int64())})
+        path = os.path.join(d, f"round={self.round:06d}.parquet")
+        if os.path.exists(path):
+            t = pa.concat_tables([pq.read_table(path), t])
+        pq.write_table(t, path)
+
     def _ckpt_commit(self):
         self._ckpt_lineage()
+        self._ckpt_robots()
         if not self.ckpt_dir:
             return
         # O(1)-size manifest (counters + committed round only): stored-page
@@ -768,7 +801,8 @@ class CrawlPipeline:
             for name in os.listdir(base):
                 if name.startswith("round=") and round_of(name) > committed_round:
                     shutil.rmtree(os.path.join(base, name))
-        for sub in ("frontier_inserts", "frontier_updates", "order", "lineage"):
+        for sub in ("frontier_inserts", "frontier_updates", "order",
+                    "lineage", "robots"):
             base = self._ckpt_path(sub)
             if not os.path.isdir(base):
                 continue
@@ -808,6 +842,13 @@ class CrawlPipeline:
                 self.bloom.add_many(arr)
         if self.result_lists:
             self._restore_result_lists()
+            self._n_fetched = len(self.crawl_order)
+        else:
+            from ..state.ckptio import read_round, round_entries
+
+            self._n_fetched = sum(
+                read_round(p, columns=["url_hash"]).num_rows
+                for _, p in round_entries(self._ckpt_path("order")))
         return True
 
     def _restore_result_lists(self):
@@ -911,4 +952,5 @@ class CrawlPipeline:
             rounds=self.round,
             ckpt_dir=self.ckpt_dir,
             stop_reason=stop_reason,
+            n_fetched=self._n_fetched,
         )

@@ -83,8 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         result_lists=not args.no_result_lists,
     ).run(max_rounds=args.max_rounds)
     wall = time.time() - t0
-    n_urls = (len(res.crawl_order) if res.crawl_order
-              else res.counters.get("PROCESSED_URLS", 0))
+    n_urls = res.n_fetched  # attempt count — identical with or without
+    # --no-result-lists (PROCESSED_URLS would exclude failures)
     print(json.dumps({
         "urls_fetched": n_urls,
         "rounds": res.rounds,

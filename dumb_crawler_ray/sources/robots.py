@@ -28,6 +28,9 @@ from __future__ import annotations
 
 from .httpweb import FetchTransportError, HttpWeb
 
+MAX_CRAWL_DELAY_S = 30.0  # honor Crawl-delay only up to this (crawler-
+# standard cap; RFC 9309 doesn't define the field at all)
+
 
 def parse_robots_full(text: str, user_agent: str) -> tuple[list[str], float]:
     """robots.txt body → (Disallow path prefixes, Crawl-delay seconds)
@@ -65,7 +68,10 @@ def parse_robots_full(text: str, user_agent: str) -> tuple[list[str], float]:
         elif field == "crawl-delay":
             in_group_body = True
             try:
-                delay = max(0.0, float(value))
+                # capped: an unbounded delay from one hostile/misconfigured
+                # robots.txt must never stall a fetch actor (and with it
+                # the whole BSP round) for hours
+                delay = min(max(0.0, float(value)), MAX_CRAWL_DELAY_S)
             except ValueError:
                 pass
         elif field in ("allow", "sitemap"):

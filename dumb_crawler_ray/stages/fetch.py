@@ -454,8 +454,11 @@ class FetchWorker:
             return _to_arrow(out)
         import ray
 
+        # reuse pass 2's hash64 + shard routing (computed ONCE per kept
+        # candidate — no second shard_of_batch here, no rehash shard-side)
         c = {"url": [], "url_hash": [], "domain": [], "tags": [],
-             "priority": [], "rank": [], "link_idx": []}
+             "priority": [], "rank": [], "link_idx": [], "hash64": [],
+             "shard": []}
         n_nonhttp = [0] * n
         for i in range(n):
             for j, u in enumerate(out["cand_url"][i]):
@@ -469,11 +472,11 @@ class FetchWorker:
                 c["priority"].append(int(out["cand_priority"][i][j]))
                 c["rank"].append(ranks[i])
                 c["link_idx"].append(j)
+                c["hash64"].append(int(out["cand_h64"][i][j]))
+                c["shard"].append(int(out["cand_shard"][i][j]))
         n_cand = len(c["url"]) + sum(n_nonhttp)
         refs: dict[int, object] = {}
         if c["url"]:
-            from ..state.frontier import shard_of_batch
-
             cand = pa.table(
                 {"url": pa.array(c["url"], pa.string()),
                  "url_hash": pa.array(c["url_hash"], pa.string()),
@@ -481,10 +484,9 @@ class FetchWorker:
                  "tags": pa.array(c["tags"], pa.list_(pa.string())),
                  "priority": pa.array(c["priority"], pa.int64()),
                  "rank": pa.array(c["rank"], pa.int64()),
-                 "link_idx": pa.array(c["link_idx"], pa.int64())})
-            sids = shard_of_batch(c["domain"],
-                                  np.asarray(c["url_hash"], dtype=object),
-                                  self.n_shards, self.hot_domains)
+                 "link_idx": pa.array(c["link_idx"], pa.int64()),
+                 "hash64": pa.array(c["hash64"], pa.int64())})
+            sids = np.asarray(c["shard"], dtype=np.int64)
             for sid in np.unique(sids):
                 idx = np.flatnonzero(sids == sid)
                 refs[int(sid)] = ray.put(cand.take(pa.array(idx)))

@@ -14,6 +14,19 @@ Each shard holds, per SURVEY.md ST1/ST8:
   - a lazy-deletion selection heap ordered by the pinned total order
     (priority DESC, attempt ASC, url_hash ASC — SURVEY.md K1)
 
+Identity scope (documented trade-off of the sharded design): a url_hash's
+exact seen-record lives on the shard of ITS OWN domain, so a config whose
+``idExtractorPattern`` can extract the SAME id from urls on DIFFERENT
+domains treats them as distinct frontier entries (the reference's single
+global SQLite store would merge them; the driver-global bloom still
+pre-filters most re-offers). This applies identically to both candidate
+modes across rounds, and to the dataset mode within a round; configs
+whose id space is domain-unique (every fixture here, and any sane
+idExtractorPattern that keys on path ids scoped per site) are unaffected.
+Merging cross-domain identities exactly would force hash-keyed sharding,
+losing the domain co-location that politeness, robots and the candidate
+exchange are all built on.
+
 Scale note: at 10^10 URLs the in-memory record dict becomes a Lance/parquet
 key-range store per shard; the probe order (bloom → cuckoo → exact) is
 designed so that store is only consulted on cuckoo positives. Actors are
@@ -77,6 +90,12 @@ class FrontierShardState:
         # a sources.robots.RobotsFetcher → live per-domain /robots.txt
         # through the SAME HttpWeb transport the fetch stage uses
         self.robots_fetcher = robots_fetcher
+        # entries cached since the last checkpoint drain — robots
+        # DECISIONS are crawl state: they persist per round so restore
+        # replays the ORIGINAL rules instead of re-consulting a network
+        # whose answers may have changed (http mode would otherwise make
+        # resumed denial nondeterministic)
+        self._robots_new: list[tuple[str, list[str], float]] = []
         self.records: dict[str, list] = {}
         self.heap: list[tuple] = []  # (neg_priority, attempt, url_hash) lazy-deleted
         self.cuckoo = CuckooFilter(seen_capacity)
@@ -113,7 +132,21 @@ class FrontierShardState:
 
                 entry = (robots_disallow(domain), 0.0)
             self.robots_cache[domain] = entry
+            self._robots_new.append((domain, list(entry[0]), entry[1]))
         return entry
+
+    def drain_robots_entries(self) -> list[tuple[str, list[str], float]]:
+        """Robots entries cached since the last drain — the driver
+        persists them per round (robots/round=NNNNNN.parquet) so restore
+        pre-seeds the cache with the ORIGINAL decisions."""
+        out, self._robots_new = self._robots_new, []
+        return out
+
+    def seed_robots(self, domains, prefixes, delays_s) -> None:
+        """Pre-seed the robots cache (restore path): first writer wins,
+        matching round replay order."""
+        for d, p, s in zip(domains, prefixes, delays_s):
+            self.robots_cache.setdefault(d, (list(p), float(s)))
 
     def _robots(self, domain: str, url: str | None = None) -> list[str]:
         return self._robots_entry(domain, url)[0]
@@ -221,13 +254,16 @@ class FrontierShardState:
             keep = np.sort(first_idx)
             t = t.take(pa.array(keep))
             hashes = hashes[keep]
+        if "hash64" in t.column_names:  # worker-precomputed (one hash pass)
+            h64 = t.column("hash64").to_numpy()
+        else:
+            h64 = hash64_batch(hashes)
         t = t.select(["url", "url_hash", "domain", "tags", "priority"])
         if ckpt_dir:
             d = os.path.join(ckpt_dir, "frontier_inserts", f"round={rnd:06d}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(t, os.path.join(
                 d, f"part-s{self.shard_id:03d}-{uuid.uuid4().hex[:8]}.parquet"))
-        h64 = hash64_batch(hashes)
         delta = self.insert_candidates(
             t.append_column("hash64", pa.array(h64, pa.int64())), None)
         delta["n_in"] = len(t)
@@ -349,21 +385,68 @@ class FrontierShardState:
                           hot_domains: frozenset) -> int:
         """Distributed resume: THIS shard replays its own keyed partition
         of the checkpoint's delta files — inserts in round order through
-        the live `insert_candidates` path (robots denial re-applies
-        exactly), then updates filtered to owned records, then stored
+        the live `insert_candidates` path (with the robots cache
+        PRE-SEEDED from the persisted per-round entries, so denial
+        re-applies from the ORIGINAL decisions, never the current
+        network), then updates filtered to owned records, then stored
         membership from the data-plane fragments. The driver never
-        materializes the frontier history; each shard reads from shared
-        storage in parallel. Restore wall-time per shard is O(history /
-        n_shards) row work over column-pruned reads."""
+        materializes the frontier history; every shard reads the shared
+        delta files in parallel (read amplification n_shards×, the
+        shared-storage trade-off for zero driver funneling) and does
+        insert/update row WORK only on its own partition; dataset-mode
+        insert parts carry the owning shard in their filename and are
+        pruned without reading when the shard count is unchanged."""
         import os
+        import re
 
         from ..functions.urlhash import hash64_batch
         from .ckptio import read_round, round_entries
 
+        for _rnd, path in round_entries(os.path.join(ckpt_dir, "robots")):
+            t = read_round(path)
+            self.seed_robots(
+                t.column("domain").to_pylist(),
+                t.column("prefixes").to_pylist(),
+                [d / 1000.0 for d in t.column("delay_ms").to_pylist()])
+
+        def prune_parts(path: str) -> str | list[str]:
+            """Dataset-mode part files are named part-s{shard}-*: when the
+            shard count matches the writing run, other shards' parts can
+            be skipped without reading them."""
+            if not os.path.isdir(path):
+                return path
+            keep = []
+            for name in sorted(os.listdir(path)):
+                if not name.endswith(".parquet"):
+                    continue
+                m = re.match(r"part-s(\d+)-", name)
+                if m and int(m.group(1)) != self.shard_id:
+                    continue
+                keep.append(os.path.join(path, name))
+            return keep
+
         n_rows = 0
+        same_count = True  # routing below re-checks every row anyway;
+        # filename pruning is ONLY safe when n_shards matches the writer
+        manifest_path = os.path.join(ckpt_dir, "manifest.json")
+        if os.path.exists(manifest_path):
+            import json
+
+            same_count = (json.load(open(manifest_path)).get("n_shards")
+                          == n_shards)
         for _rnd, path in round_entries(
                 os.path.join(ckpt_dir, "frontier_inserts")):
-            t = read_round(path)
+            if same_count and os.path.isdir(path):
+                import pyarrow as pa
+
+                parts = prune_parts(path)
+                if not parts:
+                    continue
+                import pyarrow.parquet as _pq
+
+                t = pa.concat_tables([_pq.read_table(p) for p in parts])
+            else:
+                t = read_round(path)
             hashes = np.asarray(t.column("url_hash").to_pylist(),
                                 dtype=object)
             sids = shard_of_batch(t.column("domain").to_pylist(), hashes,
@@ -522,6 +605,9 @@ def make_frontier_actor():
         def restore_from_ckpt(self, ckpt_dir, n_shards, hot_domains):
             return self.state.restore_from_ckpt(ckpt_dir, n_shards,
                                                 hot_domains)
+
+        def drain_robots_entries(self):
+            return self.state.drain_robots_entries()
 
         def status_counts(self):
             return self.state.status_counts()

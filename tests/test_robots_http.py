@@ -203,6 +203,67 @@ def test_transport_failure_never_blocks_the_crawl():
     assert all(v[0] == S.QUEUED for v in st.seen_entries().values())
 
 
+def test_robots_decisions_persist_across_restore(tmp_path):
+    """Robots decisions are crawl state: restore pre-seeds the cache from
+    the persisted per-round entries and replays the ORIGINAL denial even
+    when the live network would now answer differently (here: the strict
+    robots.txt is gone — a 404-everything transport)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.pipelines import semantics as S
+
+    strict = RobotsFetcher(HttpWeb(
+        user_agent="dcr-bot/1.0",
+        opener=_RobotsOpener({
+            "https://shop.test/robots.txt": _Resp(200, ROBOTS.encode())})))
+    st = FrontierShardState(0, respect_robots=True, robots_fetcher=strict)
+    urls = ["https://shop.test/private/x", "https://shop.test/ok/y"]
+    _insert(st, urls)
+    assert st.seen_entries()[urls[0]][2] == "ROBOTS_DENIED"
+    entries = st.drain_robots_entries()
+    assert entries and entries[0][0] == "shop.test"
+    assert st.drain_robots_entries() == []  # drained
+
+    # persist the way CrawlPipeline._ckpt_robots / _ckpt_frontier_inserts do
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "robots").mkdir(parents=True)
+    (ckpt / "frontier_inserts").mkdir()
+    pq.write_table(pa.table(
+        {"domain": pa.array([e[0] for e in entries], pa.string()),
+         "prefixes": pa.array([e[1] for e in entries],
+                              pa.list_(pa.string())),
+         "delay_ms": pa.array([int(e[2] * 1000) for e in entries],
+                              pa.int64())}),
+        str(ckpt / "robots" / "round=-00001.parquet"))
+    pq.write_table(pa.table(
+        {"url": pa.array(urls, pa.string()),
+         "url_hash": pa.array(urls, pa.string()),
+         "domain": pa.array(["shop.test"] * 2, pa.string()),
+         "tags": pa.array([[], []], pa.list_(pa.string())),
+         "priority": pa.array([0, 0], pa.int64())}),
+        str(ckpt / "frontier_inserts" / "round=-00001.parquet"))
+
+    # the "network" changed: robots.txt now 404s everywhere (allow-all)
+    lax = _fetcher({}, ua="dcr-bot/1.0")
+    st2 = FrontierShardState(0, respect_robots=True, robots_fetcher=lax)
+    st2.restore_from_ckpt(str(ckpt), 1, frozenset())
+    seen = st2.seen_entries()
+    assert seen[urls[0]][0] == S.FAILED            # original denial kept
+    assert seen[urls[0]][2] == S.ROBOTS_ERROR
+    assert seen[urls[1]][0] == S.QUEUED
+    # the lax transport was never consulted for the seeded domain
+    assert lax.web._opener.calls == []
+
+
+def test_crawl_delay_is_capped():
+    from dumb_crawler_ray.sources.robots import (MAX_CRAWL_DELAY_S,
+                                                 parse_robots_full)
+
+    txt = "User-agent: *\nCrawl-delay: 86400\nDisallow: /x/\n"
+    assert parse_robots_full(txt, "dcr-bot")[1] == MAX_CRAWL_DELAY_S
+
+
 def test_http_mode_pipeline_wires_real_robots(ray_session, tmp_path):
     """End-to-end plumbing check: a CrawlPipeline with fetcher.mode=http +
     respect_robots routes robots through the LIVE network path (dead in
