@@ -441,6 +441,50 @@ oracle are enforced by the conformance suite at any parallelism.
 """)
 
 
+def _write_last_json(report: dict, name: str = "LAST.json") -> str:
+    bench_dir = os.path.join(os.path.dirname(__file__) or ".", "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    path = os.path.join(bench_dir, name)
+    with open(path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    return os.path.relpath(path, os.path.dirname(__file__) or ".")
+
+
+def _compact_headline(rep: dict, detail_path: str) -> dict:
+    # the round driver captures only a short stdout tail — keep the final
+    # line under ~500 bytes so it always parses; full detail in BENCH/LAST.json
+    q = rep["queries"]
+    return {
+        "metric": rep["metric"],
+        "value": rep["value"],
+        "unit": "sec",
+        "queries": {
+            "suite_core_s": round(sum(v for k, v in q.items() if k != "crawl"), 3),
+            "suite_extra_s": round(sum(rep["queries_extra"].values()), 3),
+            "crawl": q.get("crawl"),
+        },
+        "n_queries": len(q) + len(rep["queries_extra"]),
+        "sf": rep["sf"],
+        "num_cpus": rep["num_cpus"],
+        "crawl_urls_per_sec": rep["crawl_urls_per_sec"],
+        "detail": detail_path,
+    }
+
+
+def _compact_scaling(rep: dict, detail_path: str) -> dict:
+    return {
+        "metric": rep["metric"],
+        "value": rep["value"],
+        "unit": "efficiency",
+        "throughput_N": rep["throughput_N"],
+        "throughput_4N": rep["throughput_4N"],
+        "compute_probe_eff": rep["compute_probe_eff"],
+        "machine_parallel_eff":
+            rep["machine_parallel_baseline"]["machine_parallel_eff"],
+        "detail": detail_path,
+    }
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "--crawl-only":
@@ -450,9 +494,15 @@ if __name__ == "__main__":
         _ray_init(NUM_CPUS)
         print(json.dumps(run_compute_probe(NUM_CPUS)))
     elif mode == "--scaling":
-        print(json.dumps(main_scaling()))
+        rep = main_scaling()
+        path = _write_last_json(rep, "LAST_scaling.json")
+        print(json.dumps(rep))
+        print(json.dumps(_compact_scaling(rep, path)))
     else:
-        print(json.dumps(main_headline()))
+        rep = main_headline()
+        path = _write_last_json(rep, "LAST.json")
+        print(json.dumps(rep))
+        print(json.dumps(_compact_headline(rep, path)))
     import ray
 
     if ray.is_initialized():

@@ -2732,4 +2732,38 @@ def build_registry() -> dict[str, tuple]:
         lambda sf: export.curated_image_release(
             f"{_fixture_dir()}/images.parquet",
             out_dir="/tmp/dcr_release/curated_images_fixture_s16"), None)
-    return reg
+
+    # The round driver attests exactly the first 50 registry entries against
+    # their DuckDB oracles (CORRECTNESS_r*.json), so order matters: slots 1-50
+    # carry the crawl flagship views and every oracled query that has not yet
+    # earned a green driver row (rounds 1-4 history), then once/twice-attested
+    # oracled queries. Queries already driver-verified in multiple rounds and
+    # every rows-only (sql=None) entry sit past slot 50 so they never burn an
+    # attestation slot. Entries missing from this list (future additions) keep
+    # insertion order within their tier: oracled first, rows-only last.
+    _window_first = [
+        "crawl_order", "crawl_seen_set", "crawl_counters",
+        "crawl_politeness_check", "crawl_lineage_counts", "crawl_domain_stats",
+        "curated_corpus", "corpus_release",
+        "pack_sequences", "duplicated_text_share", "retention_cohorts",
+        "page_rank", "quality_classifier_scores", "page_indegree",
+        "cms_user_counts", "export_corpus", "export_webdataset",
+        "export_image_shards", "leakage_safe_split", "bigram_lm_scores",
+        "filtered_ann_topk", "doc_split", "embedding_near_dup_pairs",
+        "lang_id", "corpus_stats", "approx_distinct_users",
+        "approx_daily_active_users", "winnowed_fingerprints",
+        "image_keeplist", "image_size_filter", "image_aspect_buckets",
+        "image_decode_check", "source_balanced_sample", "dataset_mixture",
+        "jaccard_clusters", "minhash_near_dup_pairs", "near_dup_clusters",
+        "bm25_topk", "simhash_signatures", "simhash_near_dup_pairs",
+        "image_phash_near_dups", "image_caption_stats", "image_exact_dedup",
+        "image_shard_pack", "gopher_quality_flags", "pii_scrub_stats",
+        "chunk_documents", "eval_decontaminate", "bpe_train",
+        "bpe_token_counts",
+    ]
+    head = [k for k in _window_first if k in reg]
+    seen = set(head)
+    head += [k for k in reg if k not in seen and reg[k][1] is not None]
+    seen.update(head)
+    head += [k for k in reg if k not in seen]
+    return {k: reg[k] for k in head}

@@ -41,7 +41,7 @@ import json
 import os
 import shutil
 from collections import Counter
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
@@ -71,6 +71,9 @@ class CrawlResult:
     # result_lists=False runs still report true throughput (failures
     # included — PROCESSED_URLS counts successes only)
     n_fetched: int = 0
+    # per-status frontier totals; populated on result_lists=False runs in
+    # lieu of the per-URL seen_set gather (status int → count)
+    status_counts: dict = field(default_factory=dict)
 
 
 class CrawlPipeline:
@@ -940,12 +943,23 @@ class CrawlPipeline:
                 stop_reason = "idle_timeout"
                 self.counters["IDLE_TIMEOUT_STOP"] += 1
                 break
+        # the full per-URL seen-set gather is a driver-side materialization
+        # of the whole crawl history — only conformance/test runs
+        # (result_lists=True) pay it; production runs keep the driver free
+        # of per-URL state (the seen set stays queryable via the checkpoint
+        # parquet / crawl_seen_set view) and report status_counts instead
         seen: dict[str, tuple] = {}
-        for part in ray.get([s.seen_entries.remote() for s in self.shards]):
-            seen.update(part)
+        status_counts: Counter = Counter()
+        if self.result_lists:
+            for part in ray.get([s.seen_entries.remote() for s in self.shards]):
+                seen.update(part)
+        else:
+            for part in ray.get([s.status_counts.remote() for s in self.shards]):
+                status_counts.update(part)
         return CrawlResult(
             crawl_order=self.crawl_order,
             seen_set={h: tuple(v) for h, v in seen.items()},
+            status_counts={int(k): int(v) for k, v in status_counts.items()},
             counters={k: int(v) for k, v in self.counters.items() if v},
             stored_pages=self.stored_pages,
             stored_images=self.stored_images,

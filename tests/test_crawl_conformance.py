@@ -110,10 +110,15 @@ def test_dataset_candidate_path_resumes_midway(ray_session, fix4, tmp_path):
 
 def test_result_lists_off_scale_mode(ray_session, fix4):
     """result_lists=False (production scale): the driver keeps NO per-URL
-    state — counters and the seen set still match the oracle exactly;
-    identity lives in the checkpoint, which must agree with the oracle's
-    stored set."""
+    state — not even an end-of-run seen-set gather (at 10^10 URLs that
+    gather is a guaranteed driver OOM). The CrawlResult carries only
+    counters + per-status totals; full per-URL identity lives in the
+    checkpoint, which must replay to the oracle's exact seen set."""
+    from collections import Counter
+
     import pyarrow.dataset as pads
+
+    from dumb_crawler_ray.pipelines import semantics as S
 
     web = SynthWeb.generate(42, 4)
     orc = oracle.simulate(DEFAULT_CONFIG, web)
@@ -125,14 +130,38 @@ def test_result_lists_off_scale_mode(ray_session, fix4):
             fetch_concurrency=2, ckpt_dir=ckpt, result_lists=False,
         ).run()
         assert res.crawl_order == [] and res.stored_pages == []
-        assert res.seen_set == orc.seen_set
+        assert res.seen_set == {}  # zero per-URL driver state, by contract
         assert res.counters == orc.counters
+        # per-status totals stand in for the seen set on the driver
+        assert res.status_counts == dict(
+            Counter(v[0] for v in orc.seen_set.values()))
         pages = pads.dataset(f"{ckpt}/pages", format="parquet").to_table(
             columns=["url_hash"])
         assert set(pages.column("url_hash").to_pylist()) == set(orc.stored_pages)
         order = pads.dataset(f"{ckpt}/order", format="parquet").to_table()
         order = order.sort_by([("round", "ascending"), ("rank", "ascending")])
         assert order.column("url_hash").to_pylist() == orc.crawl_order
+        # the checkpoint replays to the oracle's exact per-URL seen set:
+        # inserts seed (QUEUED, attempt 0), updates apply latest-wins in
+        # round order (respect_robots is off in DEFAULT_CONFIG, so no
+        # insert-time status exists outside the update stream)
+        seen = {}
+        ins = pads.dataset(f"{ckpt}/frontier_inserts", format="parquet")
+        for h, tags, pri in zip(
+            *(ins.to_table(columns=["url_hash", "tags", "priority"]).column(c).to_pylist()
+              for c in ("url_hash", "tags", "priority"))):
+            seen.setdefault(h, (S.QUEUED, 0, None, ",".join(tags), pri))
+        import glob as _glob
+
+        for f in sorted(_glob.glob(f"{ckpt}/frontier_updates/*.parquet")):
+            t = pads.dataset(f, format="parquet").to_table()
+            for h, st, at, err, tags in zip(
+                    t.column("url_hash").to_pylist(), t.column("status").to_pylist(),
+                    t.column("attempt").to_pylist(), t.column("error").to_pylist(),
+                    t.column("tags").to_pylist()):
+                pri = seen[h][4]
+                seen[h] = (st, at, err or None, ",".join(tags), pri)
+        assert seen == orc.seen_set
 
 
 def test_politeness_budget_conformance(ray_session, fix4):
