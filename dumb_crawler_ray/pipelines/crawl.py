@@ -750,19 +750,23 @@ class CrawlPipeline:
 
         if not self.ckpt_dir or not self.cfg.respect_robots:
             return
-        rows = [r for part in ray.get(
-            [s.drain_robots_entries.remote() for s in self.shards])
-            for r in part]
+        # rows carry the deciding shard: hot-domain salting spreads one
+        # domain over several shards, each caching its own (possibly
+        # conflicting, if the server flapped) decision — restore must
+        # replay each shard's ACTUAL decision, not collapse to the first
+        parts = ray.get([s.drain_robots_entries.remote() for s in self.shards])
+        rows = [(sid, r) for sid, part in enumerate(parts) for r in part]
         if not rows:
             return
         d = self._ckpt_path("robots")
         os.makedirs(d, exist_ok=True)
         t = pa.table(
-            {"domain": pa.array([r[0] for r in rows], pa.string()),
-             "prefixes": pa.array([r[1] for r in rows],
+            {"domain": pa.array([r[0] for _, r in rows], pa.string()),
+             "prefixes": pa.array([r[1] for _, r in rows],
                                   pa.list_(pa.string())),
-             "delay_ms": pa.array([int(r[2] * 1000) for r in rows],
-                                  pa.int64())})
+             "delay_ms": pa.array([int(r[2] * 1000) for _, r in rows],
+                                  pa.int64()),
+             "shard": pa.array([sid for sid, _ in rows], pa.int64())})
         path = os.path.join(d, f"round={self.round:06d}.parquet")
         if os.path.exists(path):
             t = pa.concat_tables([pq.read_table(path), t])

@@ -165,11 +165,51 @@ def selection_sort_key(priority: int, attempt: int, url_hash: str):
     return (-priority, attempt, url_hash)
 
 
-def robots_denied(url: str, disallow_prefixes: list[str]) -> bool:
+def _robots_rule_match(path: str, pat: str) -> bool:
+    """RFC 9309 §2.2.3 rule matching: ``*`` matches any char run, a
+    trailing ``$`` anchors the end; otherwise prefix match."""
+    anchored = pat.endswith("$")
+    core = pat[:-1] if anchored else pat
+    parts = core.split("*")
+    if len(parts) == 1:  # no wildcard — the common (and synthetic-web) case
+        return path == core if anchored else path.startswith(core)
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for seg in parts[1:-1]:
+        if seg:
+            i = path.find(seg, pos)
+            if i < 0:
+                return False
+            pos = i + len(seg)
+    last = parts[-1]
+    if anchored:
+        if not last:
+            return True  # trailing '*$' matches any suffix
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return True if not last else path.find(last, pos) >= 0
+
+
+def robots_denied(url: str, rules: list[str]) -> bool:
+    """Longest-matching rule wins; Allow (``!``-prefixed entries, see
+    sources.robots) wins a length tie; no match → allowed. Plain
+    disallow-prefix lists (synthetic-web robots) reduce to the old
+    any-prefix semantics."""
     d = split_one(url)
     if d is None:
         return False
-    return any(d["path"].startswith(p) for p in disallow_prefixes)
+    # RFC 9309 matches against path + optional query ("/page?x=1")
+    path = d["path"] + (f"?{d['query']}" if d["query"] else "")
+    best_len = -1
+    best_allow = False
+    for r in rules:
+        allow = r.startswith("!")
+        pat = r[1:] if allow else r
+        if pat and _robots_rule_match(path, pat):
+            n = len(pat)
+            if n > best_len or (n == best_len and allow and not best_allow):
+                best_len, best_allow = n, allow
+    return best_len >= 0 and not best_allow
 
 
 def validate_image_row(row: dict, seed: int) -> str | None:

@@ -4,24 +4,31 @@ The reference crawler has no robots support at all; the north rule
 mandates it, so the rebuild owns the whole path: each frontier shard
 fetches `/robots.txt` once per domain through the SAME `HttpWeb`
 transport the fetch stage uses (same UA/timeouts/config), parses the
-Disallow prefixes for our user agent, and caches the rules next to the
-domain's politeness state — the hash-by-domain partitioning already
-co-locates everything per-domain, so no extra exchange exists.
+rules for our user agent, and caches them next to the domain's
+politeness state — the hash-by-domain partitioning already co-locates
+everything per-domain, so no extra exchange exists.
 
-Semantics (RFC 9309, pragmatically):
-- records are grouped by consecutive ``User-agent`` lines; the group
+Semantics (RFC 9309):
+- records are grouped by consecutive ``User-agent`` lines; the group(s)
   whose agent token is the LONGEST case-insensitive substring of our UA
-  wins; ``*`` is the fallback group
-- ``Disallow:`` values are path prefixes (matching
-  ``semantics.robots_denied``); an empty value allows everything;
-  ``Allow`` lines and wildcards inside paths are not interpreted (a
-  disallow prefix containing ``*`` or ``$`` is ignored rather than
-  mis-applied)
-- HTTP 4xx (incl. 404) → no rules (allow all)
-- HTTP 5xx → complete disallow (["/"]) — RFC 9309 §2.3.1.4
+  win; ``*`` groups are the fallback. Per §2.2.1 all groups sharing the
+  winning token (including multiple ``*`` groups) are COMBINED: rules
+  merge, Crawl-delay takes the max
+- both ``Disallow`` and ``Allow`` are parsed; values may contain ``*``
+  (any char run) and a trailing ``$`` (end anchor) per §2.2.3. Rules are
+  carried as a flat list of strings — Allow entries prefixed with ``!``
+  (paths always start with ``/``, so the sentinel is unambiguous) — so
+  the persisted checkpoint schema (list<string>) is unchanged
+- matching (``semantics.robots_denied``): the longest matching rule
+  wins; Allow wins a length tie (§2.2.2); no match → allowed
+- HTTP 4xx (incl. 404) → no rules (allow all) — permanent verdict
+- HTTP 5xx → complete disallow (["/"]) per §2.3.1.4 — TRANSIENT verdict:
+  cached only for `TRANSIENT_TTL_S` and never persisted to the crawl
+  checkpoint, so one 503 at first contact can't exclude a domain for
+  the rest of the crawl or across resumes
 - transport failure (DNS/refused/timeout) → no rules (unreachable
   robots MAY be treated as allow; a crawl must not dead-lock on a
-  broken robots endpoint)
+  broken robots endpoint) — also TRANSIENT
 """
 
 from __future__ import annotations
@@ -31,23 +38,33 @@ from .httpweb import FetchTransportError, HttpWeb
 MAX_CRAWL_DELAY_S = 30.0  # honor Crawl-delay only up to this (crawler-
 # standard cap; RFC 9309 doesn't define the field at all)
 
+# how long a 5xx / unreachable verdict may be served from cache before
+# the domain is re-consulted (RFC 9309 §2.3.1.4 allows caching; a
+# transient error must not become a crawl-lifetime decision)
+TRANSIENT_TTL_S = 300.0
+
+ALLOW_PREFIX = "!"  # sentinel marking an Allow rule inside the flat list
+
 
 def parse_robots_full(text: str, user_agent: str) -> tuple[list[str], float]:
-    """robots.txt body → (Disallow path prefixes, Crawl-delay seconds)
-    for `user_agent` (delay 0.0 when the winning group sets none)."""
+    """robots.txt body → (rules, Crawl-delay seconds) for `user_agent`.
+
+    Rules is a flat list: Disallow values verbatim (wildcards intact),
+    Allow values prefixed with ``!``. Delay is 0.0 when no winning group
+    sets one."""
     ua = user_agent.lower()
-    # (agents, disallows, delay_s) per record
+    # (agents, rules, delay_s) per record
     groups: list[tuple[list[str], list[str], float]] = []
     agents: list[str] = []
-    disallows: list[str] = []
+    rules: list[str] = []
     delay = 0.0
     in_group_body = False
 
     def flush():
-        nonlocal agents, disallows, delay, in_group_body
-        if agents or disallows:
-            groups.append((agents, disallows, delay))
-        agents, disallows, delay = [], [], 0.0
+        nonlocal agents, rules, delay, in_group_body
+        if agents or rules:
+            groups.append((agents, rules, delay))
+        agents, rules, delay = [], [], 0.0
         in_group_body = False
 
     for raw in text.splitlines():
@@ -63,8 +80,12 @@ def parse_robots_full(text: str, user_agent: str) -> tuple[list[str], float]:
             agents.append(value.lower())
         elif field == "disallow":
             in_group_body = True
-            if value and "*" not in value and "$" not in value:
-                disallows.append(value)
+            if value:  # empty value allows everything (no rule)
+                rules.append(value)
+        elif field == "allow":
+            in_group_body = True
+            if value:
+                rules.append(ALLOW_PREFIX + value)
         elif field == "crawl-delay":
             in_group_body = True
             try:
@@ -74,23 +95,37 @@ def parse_robots_full(text: str, user_agent: str) -> tuple[list[str], float]:
                 delay = min(max(0.0, float(value)), MAX_CRAWL_DELAY_S)
             except ValueError:
                 pass
-        elif field in ("allow", "sitemap"):
+        elif field == "sitemap":
             in_group_body = True  # ends the user-agent run, not parsed
     flush()
-    best: tuple[list[str], float] | None = None
+
+    # winning specificity: longest agent token that is a substring of our
+    # UA; all groups carrying a token of that length combine (RFC 9309
+    # §2.2.1 — rules of groups sharing a user-agent merge; length ties
+    # across different tokens merge too, deterministically)
     best_len = -1
-    for g_agents, g_dis, g_delay in groups:
+    for g_agents, _g_rules, _g_delay in groups:
         for a in g_agents:
-            if a == "*":
-                if best_len < 0:
-                    best = (g_dis, g_delay)
-            elif a and a in ua and len(a) > best_len:
-                best, best_len = (g_dis, g_delay), len(a)
-    return (list(best[0]), best[1]) if best else ([], 0.0)
+            if a and a != "*" and a in ua:
+                best_len = max(best_len, len(a))
+    merged: list[str] = []
+    merged_delay = 0.0
+    matched = False
+    for g_agents, g_rules, g_delay in groups:
+        if best_len >= 0:
+            hit = any(a and a != "*" and a in ua and len(a) == best_len
+                      for a in g_agents)
+        else:
+            hit = "*" in g_agents
+        if hit:
+            matched = True
+            merged.extend(g_rules)
+            merged_delay = max(merged_delay, g_delay)
+    return (merged, merged_delay) if matched else ([], 0.0)
 
 
 def parse_robots(text: str, user_agent: str) -> list[str]:
-    """Disallow prefixes only (see `parse_robots_full`)."""
+    """Rules list only (see `parse_robots_full`)."""
     return parse_robots_full(text, user_agent)[0]
 
 
@@ -103,17 +138,32 @@ class RobotsFetcher:
         self.web = web
 
     def rules_for(self, domain: str, scheme: str = "http") -> list[str]:
-        return self.fetch_rules(domain, scheme)[0]
+        return self.fetch_rules_full(domain, scheme)[0]
 
     def fetch_rules(self, domain: str,
                     scheme: str = "http") -> tuple[list[str], float]:
-        """(Disallow prefixes, Crawl-delay seconds) for `domain`."""
+        """(rules, Crawl-delay seconds) for `domain` (legacy 2-tuple)."""
+        rules, delay, _transient = self.fetch_rules_full(domain, scheme)
+        return rules, delay
+
+    def fetch_rules_full(self, domain: str,
+                         scheme: str = "http") -> tuple[list[str], float, bool]:
+        """(rules, Crawl-delay seconds, transient) for `domain`.
+
+        `transient` marks verdicts derived from 5xx / transport failure:
+        the caller caches them with a TTL and never persists them as
+        crawl state."""
         try:
             resp = self.web.fetch(f"{scheme}://{domain}/robots.txt")
         except FetchTransportError:
-            return [], 0.0  # unreachable → allow (never dead-lock on robots)
+            # unreachable → allow, but re-consult later (never dead-lock
+            # on robots, never freeze the outage into crawl state)
+            return [], 0.0, True
         if resp.status_code >= 500:
-            return ["/"], 0.0  # server error → complete disallow (RFC 9309)
+            # server error → complete disallow (RFC 9309 §2.3.1.4), but
+            # TRANSIENT: retried after the TTL, never checkpointed
+            return ["/"], 0.0, True
         if resp.status_code != 200:
-            return [], 0.0  # 4xx → allow all
-        return parse_robots_full(resp.html, self.web.user_agent)
+            return [], 0.0, False  # 4xx → allow all (permanent)
+        rules, delay = parse_robots_full(resp.html, self.web.user_agent)
+        return rules, delay, False

@@ -100,8 +100,13 @@ class FrontierShardState:
         self.heap: list[tuple] = []  # (neg_priority, attempt, url_hash) lazy-deleted
         self.cuckoo = CuckooFilter(seen_capacity)
         self.counters: Counter = Counter()
-        # domain → (disallow prefixes, crawl-delay seconds)
+        # domain → (rules, crawl-delay seconds); rules may carry
+        # '!'-prefixed Allow entries and '*'/'$' wildcards (sources.robots)
         self.robots_cache: dict[str, tuple[list[str], float]] = {}
+        # domain → monotonic expiry for TRANSIENT verdicts (5xx /
+        # unreachable robots): served from cache until then, re-consulted
+        # after, and never persisted as crawl state
+        self._robots_expiry: dict[str, float] = {}
         self._seq = 0
         # distributed stored-membership (SURVEY.md ST4 / verdict r3 #1):
         # NEW-vs-UPDATED page and SAVED-vs-DUP image decisions live on the
@@ -121,18 +126,34 @@ class FrontierShardState:
         each domain's robots is fetched ONCE per crawl). Scheme for the
         live fetch comes from the first candidate url seen for the
         domain."""
+        import time as _time
+
         entry = self.robots_cache.get(domain)
+        if entry is not None and domain in self._robots_expiry \
+                and _time.monotonic() >= self._robots_expiry[domain]:
+            # transient (5xx/unreachable) verdict aged out → re-consult
+            del self.robots_cache[domain]
+            del self._robots_expiry[domain]
+            entry = None
         if entry is None:
+            transient = False
             if self.robots_fetcher is not None:
                 scheme = (url.split("://", 1)[0]
                           if url and "://" in url else "http")
-                entry = self.robots_fetcher.fetch_rules(domain, scheme)
+                rules, delay, transient = self.robots_fetcher.fetch_rules_full(
+                    domain, scheme)
+                entry = (rules, delay)
             else:
                 from ..sources.synthweb import robots_disallow
 
                 entry = (robots_disallow(domain), 0.0)
             self.robots_cache[domain] = entry
-            self._robots_new.append((domain, list(entry[0]), entry[1]))
+            if transient:
+                from ..sources.robots import TRANSIENT_TTL_S
+
+                self._robots_expiry[domain] = _time.monotonic() + TRANSIENT_TTL_S
+            else:
+                self._robots_new.append((domain, list(entry[0]), entry[1]))
         return entry
 
     def drain_robots_entries(self) -> list[tuple[str, list[str], float]]:
@@ -402,12 +423,25 @@ class FrontierShardState:
         from ..functions.urlhash import hash64_batch
         from .ckptio import read_round, round_entries
 
+        # two-pass robots seed: rows THIS shard decided live replay
+        # exactly (salted hot domains can hold different decisions per
+        # shard); rows from other shards fill remaining gaps — needed
+        # when the shard count changed and this shard now owns domains it
+        # never fetched (pre-shard-column checkpoints land here too)
+        own: list[tuple] = []
+        other: list[tuple] = []
         for _rnd, path in round_entries(os.path.join(ckpt_dir, "robots")):
             t = read_round(path)
-            self.seed_robots(
-                t.column("domain").to_pylist(),
-                t.column("prefixes").to_pylist(),
-                [d / 1000.0 for d in t.column("delay_ms").to_pylist()])
+            doms = t.column("domain").to_pylist()
+            pref = t.column("prefixes").to_pylist()
+            dls = [d / 1000.0 for d in t.column("delay_ms").to_pylist()]
+            sids = (t.column("shard").to_pylist()
+                    if "shard" in t.column_names else [None] * len(doms))
+            for row in zip(doms, pref, dls, sids):
+                (own if row[3] == self.shard_id else other).append(row[:3])
+        for rows in (own, other):
+            if rows:
+                self.seed_robots(*(list(c) for c in zip(*rows)))
 
         def prune_parts(path: str) -> str | list[str]:
             """Dataset-mode part files are named part-s{shard}-*: when the

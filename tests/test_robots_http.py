@@ -23,23 +23,64 @@ User-agent: otherbot
 Disallow: /private/
 Disallow: /tmp/
 Allow: /private/ok
-Disallow: /star*/   # wildcard paths are not interpreted
+Disallow: /star*/   # wildcard kept verbatim (RFC 9309 §2.2.3)
 Disallow:
 
 User-agent: *
 Disallow: /all/
 """
 
+DCR_RULES = ["/private/", "/tmp/", "!/private/ok", "/star*/"]
+
 
 def test_parse_group_selection_and_prefixes():
-    # longest matching agent token wins; wildcards-in-path and empty
-    # Disallow are skipped
-    assert parse_robots(ROBOTS, "dcr-bot/1.0") == ["/private/", "/tmp/"]
+    # longest matching agent token wins; Allow carries the '!' sentinel,
+    # wildcard rules are kept verbatim, empty Disallow is skipped
+    assert parse_robots(ROBOTS, "dcr-bot/1.0") == DCR_RULES
     assert parse_robots(ROBOTS, "Mozilla/5.0") == ["/all/"]
     assert parse_robots(ROBOTS, "Googlebot/2.1") == ["/google-only/"]
     assert parse_robots("", "dcr-bot") == []
     # multiple UA lines share one record
-    assert parse_robots(ROBOTS, "otherbot") == ["/private/", "/tmp/"]
+    assert parse_robots(ROBOTS, "otherbot") == DCR_RULES
+
+
+def test_star_groups_merge_and_delay_max():
+    """RFC 9309 §2.2.1: groups sharing the winning agent token combine —
+    earlier '*' rules must not be discarded by a later '*' group."""
+    txt = ("User-agent: *\nDisallow: /a/\nCrawl-delay: 2\n\n"
+           "User-agent: other\nDisallow: /x/\n\n"
+           "User-agent: *\nDisallow: /b/\nCrawl-delay: 5\n")
+    from dumb_crawler_ray.sources.robots import parse_robots_full
+
+    assert parse_robots_full(txt, "dcr-bot/1.0") == (["/a/", "/b/"], 5.0)
+
+
+def test_wildcard_and_allow_matching():
+    from dumb_crawler_ray.pipelines.semantics import robots_denied
+
+    base = "https://s.test"
+    # wildcard disallow: 'Disallow: /*?' blocks any path with a query
+    # marker; '/private*' blocks the literal prefix and beyond
+    rules = ["/*?", "/private*"]
+    assert robots_denied(f"{base}/page?x=1", rules)
+    assert robots_denied(f"{base}/privateX/deep", rules)
+    assert not robots_denied(f"{base}/public/page", rules)
+    # '$' end anchor
+    rules = ["/*.pdf$"]
+    assert robots_denied(f"{base}/docs/file.pdf", rules)
+    assert not robots_denied(f"{base}/docs/file.pdfx", rules)
+    # Allow precedence: longest match wins; Allow wins length ties
+    rules = ["/private/", "!/private/ok"]
+    assert robots_denied(f"{base}/private/x", rules)
+    assert not robots_denied(f"{base}/private/ok/page", rules)
+    assert robots_denied(f"{base}/private/okay"[:0] + f"{base}/private/no", rules)
+    # exact-length tie → Allow wins
+    rules = ["/a/", "!/a/"]
+    assert not robots_denied(f"{base}/a/x", rules)
+    # middle-segment wildcard
+    rules = ["/cat/*/detail"]
+    assert robots_denied(f"{base}/cat/12/detail?x", rules)
+    assert not robots_denied(f"{base}/cat/12/summary", rules)
 
 
 class _Resp:
@@ -85,10 +126,42 @@ def test_status_ladder():
             "http://err.test/robots.txt", 503, "boom", None, None),
         "http://dead.test/robots.txt": OSError("connection refused"),
     })
-    assert f.rules_for("ok.test") == ["/private/", "/tmp/"]
+    assert f.rules_for("ok.test") == DCR_RULES
     assert f.rules_for("gone.test") == []          # 4xx → allow all
     assert f.rules_for("err.test") == ["/"]        # 5xx → complete disallow
     assert f.rules_for("dead.test") == []          # unreachable → allow
+    # transience: 5xx and transport failure are TEMPORARY verdicts,
+    # 200/4xx are permanent
+    assert f.fetch_rules_full("ok.test")[2] is False
+    assert f.fetch_rules_full("gone.test")[2] is False
+    assert f.fetch_rules_full("err.test")[2] is True
+    assert f.fetch_rules_full("dead.test")[2] is True
+
+
+def test_transient_5xx_not_persisted_and_reconsulted(monkeypatch):
+    """A 503 robots verdict is cached with a TTL (not forever), is
+    re-consulted after expiry, and never enters the persisted robots
+    drain — so a resume re-consults the domain instead of replaying a
+    transient outage."""
+    err = urllib.error.HTTPError("http://flaky.test/robots.txt", 503,
+                                 "boom", None, None)
+    opener = _RobotsOpener({"http://flaky.test/robots.txt": err})
+    st = FrontierShardState(
+        0, respect_robots=True,
+        robots_fetcher=RobotsFetcher(HttpWeb(user_agent="dcr-bot/1.0",
+                                             opener=opener)))
+    assert st._robots_entry("flaky.test") == (["/"], 0.0)
+    assert st.drain_robots_entries() == []   # transient → never persisted
+    assert st._robots_entry("flaky.test") == (["/"], 0.0)
+    assert len(opener.calls) == 1             # served from cache inside TTL
+    # age the verdict out → re-consult; the server recovered
+    st._robots_expiry["flaky.test"] = 0.0
+    opener.results["http://flaky.test/robots.txt"] = _Resp(
+        200, b"User-agent: *\nDisallow: /only/\n")
+    assert st._robots_entry("flaky.test") == (["/only/"], 0.0)
+    assert len(opener.calls) == 2
+    # the recovered (permanent) verdict IS persisted
+    assert st.drain_robots_entries() == [("flaky.test", ["/only/"], 0.0)]
 
 
 def _insert(state, urls):
@@ -253,6 +326,34 @@ def test_robots_decisions_persist_across_restore(tmp_path):
     assert seen[urls[0]][2] == S.ROBOTS_ERROR
     assert seen[urls[1]][0] == S.QUEUED
     # the lax transport was never consulted for the seeded domain
+    assert lax.web._opener.calls == []
+
+
+def test_robots_restore_prefers_own_shard_decision(tmp_path):
+    """Hot-domain salting can put one domain on several shards, each with
+    its own cached robots decision (the server may have flapped between
+    their fetches). Restore must replay THIS shard's actual decision —
+    rows from other shards only fill domains this shard never decided."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "robots").mkdir(parents=True)
+    pq.write_table(pa.table(
+        {"domain": pa.array(["hot.test", "hot.test", "only0.test"]),
+         "prefixes": pa.array([["/s0/"], ["/s1/"], ["/a/"]],
+                              pa.list_(pa.string())),
+         "delay_ms": pa.array([100, 200, 0], pa.int64()),
+         "shard": pa.array([0, 1, 0], pa.int64())}),
+        str(ckpt / "robots" / "round=-00001.parquet"))
+
+    lax = _fetcher({}, ua="dcr-bot/1.0")
+    st1 = FrontierShardState(1, respect_robots=True, robots_fetcher=lax)
+    st1.restore_from_ckpt(str(ckpt), 2, frozenset())
+    # shard 1 replays ITS decision even though shard 0's row comes first
+    assert st1.robots_cache["hot.test"] == (["/s1/"], 0.2)
+    # gap-fill from another shard's row for a domain it never decided
+    assert st1.robots_cache["only0.test"] == (["/a/"], 0.0)
     assert lax.web._opener.calls == []
 
 
