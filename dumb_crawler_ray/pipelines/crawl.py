@@ -152,6 +152,10 @@ class CrawlPipeline:
             os.environ.get("DCR_CAND_DATASET_THRESHOLD", "50000"))
         self._last_cand_n = 0
         self._round_cand_refs: dict | None = None
+        # domain → absolute wall-clock time the NEXT fetch of that domain
+        # may start (politeness schedule; see _select) — only domains with
+        # a nonzero delay appear, pruned each round
+        self._domain_next_free: dict[str, float] = {}
 
     # ------------------------------------------------------------- setup
 
@@ -353,6 +357,33 @@ class CrawlPipeline:
             if hs:
                 refs.append(self.shards[sid].mark_selected.remote(hs))
         ray.get(refs)
+        # domain-GLOBAL politeness schedule: one URL of a domain may start
+        # per max(config delay, robots Crawl-delay), regardless of which
+        # fetch actor the row lands on (chunks are rank-sliced, not
+        # domain-affine, so actor-local pacing alone under-spaces by up to
+        # the pool width). The driver sees every selected row — including
+        # salted hot domains that span shards — so it assigns absolute
+        # not-before wall-clock stamps here; per-domain state is O(domains
+        # with a nonzero delay) and pruned every round. Pacing shifts WALL
+        # CLOCK only, never crawl order (conformance-safe).
+        import time as _time
+
+        sel_delay_s = np.maximum(delay_ms[sel] / 1000.0,
+                                 self.cfg.politeness_delay_ms / 1000.0)
+        not_before = np.zeros(len(sel), dtype=np.float64)
+        if (sel_delay_s > 0).any():
+            now = _time.time()
+            nf = self._domain_next_free
+            for d in [d for d, t in nf.items() if t <= now]:
+                del nf[d]
+            for j in range(len(sel)):
+                dly = float(sel_delay_s[j])
+                if dly <= 0:
+                    continue
+                dom = sel_domains[j]
+                t0 = max(now, nf.get(dom, 0.0))
+                not_before[j] = t0
+                nf[dom] = t0 + dly
         return pa.table(
             {
                 "rank": pa.array(range(len(sel)), pa.int64()),
@@ -363,6 +394,7 @@ class CrawlPipeline:
                 "attempt": pa.array(attempt[sel], pa.int64()),
                 "round": pa.array([self.round] * len(sel), pa.int64()),
                 "crawl_delay_ms": pa.array(delay_ms[sel], pa.int64()),
+                "not_before_ts": pa.array(not_before, pa.float64()),
             }
         )
 

@@ -321,14 +321,29 @@ class FetchWorker:
         crawl_delay_s = (
             [d / 1000.0 for d in batch.column("crawl_delay_ms").to_pylist()]
             if "crawl_delay_ms" in batch.column_names else [0.0] * n)
+        # driver-scheduled domain-GLOBAL politeness stamps: when present,
+        # they already encode max(config delay, robots Crawl-delay) across
+        # the WHOLE round and pool (crawl.py _select), so actor-local
+        # pacing is skipped — it would only double-wait
+        not_before = (
+            batch.column("not_before_ts").to_pylist()
+            if "not_before_ts" in batch.column_names else None)
 
         def fetch_one(i: int):
+            import time as _time
+
             url, tags = urls[i], tags_list[i]
-            # per-domain pacing: the stricter of the config politeness
-            # delay and the domain's robots Crawl-delay (selection column)
-            delay_s = max(self.politeness_delay_s, crawl_delay_s[i])
-            if delay_s:
-                self._pace(self.comp.domain_of(url), delay_s)
+            if not_before is not None:
+                wait = not_before[i] - _time.time()
+                if wait > 0:
+                    _time.sleep(wait)
+            else:
+                # per-domain pacing, actor-local fallback (direct worker
+                # use without a driver schedule): the stricter of the
+                # config politeness delay and the robots Crawl-delay
+                delay_s = max(self.politeness_delay_s, crawl_delay_s[i])
+                if delay_s:
+                    self._pace(self.comp.domain_of(url), delay_s)
             if self.fetch_delay_s:
                 import time
 

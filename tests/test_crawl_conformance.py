@@ -174,6 +174,40 @@ def test_politeness_budget_conformance(ray_session, fix4):
     assert_match(res, orc)
 
 
+def test_domain_global_politeness_pacing(ray_session, tmp_path):
+    """Politeness delay must bind per DOMAIN across the whole fetch pool,
+    not per actor: one domain's fetch STARTS are spaced >= delay even when
+    its rows land on different actors (driver-scheduled not_before stamps
+    in _select). Lower bound: the busiest domain fetched m times forces
+    wall >= (m-1)*delay; actor-local pacing alone would allow ~pool-width
+    under-spacing. Order and results stay oracle-exact (pacing is wall
+    clock only)."""
+    import time
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    delay_ms = 60
+    cfg = dict(DEFAULT_CONFIG)
+    cfg["politeness"] = {"delay_ms": delay_ms, "max_per_domain_per_round": 0}
+    fix = str(write_fixture(tmp_path / "fx1", seed=42, scale=1))
+    web = SynthWeb.generate(42, 1)
+    orc = oracle.simulate(cfg, web)
+    ckpt = str(tmp_path / "ckpt")
+    t0 = time.monotonic()
+    res = CrawlPipeline(fix, cfg, seed=42, scale=1, n_shards=2,
+                        fetch_concurrency=4, ckpt_dir=ckpt).run()
+    wall = time.monotonic() - t0
+    assert_match(res, orc)
+    ins = pads.dataset(f"{ckpt}/frontier_inserts", format="parquet").to_table(
+        columns=["url_hash", "domain"])
+    dom_of = dict(zip(ins.column("url_hash").to_pylist(),
+                      ins.column("domain").to_pylist()))
+    m = max(Counter(dom_of[h] for h in res.crawl_order).values())
+    assert m >= 4  # the scenario actually exercises repeated-domain fetches
+    assert wall >= (m - 1) * delay_ms / 1000.0
+
+
 def test_robots_conformance(ray_session, fix4):
     cfg = dict(DEFAULT_CONFIG)
     cfg["politeness"] = {"delay_ms": 0, "max_per_domain_per_round": 8,
