@@ -168,7 +168,11 @@ class CrawlPipeline:
                       and self.cfg.fetcher_mode == "http" else None)
         self.shards = [
             Actor.remote(i, self.cfg.respect_robots,
-                         robots_http_config=robots_cfg)
+                         robots_http_config=robots_cfg,
+                         # production scale (no result lists): terminal
+                         # records demote to packed status+attempt —
+                         # per-shard RAM stops growing with crawl history
+                         compact_terminal=not self.result_lists)
             for i in range(self.n_shards)
         ]
 

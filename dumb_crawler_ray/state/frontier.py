@@ -83,9 +83,20 @@ class FrontierShardState:
     without a Ray runtime."""
 
     def __init__(self, shard_id: int, respect_robots: bool,
-                 seen_capacity: int = 1 << 16, robots_fetcher=None):
+                 seen_capacity: int = 1 << 16, robots_fetcher=None,
+                 compact_terminal: bool = False):
         self.shard_id = shard_id
         self.respect_robots = respect_robots
+        # production-scale mode (CrawlPipeline result_lists=False):
+        # PROCESSED/FAILED records demote to url_hash → packed
+        # (status<<32 | attempt) — terminal rows are never re-selected and
+        # only answer membership + status totals, so the full Python row
+        # (~300 B of url/domain/tags/error objects) is dead weight that
+        # would otherwise hold the whole crawl history per shard. Full
+        # per-URL detail stays in the checkpoint parquet. Test/conformance
+        # mode keeps full rows (seen_entries needs them).
+        self.compact_terminal = compact_terminal
+        self.terminal: dict[str, int] = {}
         # None → synthetic-web robots rules (the sandbox "network");
         # a sources.robots.RobotsFetcher → live per-domain /robots.txt
         # through the SAME HttpWeb transport the fetch stage uses
@@ -216,8 +227,8 @@ class FrontierShardState:
             batch_seen.add(h)
             if cuckoo_hit[i]:
                 exact_probes += 1
-                if h in self.records:  # true positive → already seen
-                    continue
+                if h in self.records or h in self.terminal:
+                    continue  # true positive → already seen
             rec = [
                 rows["url"][i], rows["domain"][i], list(rows["tags"][i]),
                 int(rows["priority"][i]), S.QUEUED, 0, None, self._seq,
@@ -350,13 +361,20 @@ class FrontierShardState:
         """Apply fetch outcomes: url_hash, status, error, tags, attempt.
         Reference markProcessed (URLStore.java:171-183): recomputed tags are
         written back, attempt incremented. (MAX_ATTEMPT accounting happens
-        in CrawlPipeline._harvest, not here.)"""
+        in CrawlPipeline._harvest, not here.) In compact_terminal mode,
+        PROCESSED/FAILED rows demote to the packed terminal dict."""
         for i, h in enumerate(rows["url_hash"]):
+            st = int(rows["status"][i])
+            at = int(rows["attempt"][i])
+            if self.compact_terminal and st in (S.PROCESSED, S.FAILED):
+                self.records.pop(h, None)
+                self.terminal[h] = (st << 32) | at
+                continue
             rec = self.records[h]
-            rec[R_STATUS] = int(rows["status"][i])
+            rec[R_STATUS] = st
             rec[R_ERROR] = rows["error"][i]
             rec[R_TAGS] = list(rows["tags"][i])
-            rec[R_ATTEMPT] = int(rows["attempt"][i])
+            rec[R_ATTEMPT] = at
 
     def requeue_orphans(self) -> int:
         """Resume semantics (URLStore.java:54-58): PROCESSING → QUEUED."""
@@ -399,7 +417,7 @@ class FrontierShardState:
         re-reading the insert history."""
         from ..functions.urlhash import hash64_batch
 
-        hs = list(self.records.keys())
+        hs = list(self.records.keys()) + list(self.terminal.keys())
         return hash64_batch(hs) if hs else np.empty(0, dtype=np.int64)
 
     def restore_from_ckpt(self, ckpt_dir: str, n_shards: int,
@@ -506,7 +524,7 @@ class FrontierShardState:
                 "attempt": t.column("attempt").to_pylist(),
             }
             keep = [i for i, h in enumerate(rows["url_hash"])
-                    if h in self.records]
+                    if h in self.records or h in self.terminal]
             if not keep:
                 continue
             self.complete({k: [v[i] for i in keep] for k, v in rows.items()})
@@ -518,7 +536,7 @@ class FrontierShardState:
                 t = read_round(os.path.join(pages_base, name),
                                columns=["url_hash"])
                 for h in t.column("url_hash").to_pylist():
-                    if h in self.records:
+                    if h in self.records or h in self.terminal:
                         self.stored_pages.add(h)
         images_base = os.path.join(ckpt_dir, "images")
         if os.path.isdir(images_base):
@@ -537,11 +555,18 @@ class FrontierShardState:
 
     def status_counts(self) -> dict:
         c = Counter(rec[R_STATUS] for rec in self.records.values())
+        c.update(v >> 32 for v in self.terminal.values())
         return {int(k): int(v) for k, v in c.items()}
 
     def seen_entries(self) -> dict:
         """url_hash → (status, attempt, error, tags_joined, priority) —
-        the conformance seen-set view (matches OracleResult.seen_entry)."""
+        the conformance seen-set view (matches OracleResult.seen_entry).
+        Unavailable in compact_terminal mode (terminal rows keep only
+        status+attempt; full detail lives in the checkpoint)."""
+        if self.terminal:
+            raise RuntimeError(
+                "seen_entries() needs full rows; this shard runs "
+                "compact_terminal mode — read the checkpoint instead")
         return {
             h: (r[R_STATUS], r[R_ATTEMPT], r[R_ERROR], ",".join(r[R_TAGS]), r[R_PRIORITY])
             for h, r in self.records.items()
@@ -549,6 +574,10 @@ class FrontierShardState:
 
     def snapshot_rows(self) -> dict:
         """Columnar full-state dump for checkpointing."""
+        if self.terminal:
+            raise RuntimeError(
+                "snapshot_rows() needs full rows; this shard runs "
+                "compact_terminal mode")
         hs = list(self.records.keys())
         recs = [self.records[h] for h in hs]
         return {
@@ -596,7 +625,8 @@ def make_frontier_actor():
     class FrontierShard:
         def __init__(self, shard_id: int, respect_robots: bool,
                      seen_capacity: int = 1 << 16,
-                     robots_http_config: dict | None = None):
+                     robots_http_config: dict | None = None,
+                     compact_terminal: bool = False):
             # robots_http_config: the raw job config when fetcher.mode is
             # "http" AND respect_robots — the shard then fetches real
             # per-domain /robots.txt through an HttpWeb built HERE (the
@@ -610,7 +640,8 @@ def make_frontier_actor():
                 fetcher = RobotsFetcher(
                     HttpWeb.from_config(JobConfig(robots_http_config)))
             self.state = FrontierShardState(shard_id, respect_robots,
-                                            seen_capacity, fetcher)
+                                            seen_capacity, fetcher,
+                                            compact_terminal=compact_terminal)
 
         def insert_candidates(self, rows, maybe_seen=None):
             return self.state.insert_candidates(rows, maybe_seen)

@@ -105,6 +105,47 @@ def test_frontier_max_attempt_filter():
     assert sel["url_hash"] == []
 
 
+def test_compact_terminal_mode_equivalence():
+    """compact_terminal (production scale): PROCESSED/FAILED rows demote
+    to packed status+attempt. Dedup membership, status totals, counters
+    and selection behavior stay identical to full mode; the full-row dict
+    stops growing with crawl history."""
+    items = [(f"https://a/{i}", f"h{i}", "a", 5) for i in range(6)]
+    full = FrontierShardState(0, respect_robots=False)
+    comp = FrontierShardState(0, respect_robots=False, compact_terminal=True)
+    for st in (full, comp):
+        st.insert_candidates(_rows(items))
+        st.mark_selected(["h0", "h1", "h2"])
+        st.complete({"url_hash": ["h0", "h1", "h2"],
+                     "status": [S.PROCESSED, S.FAILED, S.PROCESSED],
+                     "error": [None, "X", None],
+                     "tags": [["t"], [], ["t"]],
+                     "attempt": [1, 2, 1]})
+    assert comp.status_counts() == full.status_counts()
+    assert comp.counters == full.counters
+    # terminal rows left the full-row dict but stay members for dedup
+    assert set(comp.records) == {"h3", "h4", "h5"}
+    assert comp.terminal == {"h0": (S.PROCESSED << 32) | 1,
+                             "h1": (S.FAILED << 32) | 2,
+                             "h2": (S.PROCESSED << 32) | 1}
+    for st in (full, comp):
+        d = st.insert_candidates(_rows([("https://a/0", "h0", "a", 5),
+                                        ("https://a/9", "h9", "a", 5)]))
+        assert d["discovered"] == 1  # h0 still recognized as seen
+    assert sorted(comp.record_hash64().tolist()) == \
+        sorted(full.record_hash64().tolist())
+    # selection identical (terminal rows never re-selected in either mode)
+    assert comp.select_candidates(10, 0, 3)["url_hash"] == \
+        full.select_candidates(10, 0, 3)["url_hash"]
+    # full-detail views are refused rather than silently partial
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        comp.seen_entries()
+    with _pytest.raises(RuntimeError):
+        comp.snapshot_rows()
+
+
 def test_shard_routing_salting():
     domains = ["hot.test"] * 8 + ["cold.test"] * 8
     hashes = [f"h{i}" for i in range(16)]
