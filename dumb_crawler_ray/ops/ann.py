@@ -260,7 +260,7 @@ def _kmeans(mat: np.ndarray, n_centroids: int, seed: int = 7, iters: int = 10):
 
 
 def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
-            n_centroids: int = 16, n_probe: int = 6):
+            n_centroids: int = 16, n_probe: int = 10):
     """IVF top-k: only embeddings whose coarse cell is among the query's
     `n_probe` nearest centroids are scored. Same output schema as
     `ann_bruteforce`."""
@@ -580,7 +580,7 @@ def _ivfpq_search(codes_ds, sf_dir: str, qids: np.ndarray, qn: np.ndarray,
 
 
 def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-                   n_centroids: int = 16, n_probe: int = 6,
+                   n_centroids: int = 16, n_probe: int = 10,
                    m_subs: int = 8, pq_bits: int = 4):
     """IVF + product quantization — the ANN shape that actually fits
     100 TB: vectors are stored as M uint8 codebook codes (here 8×4 bits
@@ -655,7 +655,7 @@ def ann_index_export(sf_dir: str, out_dir: str | None = None,
 
 
 def ann_index_search(sf_dir: str, index_dir: str, n_queries: int = 5,
-                     k: int = 10, n_probe: int = 6):
+                     k: int = 10, n_probe: int = 10):
     """Serve ANN queries from a persisted `ann_index_export` artifact:
     load the tiny trained arrays on the driver, stream the compressed
     codes shards as a Dataset through the same ADC scan + exact rerank

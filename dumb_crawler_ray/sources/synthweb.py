@@ -109,8 +109,16 @@ def source_caption(seed: int, idx: int) -> str:
 
 
 def gen_images(seed: int, scale: int) -> pa.Table:
+    # build-time scorer for the stored aesthetic column (same pact as the
+    # stored phash: expected value derived from the DECODED pixels at
+    # fixture build, so the distributed pipeline must reproduce it from
+    # `bytes` alone); lazy import — ops depends on sources, not vice versa
+    from ..ops.multimodal import ImageAestheticWorker
+
+    scorer = ImageAestheticWorker()
     n = n_images(scale)
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    aesthetics = []
     for idx in range(n):
         w, h = image_dims(idx)
         fmt = image_fmt(idx)
@@ -122,8 +130,10 @@ def gen_images(seed: int, scale: int) -> pa.Table:
         hs.append(h)
         fmts.append(fmt)
         captions.append(source_caption(seed, idx))
-        # stored phash is of the *decoded* pixels so it matches `bytes`
-        phashes.append(codec.phash64(codec.decode(data)))
+        # stored phash/score are of the *decoded* pixels so they match `bytes`
+        decoded = codec.decode(data)
+        phashes.append(codec.phash64(decoded))
+        aesthetics.append(float(scorer.score_pixels([decoded])[0]))
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -133,6 +143,7 @@ def gen_images(seed: int, scale: int) -> pa.Table:
             "fmt": pa.array(fmts, pa.string()),
             "caption": pa.array(captions, pa.string()),
             "phash": pa.array(phashes, pa.int64()),
+            "aesthetic_score": pa.array(aesthetics, pa.float64()),
         }
     )
 
@@ -374,7 +385,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
 
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 7}
+    want = {"seed": seed, "scale": scale, "version": 8}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)

@@ -97,6 +97,7 @@ SQL_CHECKED = [
     "crawl_domain_stats", "export_webdataset", "eval_decontaminate",
     "bpe_train", "bpe_token_counts", "chunk_documents",
     "crawl_politeness_check", "image_decode_check",
+    "image_aesthetic_scores",
 ]
 
 
@@ -825,7 +826,9 @@ def test_ann_ivf_recall_vs_bruteforce(registry, ray_session):
         recall_num += len(truth & got)
         recall_den += len(truth)
     recall = recall_num / recall_den
-    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+    # n_probe=10/16 cells: measured 0.82 @sf0.001, 0.94 @sf0.01 (random
+    # embeddings are the worst case — no cluster structure to exploit)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} too low"
 
 
 def test_ann_ivfpq_recall_rerank_and_determinism(registry, ray_session):
@@ -844,7 +847,7 @@ def test_ann_ivfpq_recall_rerank_and_determinism(registry, ray_session):
         got = set(pq_[pq_.query_id == qid]["neighbor_id"])
         recall_num += len(truth & got)
         recall_den += len(truth)
-    assert recall_num / recall_den >= 0.5, recall_num / recall_den
+    assert recall_num / recall_den >= 0.7, recall_num / recall_den
     for q, n, s in zip(pq_["query_id"], pq_["neighbor_id"], pq_["sim"]):
         if (q, n) in bf_sim:  # rerank = exact cosine, rounded identically
             assert abs(s - bf_sim[(q, n)]) < 1e-9
