@@ -120,6 +120,67 @@ def decode_check(images_parquet: str, concurrency: int | None = None,
     ).sort("image_id")
 
 
+class TowerCheckWorker:
+    """Tower-consistency invariant (the image_decode_check pattern over
+    the FEATURE/EMBEDDING towers): per image, recompute from the decoded
+    pixels (a) the ImageFeaturesWorker pixel stats and 16×16 thumbnail
+    and (b) the per-row fixed-shape ImageEmbedWorker embedding, and emit
+    md5 digests of the binary payloads. The fixture stores the same
+    values computed from the decoded source pixels at build time, so the
+    oracle checks the whole decode→resize→project→normalize→round tower
+    math row by row — floats a SQL replay can't reach, pinned the same
+    way the stored phash and aesthetic score are."""
+
+    def __init__(self, thumb: int = 16, dim: int = 512):
+        import hashlib
+
+        self.md5 = hashlib.md5
+        self.thumb = thumb
+        self.embed = ImageEmbedWorker(dim=dim)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, means, stds, tds, eds = [], [], [], [], []
+        for iid, data in zip(t.column("image_id").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            arr = codec.decode(data)
+            ids.append(iid)
+            means.append(round(float(arr.mean()), 4))
+            stds.append(round(float(arr.std()), 4))
+            small = block_mean_resize(arr, self.thumb, self.thumb)
+            tds.append(self.md5(small.tobytes()).hexdigest())
+            # FIXED (1, n_in)@(n_in, dim) shape per row — the same
+            # batch-shape-independence contract the aesthetic score uses
+            emb = self.embed.embed_pixels([arr])[0]
+            eds.append(self.md5(emb.astype(np.float32).tobytes()).hexdigest())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "mean_pixel": pa.array(means, pa.float64()),
+                "std_pixel": pa.array(stds, pa.float64()),
+                "thumb_digest": pa.array(tds, pa.string()),
+                "emb_digest": pa.array(eds, pa.string()),
+            }
+        )
+
+
+def tower_check(images_parquet: str, concurrency: int | None = None,
+                batch_size: int = 64):
+    """Feature/embedding-tower consistency as a queryable op — the
+    formerly rows-only tower family (image_features / image_embeddings)
+    gains a full-strength per-row oracle via the stored-pixel pact."""
+    import ray
+
+    return ray.data.read_parquet(
+        images_parquet, columns=["image_id", "bytes"]
+    ).map_batches(
+        TowerCheckWorker,
+        batch_format="pyarrow",
+        **remote_kwargs(),
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else actor_pool_size(),
+    ).sort("image_id")
+
+
 def block_mean_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Block-mean downscale, fully vectorized via np.add.reduceat (same
     truncation semantics as per-block .mean() → uint8 assignment). When
@@ -442,6 +503,18 @@ class ImageAestheticWorker:
             np.float32)
         self.sharpness = sharpness
 
+    def score_from_emb(self, emb_rows: np.ndarray) -> np.ndarray:
+        """Head over ALREADY-COMPUTED per-row embeddings (the fixture
+        builder shares one embed per image between the stored score and
+        the stored embedding digest — must stay bit-identical to
+        `score_pixels`)."""
+        if not len(emb_rows):
+            return np.empty(0, dtype=np.float64)
+        emb = np.asarray(emb_rows).astype(np.float64)
+        logits = self.sharpness * (emb * self.head.astype(np.float64)).sum(
+            axis=1)
+        return np.round(10.0 / (1.0 + np.exp(-logits)), 4)
+
     def score_pixels(self, arrs: list[np.ndarray]) -> np.ndarray:
         if not arrs:
             return np.empty(0, dtype=np.float64)
@@ -452,11 +525,8 @@ class ImageAestheticWorker:
         # rounded 4th decimal. Fixed-shape per-row compute makes scores
         # exactly batch- and partition-independent; the op stays
         # decode-dominated, so the lost gemm batching is noise here.
-        emb = np.stack([self.embed.embed_pixels([a])[0] for a in arrs]) \
-            .astype(np.float64)
-        logits = self.sharpness * (emb * self.head.astype(np.float64)).sum(
-            axis=1)
-        return np.round(10.0 / (1.0 + np.exp(-logits)), 4)
+        return self.score_from_emb(
+            np.stack([self.embed.embed_pixels([a])[0] for a in arrs]))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("image_id").to_pylist()

@@ -2643,7 +2643,37 @@ def build_registry() -> dict[str, tuple]:
         ORDER BY i.image_id
         """,
     )
-    reg["image_quality"] = (image_quality_q, None)
+    # per-image quality metrics — FULL oracle via the stored-pixel pact
+    # (r5): the fixture stores the metrics computed from the DECODED
+    # source pixels at build time (q_* columns, flags from the UNROUNDED
+    # values exactly as the worker computes them), and the distributed
+    # actor pool must reproduce them from `bytes` alone
+    reg["image_quality"] = (
+        image_quality_q,
+        f"""
+        SELECT image_id,
+               q_mean_luma AS mean_luma,
+               q_rms_contrast AS rms_contrast,
+               q_grad_energy AS grad_energy,
+               q_low_contrast AS low_contrast,
+               q_bad_exposure AS bad_exposure
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
+    # tower-consistency invariant (r5, the image_decode_check pattern
+    # over the feature/embedding towers): pixel stats + md5 digests of
+    # the 16×16 thumbnail bytes and the per-row fixed-shape embedding
+    # float32 bytes, recomputed from decoded pixels, must equal the
+    # fixture's build-time columns — a full-strength per-row oracle for
+    # tower math no SQL replay can reach (seeded float32 projection)
+    reg["image_tower_check"] = (
+        lambda sf: multimodal.tower_check(
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        SELECT image_id, mean_pixel, std_pixel, thumb_digest, emb_digest
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
     reg["image_caption_alignment"] = (
         lambda sf: multimodal.image_caption_alignment(
             f"{_fixture_dir()}/images.parquet"), None)
@@ -2767,7 +2797,10 @@ def build_registry() -> dict[str, tuple]:
         "bm25_topk", "simhash_signatures", "simhash_near_dup_pairs",
         "image_phash_near_dups", "image_caption_stats", "image_exact_dedup",
         "image_shard_pack", "gopher_quality_flags", "pii_scrub_stats",
-        "chunk_documents", "eval_decontaminate", "bpe_train",
+        "chunk_documents",
+        # never-driver-attested r5 additions displace two r4-green fillers
+        # (eval_decontaminate, bpe_train — both driver-PASS in r4)
+        "image_quality", "image_tower_check",
         "image_aesthetic_scores",  # r4's only no_oracle row, now oracled
     ]
     head = [k for k in _window_first if k in reg]

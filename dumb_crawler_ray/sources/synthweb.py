@@ -109,16 +109,23 @@ def source_caption(seed: int, idx: int) -> str:
 
 
 def gen_images(seed: int, scale: int) -> pa.Table:
-    # build-time scorer for the stored aesthetic column (same pact as the
-    # stored phash: expected value derived from the DECODED pixels at
-    # fixture build, so the distributed pipeline must reproduce it from
-    # `bytes` alone); lazy import — ops depends on sources, not vice versa
-    from ..ops.multimodal import ImageAestheticWorker
+    # build-time expected values for the stored-pixel pact (same as the
+    # stored phash: derived from the DECODED pixels at fixture build, so
+    # the distributed pipelines must reproduce them from `bytes` alone):
+    # aesthetic score, quality metrics, and the feature/embedding tower
+    # digests; lazy import — ops depends on sources, not vice versa
+    import hashlib
+
+    from ..ops.multimodal import (ImageAestheticWorker, ImageQualityWorker,
+                                  block_mean_resize)
 
     scorer = ImageAestheticWorker()
+    quality = ImageQualityWorker()
     n = n_images(scale)
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
     aesthetics = []
+    q_mean, q_rms, q_grad, q_lc, q_bad = [], [], [], [], []
+    mean_px, std_px, thumb_dig, emb_dig = [], [], [], []
     for idx in range(n):
         w, h = image_dims(idx)
         fmt = image_fmt(idx)
@@ -130,10 +137,24 @@ def gen_images(seed: int, scale: int) -> pa.Table:
         hs.append(h)
         fmts.append(fmt)
         captions.append(source_caption(seed, idx))
-        # stored phash/score are of the *decoded* pixels so they match `bytes`
+        # stored expected values are of the *decoded* pixels so they
+        # match `bytes` (ONE decode + ONE per-row embed feed everything)
         decoded = codec.decode(data)
         phashes.append(codec.phash64(decoded))
-        aesthetics.append(float(scorer.score_pixels([decoded])[0]))
+        emb_row = scorer.embed.embed_pixels([decoded])
+        aesthetics.append(float(scorer.score_from_emb(emb_row)[0]))
+        emb_dig.append(hashlib.md5(
+            emb_row[0].astype(np.float32).tobytes()).hexdigest())
+        m, rms, g, lc, bad = quality.metrics(decoded)
+        q_mean.append(m)
+        q_rms.append(rms)
+        q_grad.append(g)
+        q_lc.append(lc)
+        q_bad.append(bad)
+        mean_px.append(round(float(decoded.mean()), 4))
+        std_px.append(round(float(decoded.std()), 4))
+        thumb_dig.append(hashlib.md5(
+            block_mean_resize(decoded, 16, 16).tobytes()).hexdigest())
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -144,6 +165,15 @@ def gen_images(seed: int, scale: int) -> pa.Table:
             "caption": pa.array(captions, pa.string()),
             "phash": pa.array(phashes, pa.int64()),
             "aesthetic_score": pa.array(aesthetics, pa.float64()),
+            "q_mean_luma": pa.array(q_mean, pa.float64()),
+            "q_rms_contrast": pa.array(q_rms, pa.float64()),
+            "q_grad_energy": pa.array(q_grad, pa.float64()),
+            "q_low_contrast": pa.array(q_lc, pa.bool_()),
+            "q_bad_exposure": pa.array(q_bad, pa.bool_()),
+            "mean_pixel": pa.array(mean_px, pa.float64()),
+            "std_pixel": pa.array(std_px, pa.float64()),
+            "thumb_digest": pa.array(thumb_dig, pa.string()),
+            "emb_digest": pa.array(emb_dig, pa.string()),
         }
     )
 
@@ -385,7 +415,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
 
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 8}
+    want = {"seed": seed, "scale": scale, "version": 9}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)

@@ -97,7 +97,7 @@ SQL_CHECKED = [
     "crawl_domain_stats", "export_webdataset", "eval_decontaminate",
     "bpe_train", "bpe_token_counts", "chunk_documents",
     "crawl_politeness_check", "image_decode_check",
-    "image_aesthetic_scores",
+    "image_aesthetic_scores", "image_quality", "image_tower_check",
 ]
 
 
@@ -1302,7 +1302,8 @@ def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
         "image_decode_stats", "image_decode_check", "image_aesthetic_scores",
         "image_phash_near_dups", "image_resize_meta",
         "image_features", "image_embeddings", "image_keeplist",
-        "image_quality", "image_ann_topk", "image_curation",
+        "image_quality", "image_tower_check", "image_ann_topk",
+        "image_curation",
         "image_caption_stats", "image_exact_dedup", "image_shard_pack",
         "image_caption_alignment", "image_curation_full",
         "image_semantic_dedup", "image_aspect_buckets", "image_size_filter",
