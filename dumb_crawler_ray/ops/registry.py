@@ -2605,7 +2605,18 @@ def build_registry() -> dict[str, tuple]:
         SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp
         """,
     )
-    reg["image_decode_stats"] = (image_decode_stats, None)
+    # decode → per-image pixel stats — FULL oracle (r5): mean/std are
+    # stored at fixture build from the decoded source pixels (the
+    # stored-pixel pact); w/h/lossy ride the metadata pact proven by
+    # image_decode_check
+    reg["image_decode_stats"] = (
+        image_decode_stats,
+        f"""
+        SELECT image_id, w, h, mean_pixel, std_pixel,
+               fmt = 'jpeg' AS lossy
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
     # keep-list = connected components over the SAME oracle-green phash
     # pair predicate (hamming ≤ 8 AND ≥1 exact band) — recursive-CTE
     # transitive closure with min-reachable rep, LEFT JOIN so singleton
@@ -2682,7 +2693,18 @@ def build_registry() -> dict[str, tuple]:
             f"{_fixture_dir()}/images.parquet"), None)
     reg["image_ann_topk"] = (image_ann_topk_q, None)
     reg["image_curation"] = (image_curation_q, None)
-    reg["image_resize_meta"] = (image_resize_meta, None)
+    # resize → 16×16 PNG re-encode — FULL oracle (r5): the fixture stores
+    # the encoded thumbnail's byte length computed from the decoded
+    # source pixels at build time (thumb_png_bytes)
+    reg["image_resize_meta"] = (
+        image_resize_meta,
+        f"""
+        SELECT image_id,
+               CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+               thumb_png_bytes AS n_bytes
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
     reg["image_semantic_dedup"] = (
         lambda sf: multimodal.image_semantic_dedup(
             f"{_fixture_dir()}/images.parquet"), None)
@@ -2739,16 +2761,72 @@ def build_registry() -> dict[str, tuple]:
         ORDER BY image_id
         """,
     )
-    reg["image_features"] = (image_features_q, None)
+    # fused feature extraction — FULL oracle (r5): every output column
+    # is a stored-pixel-pact column (w/h/phash metadata, mean/std from
+    # build-time decode) except thumb_bytes, which the 16×16×3 thumbnail
+    # contract fixes at 768 for every image
+    reg["image_features"] = (
+        image_features_q,
+        f"""
+        SELECT image_id, w, h, mean_pixel, std_pixel, phash,
+               CAST(768 AS BIGINT) AS thumb_bytes
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
+    # rows-only BY DESIGN: the embedding table is produced by the BATCHED
+    # gemm (one BLAS call per batch — the throughput shape), whose last
+    # ulp legitimately varies with batch shape; the tower math itself is
+    # oracle-checked per row by image_tower_check's fixed-shape recompute
     reg["image_embeddings"] = (image_embeddings_q, None)
-    reg["audio_features"] = (audio_features_q, None)
-    reg["video_frame_sample"] = (video_frame_sample_q, None)
+    # media family — FULL oracles (r5) via the stored-pixel pact's media
+    # analogue: the fixture stores the expected per-clip outputs computed
+    # from the encoded bytes at build time (the actual workers replayed
+    # on the generated table — bit-identical by construction), and the
+    # distributed actor pools must reproduce them from `bytes` alone.
+    # Variable-rows-per-clip ops (VAD segments, frame samples) store
+    # LIST columns that the oracle zip-unnests.
+    _AUDIO_PQ = "/tmp/dcr_fixtures/media/audio.parquet"
+    _VIDEO_PQ = "/tmp/dcr_fixtures/media/video.parquet"
+    reg["audio_features"] = (
+        audio_features_q,
+        f"""
+        SELECT audio_id, exp_rms AS rms,
+               exp_zcr AS zero_crossing_rate, exp_peak AS peak,
+               exp_centroid_hz AS spectral_centroid_hz,
+               exp_duration_s AS duration_s
+        FROM read_parquet('{_AUDIO_PQ}') ORDER BY audio_id
+        """,
+    )
+    reg["video_frame_sample"] = (
+        video_frame_sample_q,
+        f"""
+        SELECT video_id, unnest(exp_frame_idx) AS frame_idx, w, h,
+               unnest(exp_frame_means) AS mean_pixel
+        FROM read_parquet('{_VIDEO_PQ}') ORDER BY video_id, frame_idx
+        """,
+    )
     reg["audio_vad_segments"] = (
         lambda sf: media.audio_vad_segments(
-            f"{_media_dir()}/audio.parquet"), None)
+            f"{_media_dir()}/audio.parquet"),
+        f"""
+        SELECT audio_id, unnest(exp_vad_seg_idx) AS seg_idx,
+               unnest(exp_vad_start_s) AS start_s,
+               unnest(exp_vad_end_s) AS end_s,
+               unnest(exp_vad_n_frames) AS n_frames,
+               unnest(exp_vad_mean_rms) AS mean_rms
+        FROM read_parquet('{_AUDIO_PQ}') ORDER BY audio_id, seg_idx
+        """,
+    )
     reg["video_scene_cuts"] = (
         lambda sf: media.video_scene_cuts(
-            f"{_media_dir()}/video.parquet"), None)
+            f"{_media_dir()}/video.parquet"),
+        f"""
+        SELECT video_id, exp_n_cuts AS n_cuts,
+               exp_first_cut_idx AS first_cut_idx,
+               exp_max_frame_diff AS max_frame_diff
+        FROM read_parquet('{_VIDEO_PQ}') ORDER BY video_id
+        """,
+    )
     _crawl_sqls = _crawl_oracle_sqls()
     reg["crawl_order"] = (crawl_order, _crawl_sqls["crawl_order"])
     reg["crawl_seen_set"] = (crawl_seen_set, _crawl_sqls["crawl_seen_set"])
@@ -2793,14 +2871,18 @@ def build_registry() -> dict[str, tuple]:
         "approx_daily_active_users", "winnowed_fingerprints",
         "image_keeplist", "image_size_filter", "image_aspect_buckets",
         "image_decode_check", "source_balanced_sample", "dataset_mixture",
-        "jaccard_clusters", "minhash_near_dup_pairs", "near_dup_clusters",
-        "bm25_topk", "simhash_signatures", "simhash_near_dup_pairs",
+        "minhash_near_dup_pairs", "near_dup_clusters",
         "image_phash_near_dups", "image_caption_stats", "image_exact_dedup",
-        "image_shard_pack", "gopher_quality_flags", "pii_scrub_stats",
-        "chunk_documents",
-        # never-driver-attested r5 additions displace two r4-green fillers
-        # (eval_decontaminate, bpe_train — both driver-PASS in r4)
-        "image_quality", "image_tower_check",
+        "image_shard_pack",
+        # never-driver-attested r5 additions displace nine r4-green
+        # fillers (gopher_quality_flags, pii_scrub_stats, chunk_documents,
+        # eval_decontaminate, bpe_train, jaccard_clusters, bm25_topk,
+        # simhash_signatures, simhash_near_dup_pairs — all driver-PASS
+        # in r4)
+        "image_quality", "image_tower_check", "image_decode_stats",
+        "image_features", "image_resize_meta",
+        "audio_features", "audio_vad_segments",
+        "video_frame_sample", "video_scene_cuts",
         "image_aesthetic_scores",  # r4's only no_oracle row, now oracled
     ]
     head = [k for k in _window_first if k in reg]

@@ -146,6 +146,69 @@ def gen_video(seed: int, n: int, w: int = 48, h: int = 32,
     )
 
 
+def _with_expected_audio(t: pa.Table) -> pa.Table:
+    """Stored-pixel pact for the audio ops: append the EXPECTED
+    feature/VAD outputs computed from the encoded bytes at build time by
+    the actual workers (bit-identical by construction), so the
+    distributed pipelines must reproduce them from `bytes` alone.
+    Lazy import — ops depends on sources, not vice versa."""
+    from ..ops.media import AudioFeaturesWorker, AudioVadWorker
+
+    feats = AudioFeaturesWorker()(t)  # 1:1 with input order
+    vad = AudioVadWorker()(t)         # variable rows per clip, in order
+    by_id: dict[str, list] = {aid: [] for aid in t.column("audio_id").to_pylist()}
+    for row in vad.to_pylist():
+        by_id[row["audio_id"]].append(row)
+    ids = t.column("audio_id").to_pylist()
+    return (
+        t.append_column("exp_rms", feats.column("rms"))
+        .append_column("exp_zcr", feats.column("zero_crossing_rate"))
+        .append_column("exp_peak", feats.column("peak"))
+        .append_column("exp_centroid_hz",
+                       feats.column("spectral_centroid_hz"))
+        .append_column("exp_duration_s", feats.column("duration_s"))
+        .append_column("exp_vad_seg_idx", pa.array(
+            [[r["seg_idx"] for r in by_id[a]] for a in ids],
+            pa.list_(pa.int64())))
+        .append_column("exp_vad_start_s", pa.array(
+            [[r["start_s"] for r in by_id[a]] for a in ids],
+            pa.list_(pa.float64())))
+        .append_column("exp_vad_end_s", pa.array(
+            [[r["end_s"] for r in by_id[a]] for a in ids],
+            pa.list_(pa.float64())))
+        .append_column("exp_vad_n_frames", pa.array(
+            [[r["n_frames"] for r in by_id[a]] for a in ids],
+            pa.list_(pa.int64())))
+        .append_column("exp_vad_mean_rms", pa.array(
+            [[r["mean_rms"] for r in by_id[a]] for a in ids],
+            pa.list_(pa.float64())))
+    )
+
+
+def _with_expected_video(t: pa.Table) -> pa.Table:
+    """Stored-pixel pact for the video ops (every_k=4 default sampling
+    and the scene-cut summary), same build-time worker replay as audio."""
+    from ..ops.media import FrameSampleWorker, SceneCutWorker
+
+    frames = FrameSampleWorker()(t)  # rows per sampled frame, in order
+    cuts = SceneCutWorker()(t)       # 1:1 with input order
+    by_id: dict[str, list] = {vid: [] for vid in t.column("video_id").to_pylist()}
+    for row in frames.to_pylist():
+        by_id[row["video_id"]].append(row)
+    ids = t.column("video_id").to_pylist()
+    return (
+        t.append_column("exp_frame_idx", pa.array(
+            [[r["frame_idx"] for r in by_id[v]] for v in ids],
+            pa.list_(pa.int64())))
+        .append_column("exp_frame_means", pa.array(
+            [[r["mean_pixel"] for r in by_id[v]] for v in ids],
+            pa.list_(pa.float64())))
+        .append_column("exp_n_cuts", cuts.column("n_cuts"))
+        .append_column("exp_first_cut_idx", cuts.column("first_cut_idx"))
+        .append_column("exp_max_frame_diff", cuts.column("max_frame_diff"))
+    )
+
+
 def write_media_fixture(out_dir, seed: int = 42, n_audio: int = 256,
                         n_video: int = 64):
     """audio.parquet + video.parquet under out_dir (idempotent)."""
@@ -156,13 +219,13 @@ def write_media_fixture(out_dir, seed: int = 42, n_audio: int = 256,
 
     out = Path(out_dir)
     meta = out / "media_meta.json"
-    want = {"seed": seed, "n_audio": n_audio, "n_video": n_video, "version": 2}
+    want = {"seed": seed, "n_audio": n_audio, "n_video": n_video, "version": 3}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)
-    pq.write_table(gen_audio(seed, n_audio), out / "audio.parquet",
-                   row_group_size=256)
-    pq.write_table(gen_video(seed, n_video), out / "video.parquet",
-                   row_group_size=64)
+    pq.write_table(_with_expected_audio(gen_audio(seed, n_audio)),
+                   out / "audio.parquet", row_group_size=256)
+    pq.write_table(_with_expected_video(gen_video(seed, n_video)),
+                   out / "video.parquet", row_group_size=64)
     meta.write_text(json.dumps(want))
     return out

@@ -125,7 +125,7 @@ def gen_images(seed: int, scale: int) -> pa.Table:
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
     aesthetics = []
     q_mean, q_rms, q_grad, q_lc, q_bad = [], [], [], [], []
-    mean_px, std_px, thumb_dig, emb_dig = [], [], [], []
+    mean_px, std_px, thumb_dig, emb_dig, thumb_png = [], [], [], [], []
     for idx in range(n):
         w, h = image_dims(idx)
         fmt = image_fmt(idx)
@@ -153,8 +153,9 @@ def gen_images(seed: int, scale: int) -> pa.Table:
         q_bad.append(bad)
         mean_px.append(round(float(decoded.mean()), 4))
         std_px.append(round(float(decoded.std()), 4))
-        thumb_dig.append(hashlib.md5(
-            block_mean_resize(decoded, 16, 16).tobytes()).hexdigest())
+        thumb = block_mean_resize(decoded, 16, 16)
+        thumb_dig.append(hashlib.md5(thumb.tobytes()).hexdigest())
+        thumb_png.append(len(codec.encode(thumb, "png")))
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -174,6 +175,7 @@ def gen_images(seed: int, scale: int) -> pa.Table:
             "std_pixel": pa.array(std_px, pa.float64()),
             "thumb_digest": pa.array(thumb_dig, pa.string()),
             "emb_digest": pa.array(emb_dig, pa.string()),
+            "thumb_png_bytes": pa.array(thumb_png, pa.int64()),
         }
     )
 
@@ -415,7 +417,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
 
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 9}
+    want = {"seed": seed, "scale": scale, "version": 10}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)

@@ -98,6 +98,9 @@ SQL_CHECKED = [
     "bpe_train", "bpe_token_counts", "chunk_documents",
     "crawl_politeness_check", "image_decode_check",
     "image_aesthetic_scores", "image_quality", "image_tower_check",
+    "image_decode_stats", "image_features", "image_resize_meta",
+    "audio_features", "audio_vad_segments", "video_frame_sample",
+    "video_scene_cuts",
 ]
 
 
