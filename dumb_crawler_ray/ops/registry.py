@@ -2692,7 +2692,46 @@ def build_registry() -> dict[str, tuple]:
         lambda sf: multimodal.image_curation_full(
             f"{_fixture_dir()}/images.parquet"), None)
     reg["image_ann_topk"] = (image_ann_topk_q, None)
-    reg["image_curation"] = (image_curation_q, None)
+    # composite curation decision — FULL oracle (r5): the keep-list side
+    # is the image_keeplist recursive-CTE closure, the quality side is
+    # the stored-pixel-pact flags; keep = conjunction of both
+    reg["image_curation"] = (
+        image_curation_q,
+        f"""
+        WITH RECURSIVE imgs AS (
+            SELECT image_id, phash, q_low_contrast, q_bad_exposure
+            FROM read_parquet('{_IMAGES_PQ}')
+        ), d AS (
+            SELECT x.image_id AS a, y.image_id AS b,
+                   xor(x.phash, y.phash) AS xo
+            FROM imgs x JOIN imgs y ON x.image_id < y.image_id
+        ), qpairs AS (
+            SELECT a, b FROM d
+            WHERE bit_count(xo) <= 8
+              AND ((xo & 65535) = 0 OR (xo & 4294901760) = 0
+                   OR (xo & 281470681743360) = 0
+                   OR (xo & -281474976710656) = 0)
+        ), edges AS (
+            SELECT a AS u, b AS v FROM qpairs
+            UNION ALL SELECT b, a FROM qpairs
+        ), reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), reps AS (
+            SELECT u AS node, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u
+        )
+        SELECT i.image_id,
+               COALESCE(p.rep, i.image_id) AS cluster_rep,
+               COALESCE(p.rep, i.image_id) = i.image_id
+                   AS is_cluster_keeper,
+               NOT i.q_low_contrast AND NOT i.q_bad_exposure AS quality_ok,
+               (COALESCE(p.rep, i.image_id) = i.image_id
+                AND NOT i.q_low_contrast AND NOT i.q_bad_exposure) AS keep
+        FROM imgs i LEFT JOIN reps p ON p.node = i.image_id
+        ORDER BY i.image_id
+        """,
+    )
     # resize → 16×16 PNG re-encode — FULL oracle (r5): the fixture stores
     # the encoded thumbnail's byte length computed from the decoded
     # source pixels at build time (thumb_png_bytes)
@@ -2711,9 +2750,37 @@ def build_registry() -> dict[str, tuple]:
     reg["caption_to_image_topk"] = (
         lambda sf: multimodal.caption_to_image_topk(
             f"{_fixture_dir()}/images.parquet"), None)
+    # bucketed resize — FULL oracle (r5): the registry wrapper presents
+    # the re-encoded payload as (n_bytes, md5 digest) and the fixture
+    # stores the expected bucket decision + encoded-thumbnail digest
+    # computed from the decoded source pixels at build time, so the
+    # decode→bucket→resize→re-encode PIXELS themselves are checked
+    def _resize_bucket_meta(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "bucket_id": t.column("bucket_id"),
+             "target_w": t.column("target_w"),
+             "target_h": t.column("target_h"),
+             "n_bytes": t.column("n_bytes"),
+             "digest": pa.array(
+                 [hashlib.md5(d).hexdigest()
+                  for d in t.column("bytes").to_pylist()], pa.string())})
+
     reg["image_resize_to_bucket"] = (
         lambda sf: multimodal.image_resize_to_bucket(
-            f"{_fixture_dir()}/images.parquet"), None)
+            f"{_fixture_dir()}/images.parquet"
+        ).map_batches(_resize_bucket_meta, batch_format="pyarrow",
+                      **remote_kwargs()),
+        f"""
+        SELECT image_id, exp_bucket_id AS bucket_id,
+               exp_target_w AS target_w, exp_target_h AS target_h,
+               exp_bucket_png_bytes AS n_bytes,
+               exp_bucket_digest AS digest
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
     # LAION-style metadata pre-gate: pure integer (w, h) arithmetic →
     # fully SQL-checked over the fixture glob
     reg["image_size_filter"] = (
@@ -2871,16 +2938,16 @@ def build_registry() -> dict[str, tuple]:
         "approx_daily_active_users", "winnowed_fingerprints",
         "image_keeplist", "image_size_filter", "image_aspect_buckets",
         "image_decode_check", "source_balanced_sample", "dataset_mixture",
-        "minhash_near_dup_pairs", "near_dup_clusters",
         "image_phash_near_dups", "image_caption_stats", "image_exact_dedup",
-        "image_shard_pack",
-        # never-driver-attested r5 additions displace nine r4-green
+        "image_shard_pack", "image_curation",
+        # never-driver-attested r5 additions displace eleven r4-green
         # fillers (gopher_quality_flags, pii_scrub_stats, chunk_documents,
         # eval_decontaminate, bpe_train, jaccard_clusters, bm25_topk,
-        # simhash_signatures, simhash_near_dup_pairs — all driver-PASS
+        # simhash_signatures, simhash_near_dup_pairs,
+        # minhash_near_dup_pairs, near_dup_clusters — all driver-PASS
         # in r4)
         "image_quality", "image_tower_check", "image_decode_stats",
-        "image_features", "image_resize_meta",
+        "image_features", "image_resize_meta", "image_resize_to_bucket",
         "audio_features", "audio_vad_segments",
         "video_frame_sample", "video_scene_cuts",
         "image_aesthetic_scores",  # r4's only no_oracle row, now oracled

@@ -117,6 +117,7 @@ def gen_images(seed: int, scale: int) -> pa.Table:
     import hashlib
 
     from ..ops.multimodal import (ImageAestheticWorker, ImageQualityWorker,
+                                  assign_aspect_buckets, ASPECT_LADDER,
                                   block_mean_resize)
 
     scorer = ImageAestheticWorker()
@@ -126,6 +127,7 @@ def gen_images(seed: int, scale: int) -> pa.Table:
     aesthetics = []
     q_mean, q_rms, q_grad, q_lc, q_bad = [], [], [], [], []
     mean_px, std_px, thumb_dig, emb_dig, thumb_png = [], [], [], [], []
+    bkt_id, bkt_tw, bkt_th, bkt_nb, bkt_dig = [], [], [], [], []
     for idx in range(n):
         w, h = image_dims(idx)
         fmt = image_fmt(idx)
@@ -156,6 +158,15 @@ def gen_images(seed: int, scale: int) -> pa.Table:
         thumb = block_mean_resize(decoded, 16, 16)
         thumb_dig.append(hashlib.md5(thumb.tobytes()).hexdigest())
         thumb_png.append(len(codec.encode(thumb, "png")))
+        b = int(assign_aspect_buckets(np.asarray([w], dtype=np.int64),
+                                      np.asarray([h], dtype=np.int64))[0])
+        _bid, tw, th, _rw, _rh = ASPECT_LADDER[b]
+        bucket_png = codec.encode(block_mean_resize(decoded, tw, th), "png")
+        bkt_id.append(b)
+        bkt_tw.append(tw)
+        bkt_th.append(th)
+        bkt_nb.append(len(bucket_png))
+        bkt_dig.append(hashlib.md5(bucket_png).hexdigest())
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -176,6 +187,11 @@ def gen_images(seed: int, scale: int) -> pa.Table:
             "thumb_digest": pa.array(thumb_dig, pa.string()),
             "emb_digest": pa.array(emb_dig, pa.string()),
             "thumb_png_bytes": pa.array(thumb_png, pa.int64()),
+            "exp_bucket_id": pa.array(bkt_id, pa.int64()),
+            "exp_target_w": pa.array(bkt_tw, pa.int64()),
+            "exp_target_h": pa.array(bkt_th, pa.int64()),
+            "exp_bucket_png_bytes": pa.array(bkt_nb, pa.int64()),
+            "exp_bucket_digest": pa.array(bkt_dig, pa.string()),
         }
     )
 
@@ -417,7 +433,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
 
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 10}
+    want = {"seed": seed, "scale": scale, "version": 11}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)

@@ -100,7 +100,7 @@ SQL_CHECKED = [
     "image_aesthetic_scores", "image_quality", "image_tower_check",
     "image_decode_stats", "image_features", "image_resize_meta",
     "audio_features", "audio_vad_segments", "video_frame_sample",
-    "video_scene_cuts",
+    "video_scene_cuts", "image_curation", "image_resize_to_bucket",
 ]
 
 
@@ -637,10 +637,15 @@ def test_semantic_dedup_auto_k(registry, ray_session):
 
 def test_image_resize_to_bucket_reconciles(registry, ray_session):
     """Resized output must decode to exactly its bucket's target dims,
-    and the bucket decision must equal the SQL-checked metadata op's."""
+    and the bucket decision must equal the SQL-checked metadata op's.
+    (The raw op keeps the bytes column; the registry wrapper presents
+    its md5 digest for the SQL oracle.)"""
     from dumb_crawler_ray.functions import codec
+    from dumb_crawler_ray.ops import multimodal
+    from dumb_crawler_ray.ops.registry import _fixture_dir
 
-    resized = to_df(registry["image_resize_to_bucket"][0](SF))
+    resized = to_df(multimodal.image_resize_to_bucket(
+        f"{_fixture_dir()}/images.parquet"))
     meta = to_df(registry["image_aspect_buckets"][0](SF))
     merged = resized.merge(meta, on="image_id", suffixes=("", "_meta"))
     assert len(merged) == len(resized) == len(meta)
