@@ -1289,6 +1289,17 @@ def test_image_keeplist(registry, ray_session):
         assert rep[a] == rep[b]
 
 
+def test_driver_window_policy(registry):
+    """The round driver attests exactly the FIRST 50 registry entries
+    against their DuckDB oracles — a rows-only (sql=None) entry inside
+    the window burns an attestation slot for nothing (it displaced two
+    driver-green queries in r4). Guard the policy structurally."""
+    names = list(registry)
+    assert len(names) >= 50
+    rows_only_in_window = [n for n in names[:50] if registry[n][1] is None]
+    assert rows_only_in_window == [], rows_only_in_window
+
+
 def test_all_sf_queries_handle_empty_tables(registry, ray_session, tmp_path):
     """Robustness: every sf-dir query must return an empty (or sketch)
     result on 0-row input tables, never crash — the degenerate partition a
