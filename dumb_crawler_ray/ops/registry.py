@@ -160,7 +160,6 @@ def crawl_domain_stats(sf_dir: str):
              "stored": pa.array([], pa.int64())})
         if len(b) == 0:
             return empty
-        df = b.to_pandas()
         # the block holds EVERY row of its hashes: collapse per hash with
         # ORDER-INDEPENDENT rules (the row order inside a hash-shuffled
         # block is not deterministic): domain = the unique non-null insert
@@ -168,30 +167,49 @@ def crawl_domain_stats(sf_dir: str):
         # is_art = any over update rows — equal to the single terminal row
         # today, and still deterministic if retry rows ever relax that
         # invariant
-        g = (df.loc[df["domain"].notna(), ["url_hash", "domain"]]
-             .drop_duplicates("url_hash").set_index("url_hash"))
-        upd = df[df["status"].notna()]
-        g = g.join(upd.groupby("url_hash")["status"].max())
-        g = g.join(upd.assign(a=upd["is_art"].eq(True))
-                   .groupby("url_hash")["a"].any().rename("is_art"))
+        uh = np.asarray(b.column("url_hash").to_pylist(), dtype=object)
+        dom_valid = pc.is_valid(b.column("domain")).to_numpy(
+            zero_copy_only=False)
+        st_valid = pc.is_valid(b.column("status")).to_numpy(
+            zero_copy_only=False)
+        hashes, inv = np.unique(uh, return_inverse=True)
+        n = len(hashes)
+        d_per = np.full(n, None, dtype=object)
+        d_per[inv[dom_valid]] = np.asarray(
+            b.column("domain").to_pylist(), dtype=object)[dom_valid]
+        st = np.full(n, -1, dtype=np.int64)
+        if st_valid.any():
+            st_vals = pc.fill_null(b.column("status"), -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            np.maximum.at(st, inv[st_valid], st_vals[st_valid])
+        art = np.zeros(n, dtype=bool)
+        art_vals = pc.fill_null(b.column("is_art"), False).to_numpy(
+            zero_copy_only=False).astype(bool)
+        np.logical_or.at(art, inv[st_valid], art_vals[st_valid])
         # discovered needs only a domain; the status-dependent columns
         # count 0 for still-pending URLs (a non-drained checkpoint is a
         # supported state — resume, mid-run inspection)
-        if not len(g):
+        disc = d_per != None  # noqa: E711 — elementwise over object array
+        if not disc.any():
             return empty
-        fetched = g["status"] == S.PROCESSED
-        failed = g["status"] == S.FAILED
-        stored = fetched & g["is_art"].fillna(False).astype(bool)
-        out = g.assign(n=1, f=fetched.astype(np.int64),
-                       x=failed.astype(np.int64),
-                       s=stored.astype(np.int64)).groupby("domain")[
-            ["n", "f", "x", "s"]].sum()
+        fetched = (st == S.PROCESSED) & disc
+        failed = (st == S.FAILED) & disc
+        stored = fetched & art
+        doms, dinv = np.unique(d_per[disc].astype(str), return_inverse=True)
+        k = len(doms)
+        f = np.zeros(k, np.int64)
+        x = np.zeros(k, np.int64)
+        s = np.zeros(k, np.int64)
+        np.add.at(f, dinv, fetched[disc].astype(np.int64))
+        np.add.at(x, dinv, failed[disc].astype(np.int64))
+        np.add.at(s, dinv, stored[disc].astype(np.int64))
         return pa.table(
-            {"domain": pa.array(out.index.tolist(), pa.string()),
-             "discovered": pa.array(out["n"].to_numpy(), pa.int64()),
-             "fetched": pa.array(out["f"].to_numpy(), pa.int64()),
-             "failed": pa.array(out["x"].to_numpy(), pa.int64()),
-             "stored": pa.array(out["s"].to_numpy(), pa.int64())})
+            {"domain": pa.array(doms.tolist(), pa.string()),
+             "discovered": pa.array(np.bincount(dinv, minlength=k)
+                                    .astype(np.int64), pa.int64()),
+             "fetched": pa.array(f, pa.int64()),
+             "failed": pa.array(x, pa.int64()),
+             "stored": pa.array(s, pa.int64())})
 
     from ..rayutil import keyed_colocate
 
@@ -258,26 +276,36 @@ def crawl_politeness_check(sf_dir: str):
                           "n_part": pa.array([], pa.int64())})
         if len(b) == 0:
             return empty
-        df = b.to_pandas()
         # order-independent: map each FETCH EVENT (order row) to the
         # hash's unique insert-time domain attribution and count every
         # event — no per-hash collapse, so a hash fetched in several
         # rounds (retries) counts once per round, and block row order
         # cannot influence the result
-        dom = (df.loc[df["domain"].notna(), ["url_hash", "domain"]]
-               .drop_duplicates("url_hash").set_index("url_hash")["domain"])
-        g = df.loc[df["round"].notna(), ["url_hash", "round"]].copy()
-        g["domain"] = g["url_hash"].map(dom)
-        g = g[g["domain"].notna()]
-        if not len(g):
+        import numpy as np
+        uh = np.asarray(b.column("url_hash").to_pylist(), dtype=object)
+        dom_valid = pc.is_valid(b.column("domain")).to_numpy(
+            zero_copy_only=False)
+        rnd_valid = pc.is_valid(b.column("round")).to_numpy(
+            zero_copy_only=False)
+        hashes, inv = np.unique(uh, return_inverse=True)
+        d_per = np.full(len(hashes), None, dtype=object)
+        d_per[inv[dom_valid]] = np.asarray(
+            b.column("domain").to_pylist(), dtype=object)[dom_valid]
+        rr = pc.fill_null(b.column("round"), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)[rnd_valid]
+        dd = d_per[inv[rnd_valid]]
+        keep = dd != None  # noqa: E711 — elementwise over object array
+        if not keep.any():
             return empty
-        out = g.assign(n=1).groupby(["round", "domain"])["n"].sum()
-        idx = out.index.to_frame(index=False)
+        rr = rr[keep]
+        doms, dcode = np.unique(dd[keep].astype(str), return_inverse=True)
+        combo = rr * len(doms) + dcode
+        uc, counts = np.unique(combo, return_counts=True)
         return pa.table(
-            {"round": pa.array(idx["round"].astype("int64"), pa.int64()),
-             "domain": pa.array(idx["domain"].tolist(), pa.string()),
-             "n_part": pa.array(out.to_numpy().astype("int64"),
-                                pa.int64())})
+            {"round": pa.array((uc // len(doms)).astype(np.int64),
+                               pa.int64()),
+             "domain": pa.array(doms[uc % len(doms)].tolist(), pa.string()),
+             "n_part": pa.array(counts.astype(np.int64), pa.int64())})
 
     from ..rayutil import keyed_colocate
 
