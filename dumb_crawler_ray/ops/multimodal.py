@@ -139,19 +139,23 @@ class TowerCheckWorker:
         self.embed = ImageEmbedWorker(dim=dim)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, means, stds, tds, eds = [], [], [], [], []
+        ids, means, stds, tds = [], [], [], []
+        arrs = []
         for iid, data in zip(t.column("image_id").to_pylist(),
                              t.column("bytes").to_pylist()):
             arr = codec.decode(data)
+            arrs.append(arr)
             ids.append(iid)
             means.append(round(float(arr.mean()), 4))
             stds.append(round(float(arr.std()), 4))
             small = block_mean_resize(arr, self.thumb, self.thumb)
             tds.append(self.md5(small.tobytes()).hexdigest())
-            # FIXED (1, n_in)@(n_in, dim) shape per row — the same
-            # batch-shape-independence contract the aesthetic score uses
-            emb = self.embed.embed_pixels([arr])[0]
-            eds.append(self.md5(emb.astype(np.float32).tobytes()).hexdigest())
+        # ONE batched embed — bit-identical to any other batching by the
+        # fixed_gemm contract, so this recompute attests the production
+        # batched tower, not just a per-row variant of it
+        embs = self.embed.embed_pixels(arrs)
+        eds = [self.md5(e.astype(np.float32).tobytes()).hexdigest()
+               for e in embs]
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
@@ -323,12 +327,21 @@ class ImageEmbedWorker:
 
     def embed_pixels(self, arrs: list[np.ndarray]) -> np.ndarray:
         """Decoded pixel arrays → the exact float32 rounded-6 rows
-        `__call__` stores (shared with the fused one-decode pass)."""
+        `__call__` stores (shared with the fused one-decode pass).
+
+        The matmul runs through `vecutil.fixed_gemm` (fixed
+        GEMM_ROWS-row padded chunks), so a row's embedding is
+        BIT-IDENTICAL at any batch size / partitioning / thread count —
+        that one property is what lets the whole embedding family
+        (image_embeddings, alignment, curation_full, cross-modal top-k)
+        carry full stored-pact oracles instead of rows-only checks."""
+        from .vecutil import fixed_gemm
+
         flat = np.empty((len(arrs), self.w.shape[0]), dtype=np.float32)
         for i, arr in enumerate(arrs):
             small = block_mean_resize(arr, self.side, self.side)
             flat[i] = small.reshape(-1).astype(np.float32) / 255.0
-        emb = flat @ self.w  # one BLAS call per batch
+        emb = fixed_gemm(flat, self.w)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         return np.round(emb, 6)
 
@@ -518,15 +531,13 @@ class ImageAestheticWorker:
     def score_pixels(self, arrs: list[np.ndarray]) -> np.ndarray:
         if not arrs:
             return np.empty(0, dtype=np.float64)
-        # one row per embed call, FIXED (1, n_in)@(n_in, dim) shape: BLAS
-        # gemm picks blocking (= float32 summation order) by matrix
-        # shape, so a batched embed can wobble a row by 1 ulp between
-        # batch sizes — and the sharp sigmoid amplifies that past the
-        # rounded 4th decimal. Fixed-shape per-row compute makes scores
-        # exactly batch- and partition-independent; the op stays
-        # decode-dominated, so the lost gemm batching is noise here.
-        return self.score_from_emb(
-            np.stack([self.embed.embed_pixels([a])[0] for a in arrs]))
+        # embed_pixels is batch-shape-independent by construction (the
+        # fixed_gemm padded-chunk contract), so the whole batch goes
+        # through ONE batched embed and the sharp sigmoid still rounds
+        # to exactly the same 4th decimal at any partitioning — the r4
+        # version paid a per-row (1, n_in) gemv per image for the same
+        # guarantee.
+        return self.score_from_emb(self.embed.embed_pixels(arrs))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("image_id").to_pylist()
@@ -765,10 +776,15 @@ def image_ann_topk(images_parquet: str, n_queries: int = 8, k: int = 5,
     q_ref = ray.put((qids, qm))
 
     def partial(t: pa.Table) -> pa.Table:
+        from .vecutil import fixed_sims
+
         ids_q, qm = ray.get(q_ref)
         vids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
         mat = embedding_matrix(t.column("embedding"), dtype=np.float32)
-        sims = qm @ mat.T
+        # fixed-shape chunked sims: a (query, neighbor) score is
+        # bit-identical however the corpus rows were batched, so the
+        # candidate set (and the stored-pact oracle) is partitioning-proof
+        sims = fixed_sims(qm, mat)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])
         for qi in range(len(ids_q)):
@@ -1602,10 +1618,13 @@ def caption_to_image_topk(images_parquet: str, n_queries: int = 16,
     q_ref = ray.put((qids, qm))
 
     def partial(t: pa.Table) -> pa.Table:
+        from .vecutil import fixed_sims
+
         ids_q, qm = ray.get(q_ref)
         vids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
         mat = embedding_matrix(t.column("embedding"))
-        sims = qm @ mat.T
+        # fixed-shape chunked sims (see image_ann_topk.partial)
+        sims = fixed_sims(qm, mat)
         out_q, out_n, out_s = [], [], []
         kk = min(k, sims.shape[1])
         for qi in range(len(ids_q)):

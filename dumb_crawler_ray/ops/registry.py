@@ -787,12 +787,77 @@ JOIN attrs a ON a.url = f.url
 WHERE f.state = 'D'
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+    # compact_pages: the compaction manifest replayed in SQL. The stored
+    # set is the order-independent `node` closure (ok ∧ article — the
+    # same set the pages store holds; the fixture crawl fetches each URL
+    # once, so latest-version-wins is identity), and the RAW stored html
+    # is rebuilt SYMBOLICALLY, byte for byte: render_page_html's template
+    # with the "\n" joins removed (SimpleHttpRenderer's newline-strip —
+    # semantics.py fetch_outcome), anchors/imgs re-aggregated in list
+    # order via the generate_series trick (511 ≫ the generator's 12-link
+    # max). fingerprint = the export writer's md5-bucket + bit_xor pact
+    # over md5(html) — the compaction rule that digests CONTENT, never a
+    # length proxy.
+    compact_sql = f"""
+WITH RECURSIVE {prelude},
+stored AS (
+  SELECT n.url,
+         CASE WHEN regexp_full_match(n.url, '{id_re}')
+              THEN regexp_extract(n.url, '{id_re}', 1)
+              ELSE md5(n.url) END AS url_hash
+  FROM node n WHERE n.ok AND n.is_article
+),
+la AS (
+  SELECT p.url,
+         string_agg('<a href="' || p.outlinks[g.x + 1] || '">link '
+                    || g.x || '</a>', '' ORDER BY g.x) AS links
+  FROM pg p JOIN generate_series(0, 511) g(x) ON g.x < len(p.outlinks)
+  GROUP BY p.url
+),
+ia AS (
+  SELECT p.url,
+         string_agg('<img src="https://' || p.domain || '/img/'
+                    || p.image_refs[g.x + 1] || '.png" alt="'
+                    || p.image_refs[g.x + 1] || '">', '' ORDER BY g.x)
+           AS imgs
+  FROM pg p JOIN generate_series(0, 511) g(x) ON g.x < len(p.image_refs)
+  GROUP BY p.url
+),
+ph AS (
+  SELECT s.url_hash,
+         '<html><head><link rel="stylesheet" href="https://' || p.domain
+         || '/resource/style.css"></head><body>'
+         || '<div class="article-body">Article body text.</div>'
+         || coalesce(la.links, '')
+         || CASE WHEN len(p.outlinks) > 0
+                 THEN '<a href="' || p.outlinks[1] || '">dup</a>'
+                      || '<a rel="nofollow" href="'
+                      || p.outlinks[len(p.outlinks)] || '">nf</a>'
+                 ELSE '' END
+         || '<a href="mailto:someone@example.test">mail</a>'
+         || coalesce(ia.imgs, '') || '</body></html>' AS html
+  FROM stored s
+  JOIN pg p ON p.url = s.url
+  LEFT JOIN la ON la.url = s.url
+  LEFT JOIN ia ON ia.url = s.url
+)
+SELECT CAST(('0x' || substr(md5(url_hash), 1, 8)) AS BIGINT)
+           % {DEFAULT_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(
+           CAST(('0x' || substr(md5(url_hash || ':' || md5(html)),
+                                1, 16)) AS UBIGINT)
+           & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+           AS fingerprint
+FROM ph GROUP BY 1 ORDER BY 1
+"""
     return {"crawl_seen_set": seen_sql, "crawl_counters": counters_sql,
             "crawl_order": order_sql, "curated_corpus": curated_sql,
             "crawl_lineage_counts": lineage_sql,
             "corpus_release": release_sql,
             "crawl_domain_stats": domain_sql,
-            "crawl_politeness_check": politeness_sql}
+            "crawl_politeness_check": politeness_sql,
+            "compact_pages": compact_sql}
 
 
 def image_decode_stats(sf_dir: str):
@@ -815,22 +880,33 @@ def image_features_q(sf_dir: str):
 
 
 def image_embeddings_q(sf_dir: str):
+    """Registry presentation of the embedding table: per-row dim + md5
+    digest of the float32 payload. With the fixed-shape-gemm tower
+    (`vecutil.fixed_gemm`) the batched production embedding is
+    bit-identical to the fixture's build-time embed at ANY partitioning,
+    so the digest carries a FULL stored-pact oracle (r4 was rows-only
+    with a norm summary — the batched gemm wobbled with batch shape)."""
+    import hashlib
+
+    import numpy as np
+
     ds = multimodal.image_embeddings(f"{_fixture_dir()}/images.parquet")
 
     def meta(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         emb = t.column("embedding")
-        flat = np.abs(np.asarray(pc.list_flatten(emb).to_numpy(
-            zero_copy_only=False), dtype=np.float64))
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(pc.list_flatten(emb).to_numpy(
+            zero_copy_only=False), dtype=np.float32)
         lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
-        offsets = np.concatenate([[0], np.cumsum(lens)])
-        norm1 = np.add.reduceat(flat, offsets[:-1]) if len(flat) else np.array([])
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        digs = [hashlib.md5(flat[offsets[i]:offsets[i + 1]].tobytes())
+                .hexdigest() for i in range(len(lens))]
         return pa.table(
             {
                 "image_id": t.column("image_id"),
                 "dim": pa.array(lens.astype(np.int64), pa.int64()),
-                "norm1": pa.array(np.round(norm1, 4), pa.float64()),
+                "emb_digest": pa.array(digs, pa.string()),
             }
         )
 
@@ -2713,13 +2789,89 @@ def build_registry() -> dict[str, tuple]:
         FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
         """,
     )
+    # the r5 fixed-shape-gemm towers (`vecutil.fixed_gemm`) made every
+    # embedding bit-identical at any batch size / partitioning, so the
+    # whole alignment family graduates from rows-only to FULL stored-pact
+    # oracles: the fixture stores exp_clip_score (the exact rounded-4
+    # float64 cosine the merge computes) at build time from the decoded
+    # source pixels + caption, and the distributed dual-tower pipelines
+    # must reproduce it from (bytes, caption) alone
+    _caption_ok_sql = f"""
+           (len(regexp_extract_all(caption, '[A-Za-z0-9]+'))
+                BETWEEN {multimodal.CAP_MIN_TOKENS}
+                    AND {multimodal.CAP_MAX_TOKENS}
+            AND {multimodal.CAP_DISTINCT_DEN} * len(list_distinct(
+                    regexp_extract_all(lower(caption), '[a-z0-9]+')))
+                >= {multimodal.CAP_DISTINCT_NUM}
+                    * len(regexp_extract_all(caption, '[A-Za-z0-9]+')))"""
     reg["image_caption_alignment"] = (
         lambda sf: multimodal.image_caption_alignment(
-            f"{_fixture_dir()}/images.parquet"), None)
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        SELECT image_id, exp_clip_score AS clip_score,
+               exp_clip_score >= {multimodal.CLIP_KEEP_MIN} AS keep
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
+    # full curation decision: cluster keeper = the image_curation
+    # recursive-CTE closure, quality = stored-pixel-pact flags,
+    # caption = the SQL token rules, alignment = the stored clip pact
     reg["image_curation_full"] = (
         lambda sf: multimodal.image_curation_full(
-            f"{_fixture_dir()}/images.parquet"), None)
-    reg["image_ann_topk"] = (image_ann_topk_q, None)
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        WITH RECURSIVE imgs AS (
+            SELECT image_id, phash, q_low_contrast, q_bad_exposure,
+                   caption, exp_clip_score
+            FROM read_parquet('{_IMAGES_PQ}')
+        ), d AS (
+            SELECT x.image_id AS a, y.image_id AS b,
+                   xor(x.phash, y.phash) AS xo
+            FROM imgs x JOIN imgs y ON x.image_id < y.image_id
+        ), qpairs AS (
+            SELECT a, b FROM d
+            WHERE bit_count(xo) <= 8
+              AND ((xo & 65535) = 0 OR (xo & 4294901760) = 0
+                   OR (xo & 281470681743360) = 0
+                   OR (xo & -281474976710656) = 0)
+        ), edges AS (
+            SELECT a AS u, b AS v FROM qpairs
+            UNION ALL SELECT b, a FROM qpairs
+        ), reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), reps AS (
+            SELECT u AS node, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u
+        )
+        SELECT i.image_id,
+               COALESCE(p.rep, i.image_id) = i.image_id
+                   AS is_cluster_keeper,
+               NOT i.q_low_contrast AND NOT i.q_bad_exposure AS quality_ok,
+               {_caption_ok_sql} AS caption_ok,
+               i.exp_clip_score >= {multimodal.CLIP_KEEP_MIN}
+                   AS alignment_ok,
+               i.exp_clip_score AS clip_score,
+               (COALESCE(p.rep, i.image_id) = i.image_id
+                AND NOT i.q_low_contrast AND NOT i.q_bad_exposure
+                AND {_caption_ok_sql}
+                AND i.exp_clip_score >= {multimodal.CLIP_KEEP_MIN}) AS keep
+        FROM imgs i LEFT JOIN reps p ON p.node = i.image_id
+        ORDER BY i.image_id
+        """,
+    )
+    # cross-modal brute-force top-k: stored-answer pact (the media-family
+    # pattern) — the fixture replays the exact fixed_sims arithmetic at
+    # build time into topk.parquet; the oracle just reads it back
+    _TOPK_PQ = f"/tmp/dcr_fixtures/sf{_FIXTURE_SCALE}/topk.parquet"
+    reg["image_ann_topk"] = (
+        image_ann_topk_q,
+        f"""
+        SELECT query_id, rank, neighbor_id, sim
+        FROM read_parquet('{_TOPK_PQ}') WHERE op = 'image_ann'
+        ORDER BY query_id, rank
+        """,
+    )
     # composite curation decision — FULL oracle (r5): the keep-list side
     # is the image_keeplist recursive-CTE closure, the quality side is
     # the stored-pixel-pact flags; keep = conjunction of both
@@ -2777,7 +2929,13 @@ def build_registry() -> dict[str, tuple]:
             f"{_fixture_dir()}/images.parquet"), None)
     reg["caption_to_image_topk"] = (
         lambda sf: multimodal.caption_to_image_topk(
-            f"{_fixture_dir()}/images.parquet"), None)
+            f"{_fixture_dir()}/images.parquet"),
+        f"""
+        SELECT query_id, rank, neighbor_id, sim
+        FROM read_parquet('{_TOPK_PQ}') WHERE op = 'caption_to_image'
+        ORDER BY query_id, rank
+        """,
+    )
     # bucketed resize — FULL oracle (r5): the registry wrapper presents
     # the re-encoded payload as (n_bytes, md5 digest) and the fixture
     # stores the expected bucket decision + encoded-thumbnail digest
@@ -2868,11 +3026,19 @@ def build_registry() -> dict[str, tuple]:
         FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
         """,
     )
-    # rows-only BY DESIGN: the embedding table is produced by the BATCHED
-    # gemm (one BLAS call per batch — the throughput shape), whose last
-    # ulp legitimately varies with batch shape; the tower math itself is
-    # oracle-checked per row by image_tower_check's fixed-shape recompute
-    reg["image_embeddings"] = (image_embeddings_q, None)
+    # FULL oracle (r5): the fixed-shape-gemm tower made the BATCHED
+    # production embedding bit-identical to the build-time embed at any
+    # batch size / partitioning, so the stored per-row digest pact
+    # (previously only reachable by image_tower_check's recompute)
+    # attests the embedding table itself
+    reg["image_embeddings"] = (
+        image_embeddings_q,
+        f"""
+        SELECT image_id, CAST({multimodal.CAP_EMB_DIM} AS BIGINT) AS dim,
+               emb_digest
+        FROM read_parquet('{_IMAGES_PQ}') ORDER BY image_id
+        """,
+    )
     # media family — FULL oracles (r5) via the stored-pixel pact's media
     # analogue: the fixture stores the expected per-clip outputs computed
     # from the encoded bytes at build time (the actual workers replayed
@@ -2939,11 +3105,60 @@ def build_registry() -> dict[str, tuple]:
     reg["compact_pages"] = (
         lambda sf: export.compact_pages(
             _crawl_result().ckpt_dir,
-            out_dir="/tmp/dcr_compact/crawl_fixture_s16"), None)
+            out_dir="/tmp/dcr_compact/crawl_fixture_s16"),
+        _crawl_sqls["compact_pages"])
+    # image-side flagship last mile — FULL oracle (r5): the gating
+    # decision is image_curation_full's, now SQL-reachable end to end
+    # (recursive-CTE phash keeper ∧ stored quality flags ∧ caption token
+    # rules ∧ the stored clip-score pact), and the manifest is the shared
+    # md5-bucket + bit_xor replay every release sink uses
     reg["curated_image_release"] = (
         lambda sf: export.curated_image_release(
             f"{_fixture_dir()}/images.parquet",
-            out_dir="/tmp/dcr_release/curated_images_fixture_s16"), None)
+            out_dir="/tmp/dcr_release/curated_images_fixture_s16"),
+        f"""
+        WITH RECURSIVE imgs AS (
+            SELECT image_id, phash, q_low_contrast, q_bad_exposure,
+                   caption, exp_clip_score, bytes
+            FROM read_parquet('{_IMAGES_PQ}')
+        ), d AS (
+            SELECT x.image_id AS a, y.image_id AS b,
+                   xor(x.phash, y.phash) AS xo
+            FROM imgs x JOIN imgs y ON x.image_id < y.image_id
+        ), qpairs AS (
+            SELECT a, b FROM d
+            WHERE bit_count(xo) <= 8
+              AND ((xo & 65535) = 0 OR (xo & 4294901760) = 0
+                   OR (xo & 281470681743360) = 0
+                   OR (xo & -281474976710656) = 0)
+        ), edges AS (
+            SELECT a AS u, b AS v FROM qpairs
+            UNION ALL SELECT b, a FROM qpairs
+        ), reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), reps AS (
+            SELECT u AS node, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u
+        ), kept AS (
+            SELECT i.image_id, md5(hex(i.bytes)) AS cdig
+            FROM imgs i LEFT JOIN reps p ON p.node = i.image_id
+            WHERE COALESCE(p.rep, i.image_id) = i.image_id
+              AND NOT i.q_low_contrast AND NOT i.q_bad_exposure
+              AND {_caption_ok_sql.replace('caption', 'i.caption')}
+              AND i.exp_clip_score >= {multimodal.CLIP_KEEP_MIN}
+        )
+        SELECT CAST(('0x' || substr(md5(image_id), 1, 8)) AS BIGINT)
+                   % {export.DEFAULT_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(bit_xor(
+                   CAST(('0x' || substr(md5(image_id || ':' || cdig),
+                                        1, 16)) AS UBIGINT)
+                   & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+                   AS fingerprint
+        FROM kept GROUP BY 1 ORDER BY 1
+        """,
+    )
 
     # The round driver attests exactly the first 50 registry entries against
     # their DuckDB oracles (CORRECTNESS_r*.json), so order matters: slots 1-50
@@ -2965,9 +3180,14 @@ def build_registry() -> dict[str, tuple]:
         "lang_id", "corpus_stats", "approx_distinct_users",
         "approx_daily_active_users", "winnowed_fingerprints",
         "image_keeplist", "image_size_filter", "image_aspect_buckets",
-        "image_decode_check", "source_balanced_sample", "dataset_mixture",
-        "image_phash_near_dups", "image_caption_stats", "image_exact_dedup",
-        "image_shard_pack", "image_curation",
+        # the seven r5 fixed-gemm / symbolic-replay graduates (never
+        # driver-checked) displace seven entries already driver-green in
+        # r1-r4 (image_decode_check, source_balanced_sample,
+        # dataset_mixture, image_phash_near_dups, image_caption_stats,
+        # image_exact_dedup, image_shard_pack)
+        "image_embeddings", "image_caption_alignment", "image_curation_full",
+        "image_ann_topk", "caption_to_image_topk", "curated_image_release",
+        "compact_pages", "image_curation",
         # never-driver-attested r5 additions displace eleven r4-green
         # fillers (gopher_quality_flags, pii_scrub_stats, chunk_documents,
         # eval_decontaminate, bpe_train, jaccard_clusters, bm25_topk,

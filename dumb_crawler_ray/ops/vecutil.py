@@ -32,3 +32,47 @@ def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+# ------------------------------------------------------- fixed-shape gemm
+#
+# BLAS picks its blocking (= the float summation order) by MATRIX SHAPE,
+# so the same row matmul'd in a 3-row batch and a 200-row batch can differ
+# in the last ulp — which is exactly what made every embedding-consuming
+# op batch-shape-dependent (and therefore rows-only for the driver's SQL
+# oracle: a Ray pipeline's batch boundaries are not deterministic).
+# Padding every gemm call to ONE fixed row count makes every call the
+# same shape → same kernel → same per-row summation order, so row i's
+# result depends only on row i's data: bit-identical at any batch size,
+# partition count, or BLAS thread count (verified in
+# tests/test_codec.py::test_fixed_gemm_batch_independence; OpenBLAS
+# splits threads over output columns, never the k reduction, at these
+# shapes). The padding cost is ≤ GEMM_ROWS−1 zero rows per call — noise
+# next to the decode that feeds these matmuls.
+
+GEMM_ROWS = 64
+
+
+def fixed_gemm(a: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """`a @ w` computed in fixed (GEMM_ROWS, k) @ (k, n) chunks so each
+    row's float result is independent of len(a). dtype follows BLAS
+    promotion of the inputs (use float32 in, float32 out)."""
+    m = a.shape[0]
+    out = np.empty((m, w.shape[1]), dtype=np.result_type(a, w))
+    buf = np.zeros((GEMM_ROWS, a.shape[1]), dtype=a.dtype)
+    for s in range(0, m, GEMM_ROWS):
+        c = min(GEMM_ROWS, m - s)
+        buf[:c] = a[s:s + c]
+        if c < GEMM_ROWS:
+            buf[c:] = 0
+        out[s:s + c] = (buf @ w)[:c]
+    return out
+
+
+def fixed_sims(qm: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Cosine/dot similarity block `qm @ mat.T` with the corpus side
+    chunked to the fixed gemm shape: sims[q, i] is bit-identical no
+    matter how `mat`'s rows were batched across blocks — the property
+    that lets brute-force top-k ops pin their candidate sets (and their
+    stored-pact oracles) under any partitioning."""
+    return fixed_gemm(mat, np.ascontiguousarray(qm.T)).T

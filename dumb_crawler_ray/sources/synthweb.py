@@ -109,6 +109,10 @@ def source_caption(seed: int, idx: int) -> str:
 
 
 def gen_images(seed: int, scale: int) -> pa.Table:
+    return gen_images_and_pacts(seed, scale)[0]
+
+
+def gen_images_and_pacts(seed: int, scale: int) -> tuple[pa.Table, pa.Table]:
     # build-time expected values for the stored-pixel pact (same as the
     # stored phash: derived from the DECODED pixels at fixture build, so
     # the distributed pipelines must reproduce them from `bytes` alone):
@@ -116,18 +120,38 @@ def gen_images(seed: int, scale: int) -> pa.Table:
     # digests; lazy import — ops depends on sources, not vice versa
     import hashlib
 
-    from ..ops.multimodal import (ImageAestheticWorker, ImageQualityWorker,
+    from ..ops.multimodal import (CaptionEmbedWorker, ImageAestheticWorker,
+                                  ImageQualityWorker,
                                   assign_aspect_buckets, ASPECT_LADDER,
                                   block_mean_resize)
+    from ..ops.vecutil import GEMM_ROWS
 
     scorer = ImageAestheticWorker()
     quality = ImageQualityWorker()
+    cap_tower = CaptionEmbedWorker()
     n = n_images(scale)
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
-    aesthetics = []
     q_mean, q_rms, q_grad, q_lc, q_bad = [], [], [], [], []
-    mean_px, std_px, thumb_dig, emb_dig, thumb_png = [], [], [], [], []
+    mean_px, std_px, thumb_dig, thumb_png = [], [], [], []
     bkt_id, bkt_tw, bkt_th, bkt_nb, bkt_dig = [], [], [], [], []
+    # embed-dependent pact columns flush in GEMM_ROWS chunks: embed_pixels
+    # is batch-shape-independent (fixed_gemm), so chunked build-time
+    # embeds are bit-identical to whatever batching the pipelines use —
+    # and the build stops paying a padded 64-row gemm per single image
+    emb_dig, aesthetics = [], []
+    img_embs: list[np.ndarray] = []
+    _pending: list[np.ndarray] = []
+
+    def _flush_embeds():
+        if not _pending:
+            return
+        embs = scorer.embed.embed_pixels(_pending)
+        img_embs.extend(embs)
+        emb_dig.extend(hashlib.md5(e.astype(np.float32).tobytes()).hexdigest()
+                       for e in embs)
+        aesthetics.extend(float(s) for s in scorer.score_from_emb(embs))
+        _pending.clear()
+
     for idx in range(n):
         w, h = image_dims(idx)
         fmt = image_fmt(idx)
@@ -140,13 +164,12 @@ def gen_images(seed: int, scale: int) -> pa.Table:
         fmts.append(fmt)
         captions.append(source_caption(seed, idx))
         # stored expected values are of the *decoded* pixels so they
-        # match `bytes` (ONE decode + ONE per-row embed feed everything)
+        # match `bytes` (ONE decode + ONE chunked embed feed everything)
         decoded = codec.decode(data)
         phashes.append(codec.phash64(decoded))
-        emb_row = scorer.embed.embed_pixels([decoded])
-        aesthetics.append(float(scorer.score_from_emb(emb_row)[0]))
-        emb_dig.append(hashlib.md5(
-            emb_row[0].astype(np.float32).tobytes()).hexdigest())
+        _pending.append(decoded)
+        if len(_pending) == GEMM_ROWS:
+            _flush_embeds()
         m, rms, g, lc, bad = quality.metrics(decoded)
         q_mean.append(m)
         q_rms.append(rms)
@@ -167,7 +190,20 @@ def gen_images(seed: int, scale: int) -> pa.Table:
         bkt_th.append(th)
         bkt_nb.append(len(bucket_png))
         bkt_dig.append(hashlib.md5(bucket_png).hexdigest())
-    return pa.table(
+    _flush_embeds()
+    # exp_clip_score: the CLIP-style image↔caption cosine the alignment /
+    # full-curation pipelines must reproduce from (bytes, caption) alone —
+    # EXACTLY their arithmetic: float32 tower rows → float64 via the Arrow
+    # list round-trip semantics (float32 values widen exactly) → the same
+    # rounded-4 einsum row dot (`ops/multimodal.py` merge)
+    cap_embs = cap_tower.embed_captions(captions)
+    a64 = (np.stack(img_embs).astype(np.float32).astype(np.float64)
+           if img_embs else np.empty((0, 1)))
+    c64 = cap_embs.astype(np.float64)
+    clip_scores = (np.round(np.einsum("ij,ij->i", a64, c64), 4)
+                   if len(a64) else np.empty(0))
+    topk = _gen_topk_pacts(ids, img_embs, cap_embs)
+    imgs = pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
             "bytes": pa.array(blobs, pa.binary()),
@@ -192,8 +228,62 @@ def gen_images(seed: int, scale: int) -> pa.Table:
             "exp_target_h": pa.array(bkt_th, pa.int64()),
             "exp_bucket_png_bytes": pa.array(bkt_nb, pa.int64()),
             "exp_bucket_digest": pa.array(bkt_dig, pa.string()),
+            "exp_clip_score": pa.array(clip_scores.tolist(), pa.float64()),
         }
     )
+    return imgs, topk
+
+
+def _gen_topk_pacts(ids: list[str], img_embs: list[np.ndarray],
+                    cap_embs: np.ndarray) -> pa.Table:
+    """Build-time replay of the cross-modal brute-force top-k ops —
+    EXACTLY `ops/multimodal.py`'s arithmetic (fixed_sims chunked gemm,
+    pinned (-sim, neighbor_id) tie-break, rounded-4 float64 sims), so
+    the stored answers are bit-identical to the distributed pipelines'
+    at any partitioning. Two op families share the table, keyed by the
+    `op` column:
+      - 'image_ann'        ≡ image_ann_topk(n_queries=16, k=5)
+        (image-tower queries vs image tower, self excluded, float32 sims
+        — 16 matches the registry wrapper, which widens the query set so
+        the planted near-dup pair lands in it)
+      - 'caption_to_image' ≡ caption_to_image_topk(n_queries=16, k=5)
+        (caption-tower queries vs image tower, self kept, float64 sims)
+    """
+    from ..ops.vecutil import fixed_sims
+
+    out_op, out_q, out_r, out_n, out_s = [], [], [], [], []
+    if img_embs:
+        vids = np.asarray(ids, dtype=object)
+        e32 = np.stack(img_embs).astype(np.float32)
+        order = np.argsort(vids)
+
+        def topk_into(op: str, qids, sims, k: int, exclude_self: bool):
+            for qi, qid in enumerate(qids):
+                s = sims[qi].astype(np.float64)
+                mask = (vids != qid) if exclude_self \
+                    else np.ones(len(vids), dtype=bool)
+                sel = np.lexsort((vids[mask], -s[mask]))[:k]
+                for r, j in enumerate(sel, start=1):
+                    out_op.append(op)
+                    out_q.append(str(qid))
+                    out_r.append(r)
+                    out_n.append(str(vids[mask][j]))
+                    out_s.append(round(float(s[mask][j]), 4))
+
+        q_idx = order[:16]
+        topk_into("image_ann", vids[q_idx],
+                  fixed_sims(e32[q_idx], e32), k=5, exclude_self=True)
+        e64 = e32.astype(np.float64)
+        c_idx = order[:16]
+        topk_into("caption_to_image", vids[c_idx],
+                  fixed_sims(cap_embs[c_idx].astype(np.float64), e64),
+                  k=5, exclude_self=False)
+    return pa.table(
+        {"op": pa.array(out_op, pa.string()),
+         "query_id": pa.array(out_q, pa.string()),
+         "rank": pa.array(out_r, pa.int64()),
+         "neighbor_id": pa.array(out_n, pa.string()),
+         "sim": pa.array(out_s, pa.float64())})
 
 
 # ------------------------------------------------------------------- pages
@@ -433,7 +523,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
 
     out = Path(out_dir)
     meta = out / "meta.json"
-    want = {"seed": seed, "scale": scale, "version": 11}
+    want = {"seed": seed, "scale": scale, "version": 12}
     if meta.exists() and json.loads(meta.read_text()) == want:
         return out
     out.mkdir(parents=True, exist_ok=True)
@@ -443,7 +533,7 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
     # the read genuine parallelism and model the partitioned layout a
     # 100 TB ingest would use. Small row groups keep lazy per-row-group
     # loads cheap for fetch actors without the broadcast table.
-    imgs = gen_images(seed, scale)
+    imgs, topk = gen_images_and_pacts(seed, scale)
     img_dir = out / "images.parquet"
     if img_dir.exists() and img_dir.is_file():
         img_dir.unlink()
@@ -456,6 +546,10 @@ def write_fixture(out_dir: str | Path, seed: int = 42, scale: int = 1) -> Path:
         pq.write_table(imgs.slice(off, step), img_dir / f"part-{i:04d}.parquet",
                        row_group_size=256)
     pq.write_table(gen_pages(seed, scale), out / "pages.parquet")
+    # stored-answer pact for the cross-modal brute-force top-k ops (the
+    # media-family pattern: build-time replay of the exact op arithmetic,
+    # unnested by the SQL oracle)
+    pq.write_table(topk, out / "topk.parquet")
     (out / "config.json").write_text(json.dumps(DEFAULT_CONFIG, indent=2))
     meta.write_text(json.dumps(want))
     return out
