@@ -161,14 +161,32 @@ class CrawlPipeline:
 
     def _start_shards(self):
         Actor = make_frontier_actor().options(**remote_kwargs())
-        # fetcher.mode=http + respect_robots → shards fetch real per-domain
-        # /robots.txt through the same HttpWeb transport config as fetch
+        # fetcher.mode=http + respect_robots → robots goes through a
+        # shared domain-hashed RobotsCacheActor pool (same HttpWeb
+        # transport config as fetch): each domain's /robots.txt is
+        # fetched from the network ONCE PER CRAWL globally — hot-domain
+        # salting spreads a domain's candidates over several shards, and
+        # per-shard fetches would both multiply requests and risk
+        # DIVERGENT verdicts within one crawl if the server flapped.
+        # Leaf actors (they never call shards), so no wait cycles.
         robots_cfg = (self.cfg.raw
                       if self.cfg.respect_robots
                       and self.cfg.fetcher_mode == "http" else None)
+        self.robots_pool = None
+        if robots_cfg is not None:
+            from ..sources.robots import make_robots_cache_actor
+
+            RobotsActor = make_robots_cache_actor().options(**remote_kwargs())
+            # pool sized well below the shard count: one fetch per domain
+            # per crawl is cheap; the pool only needs enough actors that
+            # first-contact bursts don't serialize behind one mailbox
+            self.robots_pool = [
+                RobotsActor.remote(robots_cfg)
+                for _ in range(max(1, self.n_shards // 8))
+            ]
         self.shards = [
             Actor.remote(i, self.cfg.respect_robots,
-                         robots_http_config=robots_cfg,
+                         robots_pool=self.robots_pool,
                          # production scale (no result lists): terminal
                          # records demote to packed status+attempt —
                          # per-shard RAM stops growing with crawl history

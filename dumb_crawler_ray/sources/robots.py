@@ -167,3 +167,94 @@ class RobotsFetcher:
             return [], 0.0, False  # 4xx → allow all (permanent)
         rules, delay = parse_robots_full(resp.html, self.web.user_agent)
         return rules, delay, False
+
+
+class CachingRobotsFetcher:
+    """`RobotsFetcher` + the once-per-crawl per-domain cache (permanent
+    verdicts cached forever, transient 5xx/unreachable verdicts aged out
+    after `TRANSIENT_TTL_S`). This is the cache the frontier shards keep
+    locally — hoisted here so a Ray actor can own ONE instance for the
+    whole crawl (`make_robots_cache_actor`): with hot-domain salting a
+    domain's candidates land on several shards, and per-shard caches
+    mean per-shard network fetches (and, if the server flaps between
+    them, DIVERGENT rules applied within one crawl). A shared cache
+    fetches each domain's robots.txt from the network exactly once per
+    crawl and every shard applies the same verdict."""
+
+    def __init__(self, web: HttpWeb):
+        self.fetcher = RobotsFetcher(web)
+        self.cache: dict[str, tuple[list[str], float, bool]] = {}
+        self._expiry: dict[str, float] = {}
+        self.network_fetches = 0
+
+    def fetch_rules_full(self, domain: str,
+                         scheme: str = "http") -> tuple[list[str], float, bool]:
+        import time as _time
+
+        now = _time.monotonic()
+        entry = self.cache.get(domain)
+        if entry is not None and domain in self._expiry \
+                and now >= self._expiry[domain]:
+            del self.cache[domain]
+            del self._expiry[domain]
+            entry = None
+        if entry is None:
+            self.network_fetches += 1
+            entry = self.fetcher.fetch_rules_full(domain, scheme)
+            self.cache[domain] = entry
+            if entry[2]:  # transient → re-consult after the TTL
+                self._expiry[domain] = now + TRANSIENT_TTL_S
+        return entry
+
+    def stats(self) -> dict:
+        return {"network_fetches": self.network_fetches,
+                "domains_cached": len(self.cache)}
+
+
+def make_robots_cache_actor():
+    """Ray actor wrapping `CachingRobotsFetcher` (lazy so the module
+    imports without Ray). One small domain-hashed pool of these per
+    crawl serves every frontier shard; the actors are LEAVES (they never
+    call back into shards), so shard→robots waits can never cycle."""
+    import ray
+
+    @ray.remote
+    class RobotsCacheActor:
+        def __init__(self, raw_config: dict):
+            from ..config import JobConfig
+
+            self.cache = CachingRobotsFetcher(
+                HttpWeb.from_config(JobConfig(raw_config)))
+
+        def fetch_rules_full(self, domain: str, scheme: str = "http"):
+            return self.cache.fetch_rules_full(domain, scheme)
+
+        def stats(self) -> dict:
+            return self.cache.stats()
+
+    return RobotsCacheActor
+
+
+class PooledRobotsFetcher:
+    """Shard-side robots seam: routes each domain to its home
+    `RobotsCacheActor` (stable hash64(domain) % pool size), so robots is
+    fetched from the network ONCE PER CRAWL GLOBALLY — regardless of how
+    hot-domain salting spreads a domain over frontier shards — and every
+    shard applies the identical verdict. Same `fetch_rules_full`
+    signature as `RobotsFetcher`, so `FrontierShardState` is agnostic;
+    the shard's local cache still fronts this (one remote get per domain
+    per shard, then memory)."""
+
+    def __init__(self, handles: list):
+        self.handles = handles
+
+    def fetch_rules_full(self, domain: str,
+                         scheme: str = "http") -> tuple[list[str], float, bool]:
+        import ray
+
+        from ..functions.urlhash import hash64
+
+        h = self.handles[hash64(domain) % len(self.handles)]
+        rules, delay, transient = ray.get(
+            h.fetch_rules_full.remote(domain, scheme))
+        return list(rules), float(delay), bool(transient)

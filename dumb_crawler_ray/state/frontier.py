@@ -133,10 +133,12 @@ class FrontierShardState:
     def _robots_entry(self, domain: str,
                       url: str | None = None) -> tuple[list[str], float]:
         """(Disallow prefixes, Crawl-delay seconds) for `domain`, cached
-        per shard (domains are shard-local by the partitioning key, so
-        each domain's robots is fetched ONCE per crawl). Scheme for the
-        live fetch comes from the first candidate url seen for the
-        domain."""
+        per shard. In pooled http mode (PooledRobotsFetcher) a cache
+        miss asks the domain's shared RobotsCacheActor, so the NETWORK
+        sees one fetch per domain per crawl even when hot-domain salting
+        spreads the domain over several shards — the per-shard cache
+        here just avoids repeat remote gets. Scheme for the live fetch
+        comes from the first candidate url seen for the domain."""
         import time as _time
 
         entry = self.robots_cache.get(domain)
@@ -626,13 +628,21 @@ def make_frontier_actor():
         def __init__(self, shard_id: int, respect_robots: bool,
                      seen_capacity: int = 1 << 16,
                      robots_http_config: dict | None = None,
-                     compact_terminal: bool = False):
-            # robots_http_config: the raw job config when fetcher.mode is
-            # "http" AND respect_robots — the shard then fetches real
-            # per-domain /robots.txt through an HttpWeb built HERE (the
-            # transport is actor-local state, never serialized)
+                     compact_terminal: bool = False,
+                     robots_pool: list | None = None):
+            # robots_pool: handles to the crawl's shared RobotsCacheActor
+            # pool (http mode) — each domain's robots.txt is fetched from
+            # the network ONCE PER CRAWL globally and every shard applies
+            # the same verdict, even for hot domains salted over several
+            # shards. robots_http_config (actor-local HttpWeb, per-shard
+            # fetches) remains as the no-pool fallback for direct
+            # construction in tests.
             fetcher = None
-            if robots_http_config is not None:
+            if robots_pool is not None:
+                from ..sources.robots import PooledRobotsFetcher
+
+                fetcher = PooledRobotsFetcher(robots_pool)
+            elif robots_http_config is not None:
                 from ..config import JobConfig
                 from ..sources.httpweb import HttpWeb
                 from ..sources.robots import RobotsFetcher

@@ -402,3 +402,79 @@ def test_http_mode_pipeline_wires_real_robots(ray_session, tmp_path):
     pipe2._start_shards()
     pipe2.inject_seeds()
     assert pipe2.counters["ROBOTS_DENIED_URLS"] == 1
+
+
+def test_caching_fetcher_unit(monkeypatch):
+    """CachingRobotsFetcher: one network fetch per domain (permanent
+    verdicts), transient verdicts re-consulted after the TTL."""
+    from dumb_crawler_ray.sources import robots as R
+
+    calls = []
+
+    class FakeFetcher:
+        def fetch_rules_full(self, domain, scheme="http"):
+            calls.append(domain)
+            if domain == "down.test":
+                return ["/"], 0.0, True
+            return ["/private/"], 1.0, False
+
+    c = R.CachingRobotsFetcher.__new__(R.CachingRobotsFetcher)
+    c.fetcher = FakeFetcher()
+    c.cache, c._expiry, c.network_fetches = {}, {}, 0
+    for _ in range(3):
+        assert c.fetch_rules_full("ok.test") == (["/private/"], 1.0, False)
+    assert calls == ["ok.test"]
+    # transient: cached until the TTL, then re-consulted
+    assert c.fetch_rules_full("down.test")[2] is True
+    assert c.fetch_rules_full("down.test")[2] is True
+    assert calls == ["ok.test", "down.test"]
+    c._expiry["down.test"] = -1.0  # age it out
+    c.fetch_rules_full("down.test")
+    assert calls == ["ok.test", "down.test", "down.test"]
+
+
+def test_robots_pool_fetches_once_per_domain_across_shards(ray_session,
+                                                           tmp_path):
+    """The r5 global fetch-once guarantee: with hot-domain salting a
+    domain's candidates land on SEVERAL frontier shards; the shared
+    RobotsCacheActor pool must still hit the network exactly once per
+    domain (sandbox network → every fetch is a transport error, counted
+    by the actor), and every shard must apply the same verdict."""
+    import copy
+
+    import ray
+
+    from dumb_crawler_ray.pipelines.crawl import CrawlPipeline
+    from dumb_crawler_ray.sources.synthweb import DEFAULT_CONFIG, domains_for
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["fetcher"] = {"mode": "http"}
+    cfg["politeness"]["respect_robots"] = True
+    hot = domains_for(4)[0]
+    pipe = CrawlPipeline(str(tmp_path), cfg, seed=1, scale=4, n_shards=4)
+    pipe._start_shards()
+    assert pipe.robots_pool is not None
+    # candidates for the HOT domain spread over all 4 shards (salted by
+    # url_hash), plus one cold domain on its home shard
+    cold = domains_for(4)[1]
+    urls = [f"https://{hot}/article/px{i:06d}-{900000 + i}"
+            for i in range(64)] + [f"https://{cold}/article/pc-777777"]
+    import pyarrow as pa
+
+    from dumb_crawler_ray.functions.urlhash import UrlHasher
+    hasher = UrlHasher(cfg["idExtractorPattern"])
+    cand = pa.table(
+        {"url": pa.array(urls, pa.string()),
+         "url_hash": pa.array([hasher.hash_url(u) for u in urls],
+                              pa.string()),
+         "domain": pa.array([u.split("/")[2] for u in urls], pa.string()),
+         "tags": pa.array(["article"] * len(urls), pa.string()),
+         "priority": pa.array([10] * len(urls), pa.int64())})
+    pipe._insert_candidates(cand)
+    # every shard holding hot-domain candidates consulted robots, but the
+    # NETWORK (the pool) saw exactly one fetch per distinct domain
+    stats = [ray.get(a.stats.remote()) for a in pipe.robots_pool]
+    total_fetches = sum(s["network_fetches"] for s in stats)
+    total_domains = sum(s["domains_cached"] for s in stats)
+    assert total_domains == 2  # hot + cold
+    assert total_fetches == 2
