@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..rayutil import remote_kwargs
-from .vecutil import embedding_matrix, normalize_rows as _normalize
+from .vecutil import embedding_matrix, fixed_gemm, fixed_sims, normalize_rows as _normalize
 
 SIM_DECIMALS = 4  # round similarities so float noise can't flip value hashes
 
@@ -89,7 +89,9 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
         ids_q, qn = ray.get(q_ref)
         vids = t.column("vec_id").to_numpy()
         mat = _normalize(embedding_matrix(t.column("embedding")))
-        sims = qn @ mat.T  # (n_queries, batch)
+        # fixed-shape chunked sims: bit-identical per (query, vector) at
+        # any block split (vecutil.fixed_sims contract)
+        sims = fixed_sims(qn, mat)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])
         for qi in range(len(ids_q)):
@@ -170,7 +172,8 @@ def _train_centroids_over(ds, cent: np.ndarray, iters: int) -> np.ndarray:
         def partial_sums(t: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
             mat = _normalize(embedding_matrix(t.column("embedding")))
-            assign = np.argmax(mat @ c.T, axis=1)
+            assign = np.argmax(fixed_gemm(mat, np.ascontiguousarray(c.T)),
+                               axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, mat)
             counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
@@ -229,7 +232,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     def assign_out(t: pa.Table) -> pa.Table:
         c = ray.get(final_ref)
         mat = _normalize(embedding_matrix(t.column("embedding")))
-        sims = mat @ c.T
+        sims = fixed_gemm(mat, np.ascontiguousarray(c.T))
         assign = np.argmax(sims, axis=1)
         return pa.table(
             {
@@ -287,7 +290,8 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
         ids_q, qn, cent, probe = ray.get(ctx_ref)
         vids = t.column("vec_id").to_numpy()
         mat = _normalize(embedding_matrix(t.column("embedding")))
-        cells = np.argmax(mat @ cent.T, axis=1)
+        cells = np.argmax(fixed_gemm(mat, np.ascontiguousarray(cent.T)),
+                          axis=1)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(ids_q)):
             mask = np.isin(cells, probe[qi])
@@ -385,7 +389,7 @@ def filtered_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         vids = vids[sel]
         ids_q, qn = ray.get(q_ref)
         mat = _normalize(embedding_matrix(sub.column("embedding")))
-        sims = qn @ mat.T
+        sims = fixed_sims(qn, mat)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])
         for qi in range(len(ids_q)):
@@ -489,7 +493,8 @@ def _ivfpq_encode(sf_dir: str, coarse: np.ndarray, books: np.ndarray,
     def encode(t: pa.Table) -> pa.Table:
         coarse, books = ray.get(train_ref)
         mat = _normalize(embedding_matrix(t.column("embedding")))
-        cells = np.argmax(mat @ coarse.T, axis=1).astype(np.int64)
+        cells = np.argmax(fixed_gemm(mat, np.ascontiguousarray(coarse.T)),
+                          axis=1).astype(np.int64)
         codes = np.empty((len(mat), len(books)), dtype=np.uint8)
         for m in range(len(books)):
             seg = mat[:, m * sub:(m + 1) * sub]
@@ -567,7 +572,7 @@ def _ivfpq_search(codes_ds, sf_dir: str, qids: np.ndarray, qn: np.ndarray,
         .iter_batches(batch_format="pyarrow", batch_size=None))
     gids = got.column("vec_id").to_numpy()
     gmat = _normalize(embedding_matrix(got.column("embedding")))
-    sims = qn @ gmat.T  # (n_queries, candidates)
+    sims = fixed_sims(qn, gmat)  # (n_queries, candidates)
     cq = cand.column("query_id").to_numpy()
     cn = cand.column("neighbor_id").to_numpy()
     order = np.argsort(gids)
@@ -792,7 +797,8 @@ def semantic_dedup(sf_dir: str, k: int | None = 8, threshold: float = 0.9,
                 t = pa.concat_tables([t, dup])
         c = ray.get(cent_ref)
         mat = _normalize(embedding_matrix(t.column("embedding")))
-        cluster = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        cluster = np.argmax(fixed_gemm(mat, np.ascontiguousarray(c.T)),
+                            axis=1).astype(np.int64)
         return pa.table({"vec_id": t.column("vec_id"),
                          "cluster": pa.array(cluster, pa.int64()),
                          "embedding": t.column("embedding")})

@@ -983,7 +983,9 @@ def image_semantic_dedup(images_parquet: str, k: int | None = 8,
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         mat = _normalize(embedding_matrix(t.column("embedding")))
-        cluster = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        from .vecutil import fixed_gemm
+        cluster = np.argmax(fixed_gemm(mat, np.ascontiguousarray(c.T)),
+                            axis=1).astype(np.int64)
         return pa.table({"image_id": t.column("image_id"),
                          "cluster": pa.array(cluster, pa.int64()),
                          "embedding": t.column("embedding")})
