@@ -113,11 +113,24 @@ def _image_store_paths(fixture_dir: str) -> list[str]:
     return [root] if os.path.exists(root) else []
 
 
+# what the crawl actually consumes from the image store: validation
+# (image_id/bytes/caption) + the stored-image fragment row (IMAGES_SCHEMA
+# payload columns). The test fixture carries 14 additional stored-pact
+# columns for the registry oracles — a store read that shipped those into
+# every broadcast shard would pay object-store space and per-row as_py()
+# conversion for columns the crawl never looks at.
+IMAGE_STORE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption",
+                       "phash"]
+
+
 def load_image_rowgroup(path: str, rg: int) -> pa.Table:
     """Shard loader for the distributed image store — runs as a Ray task
     (the DRIVER never reads image bytes; workers read their shard and the
-    task's return ref IS the broadcast handle)."""
-    return pq.ParquetFile(path).read_row_group(rg)
+    task's return ref IS the broadcast handle). Column-pruned: only the
+    payload columns the crawl consumes leave storage."""
+    f = pq.ParquetFile(path)
+    cols = [c for c in IMAGE_STORE_COLUMNS if c in f.schema_arrow.names]
+    return f.read_row_group(rg, columns=cols)
 
 
 class FetchWorker:
@@ -231,8 +244,7 @@ class FetchWorker:
         for j in missing:
             if self._img_shards[j][0] != "ref":
                 path, rg = self._img_shards[j][1]
-                self._cache_shard_table(
-                    j, pq.ParquetFile(path).read_row_group(rg))
+                self._cache_shard_table(j, load_image_rowgroup(path, rg))
 
     def _candidate_shards(self, iid: str):
         """Interval stabbing over the sorted (lo, hi) shard ranges: with
