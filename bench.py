@@ -403,6 +403,18 @@ def _write_bench_md(report: dict) -> None:
     os.makedirs(os.path.join(os.path.dirname(__file__) or ".", "BENCH"),
                 exist_ok=True)
     path = os.path.join(os.path.dirname(__file__) or ".", "BENCH", "BASELINE.md")
+    # everything below the marker is curated by hand (certified best runs,
+    # per-session noise context, triage pointers) — a fresh --scaling run
+    # must never erase it; only the template ABOVE the marker (this run's
+    # numbers) is regenerated
+    marker = "<!-- NOTES — preserved across --scaling runs -->"
+    notes = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            notes = prev[prev.index(marker):]
+    if not notes:
+        notes = marker + "\n"
     n, f4 = report["detail"]["N"], report["detail"]["4N"]
     with open(path, "w") as fh:
         fh.write(f"""# BENCH — measured scaling (sandbox N vs 4N CPUs)
@@ -438,7 +450,9 @@ Reference baseline: the original publishes no numbers; its design ceiling
 is `threadCount / fetch_latency` ≈ single-digit URLs/s at default
 threadCount=3 (BASELINE.md). Identical crawl order and URL-seen set vs the
 oracle are enforced by the conformance suite at any parallelism.
+
 """)
+        fh.write(notes)
 
 
 def _write_last_json(report: dict, name: str = "LAST.json") -> str:
