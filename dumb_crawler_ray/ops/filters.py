@@ -1263,3 +1263,245 @@ def bigram_lm_scores(sf_dir: str, n_partitions: int | None = None):
         .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
         .sort("doc_id")
     )
+
+
+# ----------------------------------- exact substring dedup (span removal)
+
+def substring_dedup(sf_dir: str, n_partitions: int | None = None):
+    """Exact cross-document substring REMOVAL (the action
+    `duplicated_text_share` measures — Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every `DUP_K`-token
+    gram that occurs in ≥2 distinct documents is a duplicated span; all
+    token positions covered by any duplicated span are removed from
+    EVERY document holding them (the symmetric variant — keep-one-copy
+    is this op composed with a dedup keep-list). Output per doc:
+    `n_tokens`, `n_removed` (covered positions), and `dedup_text` — the
+    surviving tokens space-joined in original order (the canonical
+    lowercase tokenization; byte-exact surface reconstruction is a
+    presentation concern, not a dedup one).
+
+    Shape (two keyed exchanges, text shuffled ONCE, grams never):
+    explode one (gram-hash, doc, positions:list<int32>) row per DISTINCT
+    gram per doc → repartition on the hash co-locates every doc holding
+    a gram → block-local segment scan keeps rows whose segment spans ≥2
+    docs (the duplicated spans, with their positions) → union with the
+    docs table and ONE repartition on doc_id co-locates each doc's text
+    with its duplicated-position lists → block-local coverage mask
+    (difference-array cumsum) rebuilds the kept text. Shuffle payload is
+    one int32 per gram position plus each doc's text once — never gram
+    strings, never pairwise work."""
+    import ray
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_numpy()
+        sh_parts, id_parts, pos_vals, pos_offs = [], [], [], [0]
+        for doc_id, text_ in zip(doc_ids, t.column("text").to_pylist()):
+            toks = re.findall(TOKEN_REGEX, text_.lower())
+            n = len(toks) - DUP_K + 1
+            if n <= 0:
+                continue
+            grams = [" ".join(toks[i:i + DUP_K]) for i in range(n)]
+            hashed = (_stable64_batch(grams)
+                      & np.uint64((1 << 63) - 1)).astype(np.int64)
+            order = np.argsort(hashed, kind="stable").astype(np.int32)
+            hs = hashed[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(hs[1:] != hs[:-1]) + 1, [n]])
+            sh_parts.append(hs[starts[:-1]])
+            id_parts.append(np.full(len(starts) - 1, doc_id, np.int64))
+            pos_vals.append(order)
+            base = pos_offs[-1]
+            pos_offs.extend(int(base + s) for s in starts[1:])
+        sh = (np.concatenate(sh_parts) if sh_parts
+              else np.empty(0, np.int64))
+        ids = (np.concatenate(id_parts) if id_parts
+               else np.empty(0, np.int64))
+        vals = (np.concatenate(pos_vals) if pos_vals
+                else np.empty(0, np.int32))
+        pos = pa.ListArray.from_arrays(
+            pa.array(pos_offs, pa.int32()), pa.array(vals, pa.int32()))
+        return pa.table({"sh": pa.array(sh, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "pos": pos})
+
+    def dup_rows(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "pos": pa.array([], pa.list_(pa.int32()))})
+        sh = b.column("sh").to_numpy()
+        uk, inv, counts = np.unique(sh, return_inverse=True,
+                                    return_counts=True)
+        keep = counts[inv] >= 2  # rows are per-doc-distinct ⇒ ≥2 docs
+        kept = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": kept.column("doc_id"),
+            "text": pa.nulls(len(kept), pa.string()),
+            "pos": kept.column("pos").combine_chunks().cast(
+                pa.list_(pa.int32()))})
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "text": t.column("text").cast(pa.string()),
+            "pos": pa.nulls(len(t), pa.list_(pa.int32()))})
+
+    def apply(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        poss = b.column("pos").to_pylist()
+        txt, dp = {}, {}
+        for d, tx, p in zip(ids, texts, poss):
+            if tx is not None:
+                txt[d] = tx
+            if p:
+                dp.setdefault(d, []).extend(p)
+        out_id, out_nt, out_nr, out_txt = [], [], [], []
+        for d in sorted(txt):
+            toks = re.findall(TOKEN_REGEX, txt[d].lower())
+            n = len(toks)
+            starts = np.asarray(dp.get(d, ()), dtype=np.int64)
+            cov = np.zeros(n + 1, dtype=np.int64)
+            if len(starts):
+                np.add.at(cov, starts, 1)
+                np.add.at(cov, np.minimum(starts + DUP_K, n), -1)
+            covered = np.cumsum(cov[:n]) > 0
+            out_id.append(d)
+            out_nt.append(n)
+            out_nr.append(int(covered.sum()))
+            out_txt.append(" ".join(
+                t_ for t_, c in zip(toks, covered) if not c))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_tokens": pa.array(out_nt, pa.int64()),
+                         "n_removed": pa.array(out_nr, pa.int64()),
+                         "dedup_text": pa.array(out_txt, pa.string())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        dup = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow", **remote_kwargs())
+            .repartition(n_partitions, keys=["sh"])
+            .map_batches(dup_rows, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+        )
+        base = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            doc_side, batch_format="pyarrow", **remote_kwargs())
+        applied = (
+            base.union(dup)
+            .repartition(n_partitions, keys=["doc_id"])
+            .map_batches(apply, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    import ray as _ray
+
+    return _ray.data.from_arrow_refs(
+        list(applied.to_arrow_refs())).sort("doc_id")
+
+
+# --------------------------------- DSIR-style importance weights (mixture)
+
+DSIR_BUCKETS = 64
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(sf_dir: str):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    in fixed-point integer arithmetic: hashed-bigram bucket counts give a
+    target distribution (docs with `lang == DSIR_TARGET_LANG`) and a raw
+    distribution (all docs); each bucket earns an integer likelihood-
+    ratio score `s[b] = (SCALE·(tgt[b]+1)·(R+B)) // ((raw[b]+1)·(T+B))`
+    (add-one smoothed, SCALE-fixed-point, floor division), and each doc's
+    importance weight is the sum of its bigram buckets' scores (with
+    multiplicity). `kept` gates weight above the neutral line
+    `SCALE · n_bigrams` — "looks more target-like than the corpus
+    average". True DSIR samples ∝ weight; the weight column is that
+    sampler's input, the gate is its deterministic stand-in.
+
+    Scale shape: pass 1 is a per-batch 64-bucket histogram partial (the
+    shuffle carries ≤64 rows per block) → tiny groupby-sum → a 64-int
+    score table that rides the closure (the `ray.put`-once broadcast
+    pattern); pass 2 is an embarrassingly parallel per-doc weigh — no
+    corpus-sized state anywhere. Bigram buckets are md5-derived
+    (`('0x'||substr(md5(g),1,16))::UBIGINT % 64`) so DuckDB replays the
+    histogram, the score table, and every weight exactly — all integer,
+    no float anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_64_batch
+
+    def _buckets(texts):
+        """Per-doc bucket count matrix for a list of texts."""
+        strs, bounds = [], [0]
+        for text_ in texts:
+            toks = re.findall(TOKEN_REGEX, text_.lower())
+            strs.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+            bounds.append(len(strs))
+        arr = np.asarray(strs, dtype=object)
+        if len(arr):
+            uniq, inv = np.unique(arr, return_inverse=True)
+            bk = (_md5_64_batch(uniq) % np.uint64(DSIR_BUCKETS)).astype(
+                np.int64)[inv]
+        else:
+            bk = np.empty(0, np.int64)
+        mat = np.zeros((len(texts), DSIR_BUCKETS), dtype=np.int64)
+        for row, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            if hi > lo:
+                mat[row] = np.bincount(bk[lo:hi], minlength=DSIR_BUCKETS)
+        return mat
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        mat = _buckets(t.column("text").to_pylist())
+        is_tgt = pc.equal(t.column("lang"),
+                          pa.scalar(DSIR_TARGET_LANG)).to_numpy(
+            zero_copy_only=False)
+        raw = mat.sum(axis=0)
+        tgt = mat[is_tgt].sum(axis=0) if mat.shape[0] else raw
+        return pa.table({
+            "bucket": pa.array(np.arange(DSIR_BUCKETS), pa.int64()),
+            "raw_c": pa.array(raw, pa.int64()),
+            "tgt_c": pa.array(tgt, pa.int64())})
+
+    hist = (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(hist_partial, batch_format="pyarrow", **remote_kwargs())
+        .groupby("bucket")
+        .aggregate(Sum("raw_c"), Sum("tgt_c"))
+        .take_all()  # ≤ DSIR_BUCKETS rows — the one tiny driver gather
+    )
+    raw = np.zeros(DSIR_BUCKETS, dtype=object)
+    tgt = np.zeros(DSIR_BUCKETS, dtype=object)
+    for r in hist:
+        raw[int(r["bucket"])] = int(r["sum(raw_c)"])
+        tgt[int(r["bucket"])] = int(r["sum(tgt_c)"])
+    R, T = int(sum(raw)), int(sum(tgt))
+    score = np.asarray(
+        [(DSIR_SCALE * (int(tgt[b]) + 1) * (R + DSIR_BUCKETS))
+         // ((int(raw[b]) + 1) * (T + DSIR_BUCKETS))
+         for b in range(DSIR_BUCKETS)], dtype=np.int64)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        mat = _buckets(t.column("text").to_pylist())
+        nb = mat.sum(axis=1)
+        w = mat @ score
+        kept = w > DSIR_SCALE * nb
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bigrams": pa.array(nb, pa.int64()),
+                         "weight": pa.array(w, pa.int64()),
+                         "kept": pa.array(kept, pa.bool_())})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(weigh, batch_format="pyarrow", **remote_kwargs())
+        .sort("doc_id")
+    )

@@ -2115,6 +2115,97 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # exact substring REMOVAL (Lee et al.) — the action duplicated_text_share
+    # measures: every cross-doc duplicated DUP_K-gram span is cut from every
+    # doc; the oracle rebuilds the kept-token text per doc via a covered-
+    # position list (array_to_string over an empty kept list is NULL in
+    # DuckDB, hence the COALESCE to '')
+    reg["substring_dedup"] = (
+        filters.substring_dedup,
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(range(1, len(ts) - {filters.DUP_K} + 2)) AS i,
+                   ts
+            FROM toks WHERE len(ts) >= {filters.DUP_K}
+        ), grams AS (
+            SELECT doc_id, i,
+                   array_to_string(ts[i:i+{filters.DUP_K}-1], ' ') AS g
+            FROM pos
+        ), nd AS (
+            SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ), cover AS (
+            SELECT DISTINCT doc_id, unnest(range(i, i + {filters.DUP_K})) AS j
+            FROM grams JOIN nd USING (g)
+        ), cov AS (
+            SELECT doc_id, list(j ORDER BY j) AS cj FROM cover GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(c.cj), 0) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(
+                   [t.ts[k] FOR k IN range(1, len(t.ts) + 1)
+                    IF NOT list_contains(
+                        COALESCE(c.cj, CAST([] AS BIGINT[])), k)],
+                   ' '), '') AS dedup_text
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+        ORDER BY t.doc_id
+        """,
+    )
+
+    # DSIR importance weights (Xie et al. 2023), fixed-point integer: the
+    # oracle recomputes the 64-bucket histogram, the smoothed likelihood-
+    # ratio score table, and every doc weight from the same md5 buckets
+    reg["dsir_importance_weights"] = (
+        filters.dsir_importance_weights,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g
+            FROM (SELECT doc_id, lang, unnest(range(1, len(ts))) AS i, ts
+                  FROM toks WHERE len(ts) >= 2)
+        ), hb AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT
+                        % {filters.DSIR_BUCKETS} AS BIGINT) AS b
+            FROM bg
+        ), gl AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS raw_c,
+                   CAST(count(*) FILTER (
+                       WHERE lang = '{filters.DSIR_TARGET_LANG}')
+                       AS BIGINT) AS tgt_c
+            FROM hb GROUP BY b
+        ), tot AS (
+            SELECT CAST(sum(raw_c) AS BIGINT) AS R,
+                   CAST(sum(tgt_c) AS BIGINT) AS T
+            FROM gl
+        ), s AS (
+            SELECT b, CAST(({filters.DSIR_SCALE}::HUGEINT * (tgt_c + 1)
+                            * (R + {filters.DSIR_BUCKETS}))
+                           // ((raw_c + 1) * (T + {filters.DSIR_BUCKETS}))
+                           AS BIGINT) AS sc
+            FROM gl, tot
+        ), docw AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(sc) AS BIGINT) AS weight
+            FROM hb JOIN s USING (b) GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(d.n_bigrams, 0) AS n_bigrams,
+               COALESCE(d.weight, 0) AS weight,
+               (COALESCE(d.weight, 0)
+                > {filters.DSIR_SCALE} * COALESCE(d.n_bigrams, 0)) AS kept
+        FROM toks t LEFT JOIN docw d USING (doc_id)
+        ORDER BY t.doc_id
+        """,
+    )
+
     # weekly retention matrix: cohort = first-seen week per user; the
     # shuffle carries distinct (user, week) int pairs only
     reg["retention_cohorts"] = (

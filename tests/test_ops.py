@@ -106,6 +106,8 @@ SQL_CHECKED = [
     "image_ann_topk", "caption_to_image_topk",
     # r5 symbolic/manifest replays for the remaining sinks
     "compact_pages", "curated_image_release",
+    # r5 session-3 additions: substring removal + DSIR weights
+    "substring_dedup", "dsir_importance_weights",
 ]
 
 
@@ -1855,6 +1857,67 @@ def test_duplicated_text_share_planted(ray_session):
     assert df.loc[99999, "dup_grams"] == n0 and bool(df.loc[99999, "dup_flag"])
     assert df.loc[1, "dup_grams"] == 0 and not bool(df.loc[1, "dup_flag"])
     assert df.loc[2, "n_grams"] == 0 and not bool(df.loc[2, "dup_flag"])
+
+
+def test_substring_dedup_planted(registry, ray_session):
+    """A DUP_K-token span shared by two docs is removed from BOTH (the
+    symmetric Lee-et-al removal); unique and sub-K docs pass through
+    unchanged; the constructed corpus round-trips the SQL oracle."""
+    from dumb_crawler_ray.ops.filters import DUP_K
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # DUP_K tokens
+    assert len(boiler.split()) == DUP_K
+    a = f"unique one two three {boiler} tail words here"
+    b = f"other prefix {boiler} different ending tokens now"
+    c = "entirely unique document with no shared spans at all"
+    short = "tiny doc"
+    d = _write_docs([a, b, c, short])
+    fn, sql = registry["substring_dedup"]
+    df = to_df(fn(d))
+    by = {r.doc_id: r for r in df.itertuples()}
+    # the shared 8-gram vanished from both holders, the rest survived
+    assert "gamma" not in by[0].dedup_text and "gamma" not in by[1].dedup_text
+    assert by[0].dedup_text == "unique one two three tail words here"
+    assert by[1].dedup_text == "other prefix different ending tokens now"
+    assert by[0].n_removed == DUP_K and by[1].n_removed == DUP_K
+    assert by[2].n_removed == 0 and by[2].dedup_text == c
+    assert by[3].n_removed == 0 and by[3].n_tokens == 2
+    compare("substring_dedup[planted]", df, sql, sf_dir=d)
+
+
+def test_dsir_importance_weights_enrichment(registry, ray_session):
+    """Target (en) bigrams earn above-neutral scores, off-target bigrams
+    below-neutral: a doc of target bigrams is kept, a doc of raw-only
+    bigrams is not, and the neutral gate is exactly weight > SCALE·n."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops.filters import DSIR_SCALE
+
+    d = tempfile.mkdtemp()
+    for tbl in TABLES:
+        src = pq.read_table(f"{SF}/{tbl}.parquet")
+        pq.write_table(src.slice(0, 0), os.path.join(d, f"{tbl}.parquet"))
+    en = "the quick brown fox jumps over the lazy dog"
+    de = "der schnelle braune fuchs springt heute hier"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([en, en + " again today", de, "solo"], pa.string()),
+        "lang": pa.array(["en", "en", "de", "de"], pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+        "n_chars": pa.array([len(en), len(en) + 12, len(de), 4], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    fn, sql = registry["dsir_importance_weights"]
+    df = to_df(fn(d))
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert bool(by[1].kept) and by[1].weight > DSIR_SCALE * by[1].n_bigrams
+    assert not bool(by[3].kept)          # raw-only bigrams score below 1
+    assert by[4].n_bigrams == 0 and by[4].weight == 0 and not bool(by[4].kept)
+    compare("dsir_importance_weights[planted]", df, sql, sf_dir=d)
 
 
 def test_quality_classifier_edges(ray_session):
