@@ -260,6 +260,10 @@ def run_queries_extra() -> dict:
         "source_balanced_sample": lambda: filters.source_balanced_sample(SF_DIR),
         "pack_sequences": lambda: filters.pack_sequences(SF_DIR),
         "duplicated_text_share": lambda: filters.duplicated_text_share(SF_DIR),
+        # round 5 session 3: the removal action + DSIR weights
+        "substring_dedup": lambda: filters.substring_dedup(SF_DIR),
+        "dsir_importance_weights":
+            lambda: filters.dsir_importance_weights(SF_DIR),
         "quality_classifier_scores": lambda: filters.quality_classifier_scores(
             SF_DIR),
         "doc_split": lambda: text.doc_split(SF_DIR),
