@@ -1885,6 +1885,16 @@ def test_substring_dedup_planted(registry, ray_session):
     compare("substring_dedup[planted]", df, sql, sf_dir=d)
 
 
+def test_substring_dedup_partition_independence(ray_session):
+    """Same removals at any hash-partition count — co-location by gram
+    hash and by doc_id must not depend on how many blocks carry them."""
+    from dumb_crawler_ray.ops.filters import substring_dedup
+
+    a = to_df(substring_dedup(SF, n_partitions=2)).reset_index(drop=True)
+    b = to_df(substring_dedup(SF, n_partitions=16)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_dsir_importance_weights_enrichment(registry, ray_session):
     """Target (en) bigrams earn above-neutral scores, off-target bigrams
     below-neutral: a doc of target bigrams is kept, a doc of raw-only
