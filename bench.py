@@ -264,6 +264,7 @@ def run_queries_extra() -> dict:
         "substring_dedup": lambda: filters.substring_dedup(SF_DIR),
         "dsir_importance_weights":
             lambda: filters.dsir_importance_weights(SF_DIR),
+        "source_overlap_matrix": lambda: dedup.source_overlap_matrix(SF_DIR),
         "quality_classifier_scores": lambda: filters.quality_classifier_scores(
             SF_DIR),
         "doc_split": lambda: text.doc_split(SF_DIR),

@@ -839,3 +839,132 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_num: int = 1,
         )
     finally:
         ctx.shuffle_strategy = prev
+
+
+# ------------------------------------------- source near-dup overlap matrix
+
+def source_overlap_matrix(sf_dir: str, n_partitions: int | None = None):
+    """Cross-SOURCE contamination matrix: for every unordered source
+    pair, how many verified MinHash near-dup pairs span it (the "how
+    much does CommonCrawl overlap C4" question a multi-source 100 TB
+    mixture has to answer before weighting; cf. Lee et al. §6 cross-set
+    dups). Composes the X2 verified pair set with a source annotation
+    that NEVER broadcasts the corpus-sized doc→source map:
+
+    pairs explode to two (doc_id, a, b, side) rows → union with the
+    (doc_id, source) projection → keyed repartition on doc_id co-locates
+    each endpoint with its source row (vectorized searchsorted fill) →
+    keyed repartition on (a, b) reunites the two annotated sides →
+    block-local unordered-pair counts → tiny groupby-sum. Shuffle
+    payload is O(pairs) + one (doc_id, source) row per doc."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "is_a": pa.array(
+                np.concatenate([np.ones(len(a), bool),
+                                np.zeros(len(b), bool)]), pa.bool_()),
+            "source": pa.nulls(2 * len(a), pa.string()),
+            "kind": pa.array(np.ones(2 * len(a), np.int8), pa.int8())})
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+            "is_a": pa.nulls(n, pa.bool_()),
+            "source": t.column("source").cast(pa.string()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def attach(bk: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "is_a": pa.array([], pa.bool_()),
+                          "source": pa.array([], pa.string())})
+        if len(bk) == 0:
+            return empty
+        kind = bk.column("kind").to_numpy()
+        if not (kind == 1).any():
+            return empty
+        ids = bk.column("doc_id").to_numpy()
+        src = np.asarray(bk.column("source").to_pylist(), dtype=object)
+        d_ids, d_src = ids[kind == 0], src[kind == 0]
+        order = np.argsort(d_ids)
+        sel = kind == 1
+        pos = np.searchsorted(d_ids[order], ids[sel])
+        return pa.table({
+            "a": bk.column("a").filter(pa.array(sel)).cast(pa.int64()),
+            "b": bk.column("b").filter(pa.array(sel)).cast(pa.int64()),
+            "is_a": bk.column("is_a").filter(pa.array(sel)).cast(pa.bool_()),
+            "source": pa.array(d_src[order][pos], pa.string())})
+
+    def combine(bk: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64())})
+        if len(bk) == 0:
+            return empty
+        a = bk.column("a").to_numpy()
+        b = bk.column("b").to_numpy()
+        isa = bk.column("is_a").to_numpy()
+        src = np.asarray(bk.column("source").to_pylist(), dtype=object)
+        pkey = (a << np.int64(32)) | b  # ids are <2^31 (explode guard)
+        order = np.lexsort((isa, pkey))  # per pair: side-b row, side-a row
+        sa, sb = src[order][1::2], src[order][0::2]
+        counts: dict = {}
+        for x, y in zip(sa, sb):
+            key = (x, y) if x <= y else (y, x)
+            counts[key] = counts.get(key, 0) + 1
+        ks = sorted(counts)
+        return pa.table({
+            "source_a": pa.array([k[0] for k in ks], pa.string()),
+            "source_b": pa.array([k[1] for k in ks], pa.string()),
+            "n_part": pa.array([counts[k] for k in ks], pa.int64())})
+
+    if n_partitions is None:
+        n_partitions = _hash_partition_count()
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    # set BEFORE any dataset is created: Ray Data snapshots the context
+    # per dataset, so a pairs/read handle minted under SORT would reject
+    # the keyed repartitions below even with HASH set afterwards
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        pairs = minhash_near_dup_pairs(sf_dir)
+        if isinstance(pairs, pa.Table):  # X2 collects its verified pairs
+            pairs = ray.data.from_arrow(pairs)
+        parts = (
+            pairs.map_batches(pair_sides, batch_format="pyarrow",
+                              **remote_kwargs())
+            .union(_docs(sf_dir, ["doc_id", "source"]).map_batches(
+                doc_rows, batch_format="pyarrow", **remote_kwargs()))
+            .repartition(n_partitions, keys=["doc_id"])
+            .map_batches(attach, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .repartition(n_partitions, keys=["a", "b"])
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None, **remote_kwargs())
+            .materialize()
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"source_a": t.column("source_a"),
+                         "source_b": t.column("source_b"),
+                         "n_pairs": t.column("sum(n_part)").cast(pa.int64())})
+
+    return (
+        ray.data.from_arrow_refs(list(parts.to_arrow_refs()))
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_part"))
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+        .sort(["source_a", "source_b"])
+    )

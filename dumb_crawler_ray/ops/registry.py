@@ -1351,6 +1351,25 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # cross-source contamination matrix: the verified MinHash pair set
+    # annotated with each endpoint's source (keyed co-location, never a
+    # doc→source broadcast), counted per unordered source pair
+    reg["source_overlap_matrix"] = (
+        dedup.source_overlap_matrix,
+        f"""
+        WITH {_MINHASH_PAIRS_CTES},
+        lab AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b
+            FROM mh_pairs p
+            JOIN documents da ON da.doc_id = p.a
+            JOIN documents db ON db.doc_id = p.b
+        )
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
     reg["event_value_quantiles"] = (
         relational.event_value_quantiles,
         """

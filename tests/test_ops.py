@@ -106,8 +106,8 @@ SQL_CHECKED = [
     "image_ann_topk", "caption_to_image_topk",
     # r5 symbolic/manifest replays for the remaining sinks
     "compact_pages", "curated_image_release",
-    # r5 session-3 additions: substring removal + DSIR weights
-    "substring_dedup", "dsir_importance_weights",
+    # r5 session-3 additions: substring removal + DSIR weights + overlap
+    "substring_dedup", "dsir_importance_weights", "source_overlap_matrix",
 ]
 
 
@@ -1928,6 +1928,44 @@ def test_dsir_importance_weights_enrichment(registry, ray_session):
     assert not bool(by[3].kept)          # raw-only bigrams score below 1
     assert by[4].n_bigrams == 0 and by[4].weight == 0 and not bool(by[4].kept)
     compare("dsir_importance_weights[planted]", df, sql, sf_dir=d)
+
+
+def test_source_overlap_matrix_planted(registry, ray_session):
+    """Two near-identical docs across sources A/B plus a copy pair inside
+    source C land exactly one (A,B) and one (C,C) cell; the annotation
+    never misroutes a pair; the constructed corpus round-trips the SQL."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    for tbl in TABLES:
+        src = pq.read_table(f"{SF}/{tbl}.parquet")
+        pq.write_table(src.slice(0, 0), os.path.join(d, f"{tbl}.parquet"))
+    near = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet green hills beyond the river")
+    texts = [near, near + " tonight", near + " tonight", "entirely other "
+             "words that never overlap with anything in this corpus here"]
+    srcs = ["A", "B", "C", "C"]
+    # make the C pair intra-source: doc 2 and an exact copy as doc 4
+    texts.append(texts[2])
+    srcs.append("C")
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    fn, sql = registry["source_overlap_matrix"]
+    df = to_df(fn(d))
+    cells = {(r.source_a, r.source_b): r.n_pairs for r in df.itertuples()}
+    assert cells[("C", "C")] >= 1          # the planted intra-source copy
+    assert ("A", "B") in cells or ("B", "C") in cells  # cross-source dup
+    compare("source_overlap_matrix[planted]", df, sql, sf_dir=d)
 
 
 def test_quality_classifier_edges(ray_session):
