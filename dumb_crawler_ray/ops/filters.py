@@ -1267,14 +1267,17 @@ def bigram_lm_scores(sf_dir: str, n_partitions: int | None = None):
 
 # ----------------------------------- exact substring dedup (span removal)
 
-def substring_dedup(sf_dir: str, n_partitions: int | None = None):
+def substring_dedup(sf_dir: str, n_partitions: int | None = None,
+                    keep_one: bool = False):
     """Exact cross-document substring REMOVAL (the action
     `duplicated_text_share` measures — Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): every `DUP_K`-token
     gram that occurs in ≥2 distinct documents is a duplicated span; all
     token positions covered by any duplicated span are removed from
-    EVERY document holding them (the symmetric variant — keep-one-copy
-    is this op composed with a dedup keep-list). Output per doc:
+    EVERY document holding them (the symmetric variant), or — with
+    `keep_one=True`, the deployed Lee-et-al form — from every holder
+    EXCEPT the canonical one (min doc_id per gram), so exactly one copy
+    of each duplicated span survives the corpus. Output per doc:
     `n_tokens`, `n_removed` (covered positions), and `dedup_text` — the
     surviving tokens space-joined in original order (the canonical
     lowercase tokenization; byte-exact surface reconstruction is a
@@ -1334,6 +1337,12 @@ def substring_dedup(sf_dir: str, n_partitions: int | None = None):
         uk, inv, counts = np.unique(sh, return_inverse=True,
                                     return_counts=True)
         keep = counts[inv] >= 2  # rows are per-doc-distinct ⇒ ≥2 docs
+        if keep_one:
+            # the min-doc_id holder of each gram keeps its span
+            ids = b.column("doc_id").to_numpy()
+            seg_min = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(seg_min, inv, ids)
+            keep &= ids != seg_min[inv]
         kept = b.filter(pa.array(keep))
         return pa.table({
             "doc_id": kept.column("doc_id"),

@@ -2175,6 +2175,46 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # keep-one-copy variant (the deployed Lee-et-al form): the min-doc_id
+    # holder of each duplicated gram keeps its span; everyone else loses it
+    reg["substring_dedup_keep_one"] = (
+        lambda sf: filters.substring_dedup(sf, keep_one=True),
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(range(1, len(ts) - {filters.DUP_K} + 2)) AS i,
+                   ts
+            FROM toks WHERE len(ts) >= {filters.DUP_K}
+        ), grams AS (
+            SELECT doc_id, i,
+                   array_to_string(ts[i:i+{filters.DUP_K}-1], ' ') AS g
+            FROM pos
+        ), nd AS (
+            SELECT g, min(doc_id) AS keeper FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2
+        ), cover AS (
+            SELECT DISTINCT gr.doc_id, unnest(range(gr.i, gr.i + {filters.DUP_K})) AS j
+            FROM grams gr JOIN nd ON nd.g = gr.g
+            WHERE gr.doc_id != nd.keeper
+        ), cov AS (
+            SELECT doc_id, list(j ORDER BY j) AS cj FROM cover GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(c.cj), 0) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(
+                   [t.ts[k] FOR k IN range(1, len(t.ts) + 1)
+                    IF NOT list_contains(
+                        COALESCE(c.cj, CAST([] AS BIGINT[])), k)],
+                   ' '), '') AS dedup_text
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+        ORDER BY t.doc_id
+        """,
+    )
+
     # DSIR importance weights (Xie et al. 2023), fixed-point integer: the
     # oracle recomputes the 64-bucket histogram, the smoothed likelihood-
     # ratio score table, and every doc weight from the same md5 buckets

@@ -108,6 +108,7 @@ SQL_CHECKED = [
     "compact_pages", "curated_image_release",
     # r5 session-3 additions: substring removal + DSIR weights + overlap
     "substring_dedup", "dsir_importance_weights", "source_overlap_matrix",
+    "substring_dedup_keep_one",
 ]
 
 
@@ -1883,6 +1884,13 @@ def test_substring_dedup_planted(registry, ray_session):
     assert by[2].n_removed == 0 and by[2].dedup_text == c
     assert by[3].n_removed == 0 and by[3].n_tokens == 2
     compare("substring_dedup[planted]", df, sql, sf_dir=d)
+    # keep-one: the min-doc_id holder (doc 0) keeps the span, doc 1 loses it
+    fn1, sql1 = registry["substring_dedup_keep_one"]
+    df1 = to_df(fn1(d))
+    by1 = {r.doc_id: r for r in df1.itertuples()}
+    assert by1[0].n_removed == 0 and "gamma" in by1[0].dedup_text
+    assert by1[1].n_removed == DUP_K and "gamma" not in by1[1].dedup_text
+    compare("substring_dedup_keep_one[planted]", df1, sql1, sf_dir=d)
 
 
 def test_substring_dedup_partition_independence(ray_session):
