@@ -1514,3 +1514,178 @@ def dsir_importance_weights(sf_dir: str):
         .map_batches(weigh, batch_format="pyarrow", **remote_kwargs())
         .sort("doc_id")
     )
+
+
+# --------------------------------------------- fused corpus curation (X96)
+
+def doc_curation_full(sf_dir: str, n_partitions: int | None = None):
+    """The complete text-corpus curation decision — the documents-table
+    analogue of `ops/multimodal.py::image_curation_full` (and of the
+    crawl→corpus composition in `pipelines/curate.py`):
+
+        keep = Gopher quality pass        (rule features, integer bands)
+             ∧ exact-dedup keeper         (min doc_id per normalized md5)
+             ∧ near-dup cluster keeper    (MinHash+LSH CC representative)
+             ∧ NOT benchmark-contaminated (k-gram overlap vs held-out set)
+             ∧ NOT a benchmark doc        (the held-out subset itself)
+
+    Fused scale shape: the text is READ AND TOKENIZED ONCE for the
+    per-doc rules — one stateless vectorized pass emits (gopher keep,
+    normalized-md5 fingerprint) together, so the corpus never pays a
+    second scan for the exact-dedup leg. The exact keeper is elected in
+    ONE keyed exchange of (fingerprint, doc_id) rows (block-local segment
+    min — never a driver gather); the near-dup keeper reuses the verified
+    MinHash pair machinery (`dedup.near_dup_clusters`, its own
+    inverted-index shuffles); the contamination leg reuses
+    `contamination_overlap` (shingle-keyed co-location, benchmark set
+    never broadcast). All four verdicts meet in ONE keyed co-location on
+    doc_id where the decision is block-local boolean algebra — the
+    `_merge_by_image_id` shape on the text axis. Docs absent from the
+    near-dup pair graph are implicit cluster keepers; benchmark docs
+    (doc_id % BENCH_MOD == 0) carry `is_bench` and never `keep`.
+
+    Numeric parity with the standalone stages is by construction: the
+    fused pass calls the exact same `gopher_features` /
+    `text.normalize_expr` code, and the cluster/contamination legs ARE
+    the standalone ops. Full DuckDB oracle (registry): gopher predicate
+    CTE ∧ window-min fingerprint election ∧ the recursive-CTE MinHash
+    closure ∧ the contamination CTE chain, composed on doc_id."""
+    import hashlib
+
+    import ray
+
+    from ..rayutil import keyed_colocate
+    from .dedup import near_dup_clusters
+    from .text import normalize_expr
+
+    n_parts = n_partitions or max(2, min(8, _hash_partition_count()))
+
+    def fused(t: pa.Table) -> pa.Table:
+        feats = gopher_features(t.column("text"))
+        norm = normalize_expr(t.column("text")).to_pylist()
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "gopher_ok": feats["keep"],
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    # tiny decision rows (id + bool + 32-char hex), materialized once so
+    # the gopher side and the fingerprint election share ONE corpus scan
+    base = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fused, batch_format="pyarrow", **remote_kwargs()).materialize()
+    base_refs = list(base.to_arrow_refs())
+
+    def elect(b: pa.Table) -> pa.Table:
+        # every row of a fingerprint is co-located here: segment min of
+        # doc_id elects the exact-dedup keeper
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8()),
+                          "flag": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy()
+        fps = np.asarray(b.column("fingerprint").to_pylist(), dtype=object)
+        o = np.argsort(fps, kind="stable")
+        ids_s, fps_s = ids[o], fps[o]
+        seg = np.cumsum(np.concatenate(
+            [[0], (fps_s[1:] != fps_s[:-1]).astype(np.int64)]))
+        segmin = np.full(int(seg[-1]) + 1, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(segmin, seg, ids_s)
+        return pa.table(
+            {"doc_id": pa.array(ids_s, pa.int64()),
+             "kind": pa.array(np.full(len(b), 1, np.int8()), pa.int8()),
+             "flag": pa.array(ids_s == segmin[seg], pa.bool_())})
+
+    exact_side_mat = keyed_colocate(
+        lambda: ray.data.from_arrow_refs(base_refs)
+        .repartition(n_parts, keys=["fingerprint"])
+        .map_batches(elect, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())).materialize()
+
+    # near-dup + contamination legs run OUTSIDE the merge's scoped
+    # context (their own internal shuffles must not plan under it)
+    cluster_tbl = near_dup_clusters(sf_dir)
+    cont_mat = contamination_overlap(sf_dir).materialize()
+
+    def gopher_side():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "kind": pa.array(np.zeros(len(t), np.int8()), pa.int8()),
+                 "flag": t.column("gopher_ok")})
+        return ray.data.from_arrow_refs(base_refs).map_batches(
+            f, batch_format="pyarrow", **remote_kwargs())
+
+    def exact_side():
+        return ray.data.from_arrow_refs(list(exact_side_mat.to_arrow_refs()))
+
+    def cluster_side():
+        t = pa.table(
+            {"doc_id": cluster_tbl.column("doc_id"),
+             "kind": pa.array(np.full(len(cluster_tbl), 2, np.int8()),
+                              pa.int8()),
+             "flag": cluster_tbl.column("keep")})
+        return ray.data.from_arrow(t)
+
+    def cont_side():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "kind": pa.array(np.full(len(t), 3, np.int8()), pa.int8()),
+                 "flag": t.column("contaminated")})
+        return ray.data.from_arrow_refs(
+            list(cont_mat.to_arrow_refs())).map_batches(
+                f, batch_format="pyarrow", **remote_kwargs())
+
+    def merge(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "gopher_ok": pa.array([], pa.bool_()),
+             "is_exact_keeper": pa.array([], pa.bool_()),
+             "is_cluster_keeper": pa.array([], pa.bool_()),
+             "contaminated": pa.array([], pa.bool_()),
+             "is_bench": pa.array([], pa.bool_()),
+             "keep": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy()
+        kind = b.column("kind").to_numpy()
+        flag = b.column("flag").to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        n = len(uids)
+        gopher = np.zeros(n, bool)
+        seen_g = np.zeros(n, bool)
+        exact = np.zeros(n, bool)
+        seen_e = np.zeros(n, bool)
+        cluster = np.ones(n, bool)   # absent from the pair graph → keeper
+        contam = np.zeros(n, bool)   # bench docs carry no contamination row
+        for k, arr, seen in ((0, gopher, seen_g), (1, exact, seen_e),
+                             (2, cluster, None), (3, contam, None)):
+            m = kind == k
+            arr[inv[m]] = flag[m]
+            if seen is not None:
+                seen[inv[m]] = True
+        assert seen_g.all() and seen_e.all(), "missing per-doc side rows"
+        is_bench = (uids % BENCH_MOD) == 0
+        keep = gopher & exact & cluster & ~contam & ~is_bench
+        return pa.table(
+            {"doc_id": pa.array(uids, pa.int64()),
+             "gopher_ok": pa.array(gopher, pa.bool_()),
+             "is_exact_keeper": pa.array(exact, pa.bool_()),
+             "is_cluster_keeper": pa.array(cluster, pa.bool_()),
+             "contaminated": pa.array(contam, pa.bool_()),
+             "is_bench": pa.array(is_bench, pa.bool_()),
+             "keep": pa.array(keep, pa.bool_())})
+
+    def build():
+        ds = gopher_side()
+        for s in (exact_side(), cluster_side(), cont_side()):
+            ds = ds.union(s)
+        return ds.repartition(n_parts, keys=["doc_id"]).map_batches(
+            merge, batch_format="pyarrow", batch_size=None,
+            **remote_kwargs())
+
+    return keyed_colocate(build).sort("doc_id")

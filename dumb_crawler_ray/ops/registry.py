@@ -3310,6 +3310,113 @@ def build_registry() -> dict[str, tuple]:
         """,
     )
 
+    # X96 — the fused text-corpus curation decision (the documents-table
+    # analogue of image_curation_full): gopher pass ∧ exact-dedup keeper
+    # ∧ MinHash-cluster keeper ∧ not benchmark-contaminated ∧ not a
+    # benchmark doc, all met in ONE keyed co-location on doc_id. The
+    # oracle composes the four verdicts' existing CTE machinery: the
+    # gopher predicate, a window-min fingerprint election, the recursive
+    # MinHash closure, and the contamination chain.
+    reg["doc_curation_full"] = (
+        filters.doc_curation_full,
+        f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        mh_edges AS (
+            SELECT a AS u, b AS v FROM mh_pairs
+            UNION ALL SELECT b, a FROM mh_pairs
+        ), mh_reach(u, v) AS (
+            SELECT u, v FROM mh_edges
+            UNION
+            SELECT r.u, e.v FROM mh_reach r JOIN mh_edges e ON r.v = e.u
+        ), mh_reps AS (
+            SELECT r.u AS node, LEAST(r.u, MIN(r.v)) AS rep
+            FROM mh_reach r GROUP BY r.u
+        ), gf AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                   length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                       AS n_token_chars,
+                   length(text) - length(replace(text, chr(10), '')) + 1
+                       AS n_lines,
+                   len(regexp_extract_all(text, '{filters.BULLET_RE}'))
+                       AS n_bullet_lines,
+                   len(regexp_extract_all(text, '{filters.ELLIPSIS_RE}'))
+                       AS n_ellipsis_lines,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                     - len(regexp_extract_all(text, '{filters.NUMERIC_WORD_RE}'))
+                       AS n_alpha_words,
+                   len(regexp_extract_all(lower(text), '{filters.STOP_RE}'))
+                       AS n_stop_hits
+            FROM documents
+        ), gk AS (
+            SELECT doc_id,
+                   (n_words >= {filters.MIN_WORDS} AND n_words <= {filters.MAX_WORDS}
+                    AND {filters.MIN_MEAN_LEN} * n_words <= n_token_chars
+                    AND n_token_chars <= {filters.MAX_MEAN_LEN} * n_words
+                    AND {filters.MAX_BULLET_DEN} * n_bullet_lines
+                        <= {filters.MAX_BULLET_NUM} * n_lines
+                    AND {filters.MAX_ELLIPSIS_DEN} * n_ellipsis_lines
+                        <= {filters.MAX_ELLIPSIS_NUM} * n_lines
+                    AND {filters.MIN_ALPHA_DEN} * n_alpha_words
+                        >= {filters.MIN_ALPHA_NUM} * n_words
+                    AND n_stop_hits >= {filters.MIN_STOP_HITS}) AS gopher_ok
+            FROM gf
+        ), ek AS (
+            SELECT doc_id,
+                   doc_id = min(doc_id) OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                            '\\s+', ' ', 'g')))
+                   ) AS is_exact_keeper
+            FROM documents
+        ), ct_toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ), ct_sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(tk) - {filters.CONTAM_K - 2}),
+                           i -> array_to_string(
+                               tk[i:i+{filters.CONTAM_K - 1}], ' '))) AS shingle
+                FROM ct_toks WHERE len(tk) >= {filters.CONTAM_K}
+                UNION ALL
+                SELECT doc_id, array_to_string(tk, ' ')
+                FROM ct_toks
+                WHERE len(tk) < {filters.CONTAM_K} AND len(tk) > 0)
+        ), ct_bench AS (
+            SELECT DISTINCT shingle FROM ct_sh
+            WHERE doc_id % {filters.BENCH_MOD} = 0
+        ), ct_nsh AS (
+            SELECT doc_id, count(*) AS n FROM ct_sh
+            WHERE doc_id % {filters.BENCH_MOD} <> 0 GROUP BY 1
+        ), ct_shared AS (
+            SELECT s.doc_id, count(*) AS n_shared
+            FROM ct_sh s JOIN ct_bench b USING (shingle)
+            WHERE s.doc_id % {filters.BENCH_MOD} <> 0 GROUP BY 1
+        ), flags AS (
+            SELECT d.doc_id, gk.gopher_ok, ek.is_exact_keeper,
+                   COALESCE(p.node = p.rep, TRUE) AS is_cluster_keeper,
+                   (d.doc_id % {filters.BENCH_MOD} <> 0
+                    AND coalesce(ct_nsh.n, 0) > 0
+                    AND {filters.CONTAM_DEN} * coalesce(ct_shared.n_shared, 0)
+                        >= {filters.CONTAM_NUM} * coalesce(ct_nsh.n, 0))
+                       AS contaminated,
+                   d.doc_id % {filters.BENCH_MOD} = 0 AS is_bench
+            FROM documents d
+            JOIN gk USING (doc_id)
+            JOIN ek USING (doc_id)
+            LEFT JOIN mh_reps p ON p.node = d.doc_id
+            LEFT JOIN ct_nsh ON ct_nsh.doc_id = d.doc_id
+            LEFT JOIN ct_shared ON ct_shared.doc_id = d.doc_id
+        )
+        SELECT doc_id, gopher_ok, is_exact_keeper, is_cluster_keeper,
+               contaminated, is_bench,
+               (gopher_ok AND is_exact_keeper AND is_cluster_keeper
+                AND NOT contaminated AND NOT is_bench) AS keep
+        FROM flags ORDER BY doc_id
+        """,
+    )
+
     # The round driver attests exactly the first 50 registry entries against
     # their DuckDB oracles (CORRECTNESS_r*.json), so order matters: slots 1-50
     # carry the crawl flagship views and every oracled query that has not yet
@@ -3328,7 +3435,9 @@ def build_registry() -> dict[str, tuple]:
         "export_image_shards", "leakage_safe_split", "bigram_lm_scores",
         "filtered_ann_topk", "doc_split", "embedding_near_dup_pairs",
         "lang_id", "corpus_stats", "approx_distinct_users",
-        "approx_daily_active_users", "winnowed_fingerprints",
+        # approx_daily_active_users shares the HLL sketch machinery with
+        # approx_distinct_users (in the window) — demoted past slot 50
+        "winnowed_fingerprints",
         "image_keeplist", "image_size_filter", "image_aspect_buckets",
         # the seven r5 fixed-gemm / symbolic-replay graduates (never
         # driver-checked) displace seven entries already driver-green in
@@ -3344,11 +3453,19 @@ def build_registry() -> dict[str, tuple]:
         # simhash_signatures, simhash_near_dup_pairs,
         # minhash_near_dup_pairs, near_dup_clusters — all driver-PASS
         # in r4)
-        "image_quality", "image_tower_check", "image_decode_stats",
-        "image_features", "image_resize_meta", "image_resize_to_bucket",
+        "image_quality", "image_tower_check",
         "audio_features", "audio_vad_segments",
         "video_frame_sample", "video_scene_cuts",
         "image_aesthetic_scores",  # r4's only no_oracle row, now oracled
+        # the X92–X96 corpus additions (never driver-attested) displace
+        # four stored-pact metadata views whose shared decode-pact
+        # machinery is already attested via image_quality /
+        # image_tower_check / image_decode_check (r4 driver-PASS):
+        # image_decode_stats, image_features, image_resize_meta,
+        # image_resize_to_bucket
+        "substring_dedup", "substring_dedup_keep_one",
+        "dsir_importance_weights", "source_overlap_matrix",
+        "doc_curation_full",
     ]
     head = [k for k in _window_first if k in reg]
     seen = set(head)

@@ -109,6 +109,8 @@ SQL_CHECKED = [
     # r5 session-3 additions: substring removal + DSIR weights + overlap
     "substring_dedup", "dsir_importance_weights", "source_overlap_matrix",
     "substring_dedup_keep_one",
+    # r5 session-5: the fused text-corpus curation decision (X96)
+    "doc_curation_full",
 ]
 
 
@@ -1974,6 +1976,44 @@ def test_source_overlap_matrix_planted(registry, ray_session):
     assert cells[("C", "C")] >= 1          # the planted intra-source copy
     assert ("A", "B") in cells or ("B", "C") in cells  # cross-source dup
     compare("source_overlap_matrix[planted]", df, sql, sf_dir=d)
+
+
+def test_doc_curation_full_planted(registry, ray_session):
+    """Every gate of the fused curation decision fires on a constructed
+    corpus — exact-dup loser, near-dup cluster loser, benchmark-
+    contaminated doc, gopher failure, benchmark doc — and the whole
+    decision table round-trips the composed SQL oracle. (The synthetic
+    testdata has no exact duplicates, so the sweep at sf0.001 leaves the
+    exact-keeper gate vacuous; this corpus does not.)"""
+
+    def base(tag, n=44):
+        words = [f"{tag}unit{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
+                 for i in range(n)]
+        return "the quick " + " ".join(words) + " and more"
+
+    bench = base("bc")
+    near_a = base("nr")
+    near_b = near_a.replace("nrunitma", "nrunitzz")   # one mid word differs
+    assert near_b != near_a
+    contam = (" ".join(bench.split()[:20]) + " "
+              + " ".join(f"cquniq{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
+                         for i in range(40)) + " and of")
+    texts = {1: base("ex"), 2: base("ex"), 3: near_a, 4: near_b,
+             5: contam, 6: "tiny doc", 7: base("cl"), 10: bench}
+    d = _write_docs(list(texts.values()), ids=list(texts.keys()))
+    fn, sql = registry["doc_curation_full"]
+    df = to_df(fn(d))
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert by[2].is_exact_keeper is False and by[1].is_exact_keeper is True
+    assert by[4].is_cluster_keeper is False and by[3].is_cluster_keeper is True
+    assert by[2].is_cluster_keeper is False      # exact pair clusters too
+    assert by[5].contaminated is True and by[5].is_cluster_keeper is True
+    assert by[6].gopher_ok is False
+    assert by[10].is_bench is True and by[10].keep is False
+    assert {i: r.keep for i, r in by.items()} == {
+        1: True, 2: False, 3: True, 4: False, 5: False, 6: False,
+        7: True, 10: False}
+    compare("doc_curation_full[planted]", df, sql, sf_dir=d)
 
 
 def test_quality_classifier_edges(ray_session):
