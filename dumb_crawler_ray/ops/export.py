@@ -452,6 +452,95 @@ def curated_image_release(images_parquet: str, out_dir: str | None = None,
                           n_partitions=n_partitions)
 
 
+def curated_doc_release(sf_dir: str, out_dir: str | None = None,
+                        n_partitions: int | None = None,
+                        n_shards: int = DEFAULT_SHARDS):
+    """The text-side staged-curation last mile — the documents-table
+    analogue of `curated_image_release`: the FULL fused curation
+    decision (`filters.doc_curation_full`: Gopher pass ∧ exact-dedup
+    keeper ∧ MinHash-cluster keeper ∧ not benchmark-contaminated ∧ not
+    a benchmark doc) gates the documents table, and the keepers are
+    written as resumable sorted parquet shards + manifest.
+
+    Scale shape: the decision is a tiny (doc_id, keep) dataset; it
+    co-locates with the document rows via ONE keyed repartition on
+    doc_id (union of schema-aligned row kinds), the block-local filter
+    keeps decided docs, and the shard exchange + parallel worker writes
+    are the shared `export_sharded` machinery. Identity = doc_id,
+    fingerprint content = md5(text), so re-exports are byte-identical
+    and resume shard-by-shard. Full SQL oracle: the composed
+    doc_curation_full keep CTE chain + the md5-bucket + bit_xor
+    manifest replay every release sink uses."""
+    import ray
+
+    from .dedup import _hash_partition_count
+    from .filters import doc_curation_full
+
+    if out_dir is None:
+        base = os.path.basename(os.path.abspath(sf_dir))
+        out_dir = f"/tmp/dcr_release/curated_docs_{base}_s{n_shards}"
+
+    decision = doc_curation_full(sf_dir).select_columns(
+        ["doc_id", "keep"]).materialize()
+
+    def dec_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "text": pa.nulls(len(t), pa.string()),
+             "source": pa.nulls(len(t), pa.string()),
+             "keep": t.column("keep"),
+             "is_doc": pa.array(np.zeros(len(t), np.int8()), pa.int8())})
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "text": t.column("text"),
+             "source": t.column("source"),
+             "keep": pa.array(np.zeros(len(t), bool), pa.bool_()),
+             "is_doc": pa.array(np.ones(len(t), np.int8()), pa.int8())})
+
+    def attach(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string()),
+             "source": pa.array([], pa.string()),
+             "shard": pa.array([], pa.int64()),
+             "fp": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        is_doc = b.column("is_doc").to_numpy().astype(bool)
+        ids = b.column("doc_id").to_numpy()
+        keep = b.column("keep").to_numpy(zero_copy_only=False).astype(bool)
+        mask = is_doc & np.isin(ids, ids[(~is_doc) & keep])
+        sub = b.filter(pa.array(mask)).drop_columns(["keep", "is_doc"])
+        if len(sub) == 0:
+            return empty
+        sids = sub.column("doc_id").to_numpy()
+        digests = _content_digests(sub.column("text").to_pylist())
+        return sub.append_column(
+            "shard", pa.array(_shard_of(sids, n_shards), pa.int64())
+        ).append_column(
+            "fp", pa.array(_fingerprints(sids, digests), pa.int64()))
+
+    n_co = n_partitions if n_partitions is not None else _hash_partition_count()
+
+    def build():
+        dec = ray.data.from_arrow_refs(
+            list(decision.to_arrow_refs())
+        ).map_batches(dec_rows, batch_format="pyarrow", **remote_kwargs())
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        ).map_batches(doc_rows, batch_format="pyarrow", **remote_kwargs())
+        return docs.union(dec).repartition(
+            n_co, keys=["doc_id"]
+        ).map_batches(attach, batch_format="pyarrow", batch_size=None,
+                      **remote_kwargs())
+
+    return export_sharded(build, out_dir, "doc_id",
+                          n_partitions=n_partitions)
+
+
 def corpus_release(ckpt_dir: str, out_dir: str | None = None,
                    n_partitions: int | None = None,
                    n_shards: int = DEFAULT_SHARDS):

@@ -3317,10 +3317,7 @@ def build_registry() -> dict[str, tuple]:
     # oracle composes the four verdicts' existing CTE machinery: the
     # gopher predicate, a window-min fingerprint election, the recursive
     # MinHash closure, and the contamination chain.
-    reg["doc_curation_full"] = (
-        filters.doc_curation_full,
-        f"""
-        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    _DOC_CURATION_FLAGS_CTES = f"""{_MINHASH_PAIRS_CTES},
         mh_edges AS (
             SELECT a AS u, b AS v FROM mh_pairs
             UNION ALL SELECT b, a FROM mh_pairs
@@ -3408,12 +3405,44 @@ def build_registry() -> dict[str, tuple]:
             LEFT JOIN mh_reps p ON p.node = d.doc_id
             LEFT JOIN ct_nsh ON ct_nsh.doc_id = d.doc_id
             LEFT JOIN ct_shared ON ct_shared.doc_id = d.doc_id
-        )
+        )"""
+
+    reg["doc_curation_full"] = (
+        filters.doc_curation_full,
+        f"""
+        WITH RECURSIVE {_DOC_CURATION_FLAGS_CTES}
         SELECT doc_id, gopher_ok, is_exact_keeper, is_cluster_keeper,
                contaminated, is_bench,
                (gopher_ok AND is_exact_keeper AND is_cluster_keeper
                 AND NOT contaminated AND NOT is_bench) AS keep
         FROM flags ORDER BY doc_id
+        """,
+    )
+
+    # X97 — the text-side staged-curation release sink: X96's keep
+    # decision gates the documents table, keepers land as resumable
+    # shards; the oracle is the same flags chain + the shared
+    # md5-bucket + bit_xor manifest replay
+    reg["curated_doc_release"] = (
+        lambda sf: export.curated_doc_release(sf),
+        f"""
+        WITH RECURSIVE {_DOC_CURATION_FLAGS_CTES},
+        kept AS (
+            SELECT f.doc_id, md5(d.text) AS cdig
+            FROM flags f JOIN documents d USING (doc_id)
+            WHERE f.gopher_ok AND f.is_exact_keeper AND f.is_cluster_keeper
+              AND NOT f.contaminated AND NOT f.is_bench
+        )
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {export.DEFAULT_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(bit_xor(
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || cdig),
+                                        1, 16)) AS UBIGINT)
+                   & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+                   AS fingerprint
+        FROM kept GROUP BY 1 ORDER BY 1
         """,
     )
 

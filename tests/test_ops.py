@@ -109,8 +109,9 @@ SQL_CHECKED = [
     # r5 session-3 additions: substring removal + DSIR weights + overlap
     "substring_dedup", "dsir_importance_weights", "source_overlap_matrix",
     "substring_dedup_keep_one",
-    # r5 session-5: the fused text-corpus curation decision (X96)
-    "doc_curation_full",
+    # r5 session-5: the fused text-corpus curation decision (X96) and
+    # its release sink (X97)
+    "doc_curation_full", "curated_doc_release",
 ]
 
 
@@ -381,6 +382,41 @@ def test_curated_image_release_reconciles_and_resumes(ray_session,
 
     mtimes = {f: os.path.getmtime(f) for f in shard_files}
     m2 = export.curated_image_release(src, out_dir=out).to_pandas()
+    pd.testing.assert_frame_equal(m1, m2)
+    assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
+
+
+def test_curated_doc_release_reconciles_and_resumes(ray_session, tmp_path):
+    """The text-side staged-curation last mile: shards hold EXACTLY the
+    fused curation decision's keepers (ids and text), and a second run
+    skips every shard."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dumb_crawler_ray.ops import export
+    from dumb_crawler_ray.ops.filters import doc_curation_full
+
+    out = str(tmp_path / "curated_docs")
+    m1 = export.curated_doc_release(SF, out_dir=out).to_pandas()
+
+    dec = doc_curation_full(SF).to_pandas()
+    keepers = set(dec[dec["keep"]]["doc_id"])
+    assert 0 < len(keepers) < len(dec)
+    assert m1["n_docs"].sum() == len(keepers)
+
+    shard_files = sorted(
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet"))
+    got = pd.concat([pq.read_table(f).to_pandas() for f in shard_files])
+    assert set(got["doc_id"]) == keepers
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    src_text = dict(zip(src["doc_id"], src["text"]))
+    for did, text in zip(got["doc_id"], got["text"]):
+        assert text == src_text[did]
+
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    m2 = export.curated_doc_release(SF, out_dir=out).to_pandas()
     pd.testing.assert_frame_equal(m1, m2)
     assert {f: os.path.getmtime(f) for f in shard_files} == mtimes
 
