@@ -265,6 +265,10 @@ def run_queries_extra() -> dict:
         "dsir_importance_weights":
             lambda: filters.dsir_importance_weights(SF_DIR),
         "source_overlap_matrix": lambda: dedup.source_overlap_matrix(SF_DIR),
+        # round 5 session 5: the fused curation decision + its release
+        "doc_curation_full": lambda: filters.doc_curation_full(SF_DIR),
+        "curated_doc_release": lambda: export.curated_doc_release(
+            SF_DIR, out_dir=f"/tmp/dcr_release/bench_docs_{os.getpid()}"),
         "quality_classifier_scores": lambda: filters.quality_classifier_scores(
             SF_DIR),
         "doc_split": lambda: text.doc_split(SF_DIR),
